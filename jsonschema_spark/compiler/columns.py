@@ -1,0 +1,407 @@
+"""Lower a CompiledSchema to a native Spark ``Column`` boolean predicate.
+
+This is the engine's hot path: every constraint that *can* be a Catalyst
+expression becomes one, so validation of typed columns runs entirely inside
+whole-stage codegen — zero Python on executors (north rule). The mapping per
+keyword follows SURVEY.md §2.1's table; semantics are pinned by the
+pure-Python evaluator (spec/evaluate.py), which the pytest suite
+cross-checks this lowering against on the same inputs.
+
+Typed-column conventions (documented semantic bridge, SURVEY.md §7):
+
+- SQL ``NULL`` represents JSON ``null``. Struct fields use NULL = "member
+  absent" (JSON cannot round-trip absent-vs-null through typed structs).
+  The verdict for a NULL value is computed exactly by running the reference
+  evaluator on ``None`` at plan-build time — a compile-time constant.
+- ``integer`` on fractional/decimal columns is a *value* check
+  (``c == floor(c)``), matching /root/reference/validate.go:220-229.
+- ``pattern`` lowers to ``rlike`` (java.util.regex). Python-re vs Java-regex
+  is a documented gap for exotic constructs; suite patterns are compatible.
+
+Anything not expressible raises :class:`LoweringError`; the plan builder
+falls back to the Arrow-batched kernel for that check (never silently).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from fractions import Fraction
+from typing import Any, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.spec.evaluate import _deref, is_valid
+from jsonschema_spark.spec.model import CompiledSchema
+
+
+class LoweringError(ValueError):
+    """Constraint not expressible as a native Column; use the kernel path."""
+
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _json_type_of(dtype: T.DataType) -> str:
+    if isinstance(dtype, T.StringType):
+        return "string"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, _INTEGRAL) or isinstance(dtype, _FRACTIONAL):
+        return "number"
+    if isinstance(dtype, T.ArrayType):
+        return "array"
+    if isinstance(dtype, (T.StructType, T.MapType)):
+        return "object"
+    raise LoweringError(f"no JSON type mapping for Spark type {dtype.simpleString()}")
+
+
+def _fraction_literal(value: Fraction) -> Column:
+    """Exact literal when the rational terminates in binary/decimal; floats
+    otherwise (documented precision ceiling vs the reference's big.Rat)."""
+    if value.denominator == 1:
+        n = value.numerator
+        if -(2**63) <= n < 2**63:
+            return F.lit(n)
+        return F.lit(Decimal(n))
+    d = value.denominator
+    while d % 2 == 0:
+        d //= 2
+    while d % 5 == 0:
+        d //= 5
+    if d == 1:  # terminating decimal → exact Decimal literal
+        dec = Decimal(value.numerator) / Decimal(value.denominator)
+        if -(10**38) < dec < 10**38:
+            return F.lit(dec)
+    return F.lit(float(value))
+
+
+def _scalar_literal(value: Any) -> Column:
+    if isinstance(value, Fraction):
+        return _fraction_literal(value)
+    return F.lit(value)
+
+
+def _is_integral_value(col: Column, dtype: T.DataType) -> Column:
+    if isinstance(dtype, _INTEGRAL):
+        return F.lit(True)
+    if isinstance(dtype, _FRACTIONAL):
+        return col == F.floor(col).cast(dtype)
+    return F.lit(False)
+
+
+def lower_predicate(
+    schema: CompiledSchema, col: Column, dtype: T.DataType
+) -> Column:
+    """Boolean Column: True iff the value satisfies the schema. Never NULL."""
+    return _lower(schema, col, dtype, seen=frozenset())
+
+
+def _lower(
+    schema: CompiledSchema, col: Column, dtype: T.DataType, seen: frozenset
+) -> Column:
+    target = _deref(schema)
+    if target is None:
+        return F.lit(True)  # degenerate pure-$ref cycle: no reachable constraints
+    if id(target) in seen:
+        # cyclic schema at the same column position: a finite typed value
+        # cannot recurse further than its own DataType, so the recursion is
+        # driven by dtype descent; a same-position revisit means no progress.
+        raise LoweringError("cyclic $ref not expressible at fixed column type")
+    seen = seen | {id(target)}
+    schema = target
+
+    null_verdict = F.lit(is_valid(schema, None))  # exact, computed at build time
+    non_null = _lower_non_null(schema, col, dtype, seen)
+    return F.when(col.isNull(), null_verdict).otherwise(F.coalesce(non_null, F.lit(False)))
+
+
+def _lower_non_null(
+    schema: CompiledSchema, col: Column, dtype: T.DataType, seen: frozenset
+) -> Column:
+    preds: list[Column] = []
+    vtype = _json_type_of(dtype)
+
+    # type -------------------------------------------------------------------
+    if schema.types:
+        if vtype in schema.types:
+            pass  # statically satisfied
+        elif vtype == "number" and "integer" in schema.types:
+            preds.append(_is_integral_value(col, dtype))
+        else:
+            return F.lit(False)  # statically wrong type for every non-null value
+
+    # enum -------------------------------------------------------------------
+    if schema.enum is not None:
+        preds.append(_lower_enum(schema.enum, col, dtype))
+
+    # combinators ------------------------------------------------------------
+    for child in schema.all_of:
+        preds.append(_lower(child, col, dtype, seen))
+    if schema.any_of:
+        any_pred = _lower(schema.any_of[0], col, dtype, seen)
+        for child in schema.any_of[1:]:
+            any_pred = any_pred | _lower(child, col, dtype, seen)
+        preds.append(any_pred)
+    if schema.one_of:
+        count = F.lit(0)
+        for child in schema.one_of:
+            count = count + _lower(child, col, dtype, seen).cast("int")
+        preds.append(count == 1)
+    if schema.not_ is not None:
+        preds.append(~_lower(schema.not_, col, dtype, seen))
+
+    # type-directed keyword groups (only the group matching the column type
+    # can ever fire — the reference's skip-fast path becomes a static skip)
+    if vtype == "number":
+        preds.extend(_lower_number(schema, col, dtype))
+    elif vtype == "string":
+        preds.extend(_lower_string(schema, col))
+    elif vtype == "array":
+        preds.extend(_lower_array(schema, col, dtype, seen))
+    elif vtype == "object":
+        preds.extend(_lower_object(schema, col, dtype, seen))
+
+    result = None
+    for p in preds:
+        result = p if result is None else result & p
+    return result if result is not None else F.lit(True)
+
+
+def _lower_enum(enum: list, col: Column, dtype: T.DataType) -> Column:
+    """Scalar enums → hash-set ``isin``; array-of-scalar enums → equality
+    against array literals. Composite (object) variants are kernel-only."""
+    scalars, arrays = [], []
+    for variant in enum:
+        if isinstance(variant, (dict,)):
+            raise LoweringError("object enum variant not expressible natively")
+        if isinstance(variant, list):
+            if any(isinstance(x, (list, dict)) for x in variant):
+                raise LoweringError("nested array enum variant not expressible")
+            arrays.append(variant)
+        else:
+            scalars.append(variant)
+
+    pred: Optional[Column] = None
+    if isinstance(dtype, T.ArrayType):
+        for variant in arrays:
+            eq = col == F.array(*[_scalar_literal(x) for x in variant])
+            pred = eq if pred is None else pred | eq
+    else:
+        matching = [s for s in scalars if _scalar_matches_dtype(s, dtype)]
+        if matching:
+            if all(not isinstance(s, Fraction) for s in matching):
+                pred = col.isin(matching)
+            else:
+                for s in matching:
+                    eq = col == _scalar_literal(s)
+                    pred = eq if pred is None else pred | eq
+    return pred if pred is not None else F.lit(False)
+
+
+def _scalar_matches_dtype(value: Any, dtype: T.DataType) -> bool:
+    if value is None:
+        return False  # null handled by the outer null_verdict branch
+    if isinstance(value, bool):
+        return isinstance(dtype, T.BooleanType)
+    if isinstance(value, (int, Fraction)):
+        return isinstance(dtype, _INTEGRAL + _FRACTIONAL)
+    if isinstance(value, str):
+        return isinstance(dtype, T.StringType)
+    return False
+
+
+def _lower_number(schema: CompiledSchema, col: Column, dtype: T.DataType) -> list:
+    preds = []
+    if schema.minimum is not None:
+        bound = _fraction_literal(schema.minimum)
+        preds.append(col > bound if schema.exclusive_minimum else col >= bound)
+    if schema.maximum is not None:
+        bound = _fraction_literal(schema.maximum)
+        preds.append(col < bound if schema.exclusive_maximum else col <= bound)
+    if schema.multiple_of is not None:
+        m = schema.multiple_of
+        if m.denominator == 1 and isinstance(dtype, _INTEGRAL):
+            preds.append(F.pmod(col, F.lit(m.numerator)) == 0)
+        else:
+            q = col / _fraction_literal(m)
+            preds.append(q == F.floor(q))
+    return preds
+
+
+def _lower_string(schema: CompiledSchema, col: Column) -> list:
+    preds = []
+    if schema.min_length is not None:
+        preds.append(F.length(col) >= schema.min_length)
+    if schema.max_length is not None:
+        preds.append(F.length(col) <= schema.max_length)
+    if schema.pattern is not None:
+        preds.append(col.rlike(schema.pattern.pattern))
+    return preds
+
+
+def _lower_array(
+    schema: CompiledSchema, col: Column, dtype: T.ArrayType, seen: frozenset
+) -> list:
+    preds = []
+    elem_type = dtype.elementType
+    if schema.min_items is not None:
+        preds.append(F.size(col) >= schema.min_items)
+    if schema.max_items is not None:
+        preds.append(F.size(col) <= schema.max_items)
+    if schema.unique_items:
+        # typed equality == structural equality for typed arrays; NULL elements
+        # collapse in array_distinct the same way (one null kept)
+        preds.append(F.size(F.array_distinct(col)) == F.size(col))
+    if isinstance(schema.items, CompiledSchema):
+        items = schema.items
+        preds.append(
+            F.forall(col, lambda e: _lower(items, e, elem_type, seen))
+        )
+    elif isinstance(schema.items, list):
+        for i, child in enumerate(schema.items):
+            elem_ok = _lower(child, F.element_at(col, i + 1), elem_type, seen)
+            preds.append(F.when(F.size(col) > i, elem_ok).otherwise(F.lit(True)))
+        n = len(schema.items)
+        if schema.additional_items is False:
+            preds.append(F.size(col) <= n)
+        elif isinstance(schema.additional_items, CompiledSchema):
+            extra = schema.additional_items
+            tail = F.slice(col, n + 1, F.greatest(F.size(col) - n, F.lit(0)))
+            preds.append(F.forall(tail, lambda e: _lower(extra, e, elem_type, seen)))
+    return preds
+
+
+def _lower_object(
+    schema: CompiledSchema, col: Column, dtype: T.DataType, seen: frozenset
+) -> list:
+    if isinstance(dtype, T.StructType):
+        return _lower_struct(schema, col, dtype, seen)
+    return _lower_map(schema, col, dtype, seen)
+
+
+def _lower_struct(
+    schema: CompiledSchema, col: Column, dtype: T.StructType, seen: frozenset
+) -> list:
+    """Struct columns: member names are *static* (the fields), so key-directed
+    keywords (properties / patternProperties / additionalProperties /
+    required / min-maxProperties counting) partially evaluate at plan-build
+    time — the reference's per-key dispatch loop (validate.go:452-508)
+    becomes compile-time constant folding here."""
+    preds = []
+    fields = {f.name: f.dataType for f in dtype.fields}
+
+    for name, ftype in fields.items():
+        applied = []
+        if name in schema.properties:
+            applied.append(schema.properties[name])
+        for regex, child in schema.pattern_properties:
+            if regex.search(name) is not None:
+                applied.append(child)
+        fcol = col.getField(name)
+        if applied:
+            for child in applied:
+                child_pred = _lower(child, fcol, ftype, seen)
+                # absent member (NULL field) is not constrained by properties
+                preds.append(F.when(fcol.isNull(), F.lit(True)).otherwise(child_pred))
+        elif schema.additional_properties is False:
+            preds.append(fcol.isNull())
+        elif isinstance(schema.additional_properties, CompiledSchema):
+            extra_pred = _lower(schema.additional_properties, fcol, ftype, seen)
+            preds.append(F.when(fcol.isNull(), F.lit(True)).otherwise(extra_pred))
+
+    def present(name: str) -> Column:
+        return col.getField(name).isNotNull() if name in fields else F.lit(False)
+
+    for name in schema.required:
+        preds.append(present(name))
+
+    for key, dep in schema.dependencies.items():
+        if isinstance(dep, tuple):
+            need = present(dep[0])
+            for d in dep[1:]:
+                need = need & present(d)
+        else:
+            need = _lower(dep, col, dtype, seen)
+        preds.append(F.when(present(key), need).otherwise(F.lit(True)))
+
+    if schema.min_properties is not None or schema.max_properties is not None:
+        n = F.lit(0)
+        for name in fields:
+            n = n + col.getField(name).isNotNull().cast("int")
+        if schema.min_properties is not None:
+            preds.append(n >= schema.min_properties)
+        if schema.max_properties is not None:
+            preds.append(n <= schema.max_properties)
+    return preds
+
+
+def _lower_map(
+    schema: CompiledSchema, col: Column, dtype: T.MapType, seen: frozenset
+) -> list:
+    """Map columns: dynamic keys — absent-vs-null is preserved
+    (map_contains_key), pattern keys run per-entry via forall."""
+    if not isinstance(dtype.keyType, T.StringType):
+        raise LoweringError("object checks require map<string, _> columns")
+    preds = []
+    vtype = dtype.valueType
+
+    for name, child in schema.properties.items():
+        member_ok = _lower(child, F.element_at(col, F.lit(name)), vtype, seen)
+        preds.append(
+            F.when(F.map_contains_key(col, F.lit(name)), member_ok).otherwise(F.lit(True))
+        )
+    for regex, child in schema.pattern_properties:
+        preds.append(
+            F.forall(
+                F.map_entries(col),
+                lambda kv: F.when(
+                    kv.getField("key").rlike(regex.pattern),
+                    _lower(child, kv.getField("value"), vtype, seen),
+                ).otherwise(F.lit(True)),
+            )
+        )
+    if schema.additional_properties is not None and schema.additional_properties is not True:
+        known = (
+            F.array(*[F.lit(k) for k in schema.properties])
+            if schema.properties
+            else F.array().cast("array<string>")
+        )
+
+        def matched(k: Column) -> Column:
+            m = F.array_contains(known, k) if schema.properties else F.lit(False)
+            for regex, _ in schema.pattern_properties:
+                m = m | k.rlike(regex.pattern)
+            return m
+
+        if schema.additional_properties is False:
+            preds.append(F.forall(F.map_keys(col), matched))
+        else:
+            extra = schema.additional_properties
+            preds.append(
+                F.forall(
+                    F.map_entries(col),
+                    lambda kv: F.when(
+                        matched(kv.getField("key")), F.lit(True)
+                    ).otherwise(_lower(extra, kv.getField("value"), vtype, seen)),
+                )
+            )
+    for name in schema.required:
+        preds.append(F.map_contains_key(col, F.lit(name)))
+    for key, dep in schema.dependencies.items():
+        if isinstance(dep, tuple):
+            need = F.map_contains_key(col, F.lit(dep[0]))
+            for d in dep[1:]:
+                need = need & F.map_contains_key(col, F.lit(d))
+        else:
+            need = _lower(dep, col, dtype, seen)
+        preds.append(
+            F.when(F.map_contains_key(col, F.lit(key)), need).otherwise(F.lit(True))
+        )
+    if schema.min_properties is not None:
+        preds.append(F.size(col) >= schema.min_properties)
+    if schema.max_properties is not None:
+        preds.append(F.size(col) <= schema.max_properties)
+    return preds
