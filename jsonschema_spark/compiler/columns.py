@@ -72,8 +72,14 @@ def _fraction_literal(value: Fraction) -> Column:
     while d % 5 == 0:
         d //= 5
     if d == 1:  # terminating decimal → exact Decimal literal
-        dec = Decimal(value.numerator) / Decimal(value.denominator)
-        if -(10**38) < dec < 10**38:
+        from decimal import localcontext
+
+        with localcontext() as ctx:
+            ctx.prec = 60
+            dec = Decimal(value.numerator) / Decimal(value.denominator)
+        # Spark decimals cap at precision 38 (documented gap vs big.Rat);
+        # a wider exact expansion (e.g. binary floats like 0.02) goes float.
+        if len(dec.as_tuple().digits) <= 38:
             return F.lit(dec)
     return F.lit(float(value))
 

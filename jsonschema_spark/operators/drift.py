@@ -1,0 +1,103 @@
+"""Distribution-drift checks: chi-square and PSI between a current run's
+histograms and a baseline snapshot (new semantics per the north rule —
+the reference has no analog, SURVEY.md §2.3).
+
+Scale shape: both inputs are already *aggregated* histograms (≤ a few
+thousand rows each — bins or vocab-sized), so the comparison is a tiny
+outer join + driver-side arithmetic. The expensive part (building the
+histogram from 10^12 rows) lives in operators/stats.py as one-pass
+map-side-combined aggregations; drift itself is O(bins).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _aligned_counts(
+    current: DataFrame, baseline: DataFrame, key: str, cnt: str = "cnt"
+) -> list[tuple]:
+    cur = current.select(F.col(key).alias("k"), F.col(cnt).alias("cur"))
+    base = baseline.select(F.col(key).alias("k"), F.col(cnt).alias("base"))
+    rows = (
+        cur.join(base, on="k", how="full_outer")
+        .select("k", F.coalesce("cur", F.lit(0)).alias("cur"),
+                F.coalesce("base", F.lit(0)).alias("base"))
+        .collect()
+    )
+    return [(r.k, r.cur, r.base) for r in rows]
+
+
+def psi_terms(
+    current: DataFrame, baseline: DataFrame, key: str = "bucket",
+    cnt: str = "cnt", epsilon: float = 1e-6, decimals: int = 6,
+) -> DataFrame:
+    """Per-bucket PSI contribution, fully as DataFrame ops (no driver math):
+    ``(key, psi_term)`` where psi = sum(psi_term). Inputs are pre-aggregated
+    histograms, so every join/agg here is over ≤ bins rows."""
+    cur = current.select(F.col(key).alias("k"), F.col(cnt).alias("cur"))
+    base = baseline.select(F.col(key).alias("k"), F.col(cnt).alias("base"))
+    joined = cur.join(base, on="k", how="full_outer").select(
+        "k",
+        F.coalesce("cur", F.lit(0)).alias("cur"),
+        F.coalesce("base", F.lit(0)).alias("base"),
+    )
+    totals = joined.agg(
+        F.sum("cur").alias("n_cur"), F.sum("base").alias("n_base")
+    )
+    p = F.greatest(F.col("cur") / F.col("n_cur"), F.lit(epsilon))
+    q = F.greatest(F.col("base") / F.col("n_base"), F.lit(epsilon))
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("k").alias(key),
+            F.round((p - q) * F.log(p / q), decimals).alias("psi_term"),
+        )
+    )
+
+
+def psi(current: DataFrame, baseline: DataFrame, key: str = "bucket",
+        cnt: str = "cnt", epsilon: float = 1e-6) -> float:
+    """Population Stability Index: sum((p-q) * ln(p/q)) over aligned buckets.
+    Common reading: <0.1 stable, 0.1-0.25 moderate shift, >0.25 major shift."""
+    rows = _aligned_counts(current, baseline, key, cnt)
+    n_cur = sum(r[1] for r in rows) or 1
+    n_base = sum(r[2] for r in rows) or 1
+    total = 0.0
+    for _, cur, base in rows:
+        p = max(cur / n_cur, epsilon)
+        q = max(base / n_base, epsilon)
+        total += (p - q) * math.log(p / q)
+    return total
+
+
+def chi_square(current: DataFrame, baseline: DataFrame, key: str = "bucket",
+               cnt: str = "cnt") -> dict:
+    """Pearson chi-square of current counts vs baseline-proportioned
+    expectations. Returns {statistic, dof, buckets}."""
+    rows = [r for r in _aligned_counts(current, baseline, key, cnt) if r[2] > 0]
+    n_cur = sum(r[1] for r in rows)
+    n_base = sum(r[2] for r in rows)
+    if n_cur == 0 or n_base == 0:
+        return {"statistic": 0.0, "dof": 0, "buckets": 0}
+    stat = 0.0
+    for _, cur, base in rows:
+        expected = n_cur * (base / n_base)
+        if expected > 0:
+            stat += (cur - expected) ** 2 / expected
+    return {"statistic": stat, "dof": max(len(rows) - 1, 1), "buckets": len(rows)}
+
+
+def drift_report(current: DataFrame, baseline: DataFrame, key: str = "bucket",
+                 cnt: str = "cnt", psi_threshold: float = 0.25) -> dict:
+    p = psi(current, baseline, key, cnt)
+    chi = chi_square(current, baseline, key, cnt)
+    return {
+        "psi": p,
+        "chi_square": chi["statistic"],
+        "dof": chi["dof"],
+        "drifted": p > psi_threshold,
+    }

@@ -1,0 +1,234 @@
+"""ValidationJob — one partition-parallel pass over the input table producing:
+
+- per-row verdict columns + violation rows (the reference's per-document
+  accept/reject contract, /root/reference/validate.go:15-21, reshaped to
+  verdict rows per its own collect-errors TODO at validate.go:18),
+- per-partition pass/fail lineage + metrics (persisted — resumable),
+- table-level check results: uniqueness, referential, stats profile, drift.
+
+Scale shape (design target 10^12 rows; see SURVEY.md §4):
+
+- The row pass is ONE projection + ONE aggregation: verdict columns are
+  whole-stage-codegen boolean expressions; the lineage aggregation groups by
+  a *unit id* (input file when reading files, else spark partition id) with
+  map-side combine, so shuffle volume is O(#units × #checks), independent of
+  row count.
+- Violations are filtered *before* leaving the scan stage (only failing rows
+  are materialized) and written partition-parallel.
+- Uniqueness/referential/drift are separate small-output jobs (salted agg /
+  broadcast anti-join / histogram agg) — they re-read the scan rather than
+  caching 10^12 rows; Parquet column pruning makes each re-read touch only
+  the columns it needs.
+- Checkpoint/resume: lineage rows are written per unit; a resumed run
+  anti-joins completed units and processes only the remainder (the sink
+  abstraction is a parquet directory in-sandbox, an Iceberg table on a real
+  cluster — same logic either way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators import drift as drift_ops
+from jsonschema_spark.operators import stats as stats_ops
+from jsonschema_spark.operators.referential import domain_predicate, orphan_key_counts
+from jsonschema_spark.operators.uniqueness import duplicate_keys
+from jsonschema_spark.plans.plan import CompiledPlan
+
+
+class ValidationJob:
+    def __init__(
+        self,
+        plan: CompiledPlan,
+        dims: Optional[dict] = None,       # dim name -> DataFrame
+        baselines: Optional[dict] = None,  # drift key -> baseline histogram DF
+        id_column: str = "doc_id",
+    ):
+        self.plan = plan
+        self.dims = dims or {}
+        self.baselines = baselines or {}
+        self.id_column = id_column
+
+    # ---- row pass -----------------------------------------------------------
+
+    def annotate(self, df: DataFrame) -> DataFrame:
+        """Input + one boolean column per check + `_valid`. Referential checks
+        join the row pass as broadcast-domain isin predicates, so the whole
+        verdict projection stays in one codegen stage."""
+        out = self.plan.annotate(df)
+        for col_name, ref in self.plan.references.items():
+            dim = self.dims.get(ref["dim"])
+            if dim is None:
+                raise ValueError(f"missing dimension table {ref['dim']!r}")
+            pred = domain_predicate(df, col_name, dim, ref["key"])
+            out = out.withColumn(f"chk_ref_{col_name}", pred)
+            out = out.withColumn("_valid", F.col("_valid") & F.col(f"chk_ref_{col_name}"))
+        return out
+
+    def check_columns(self, annotated: DataFrame) -> list:
+        return [c for c in annotated.columns if c.startswith("chk_")]
+
+    def violations(self, annotated: DataFrame) -> DataFrame:
+        """(id, check) rows for every failed check — melted via an array of
+        named structs filtered in-stage, so passing rows never leave the scan."""
+        checks = self.check_columns(annotated)
+        entries = F.filter(
+            F.array(
+                *[
+                    F.when(~F.col(c), F.lit(c.removeprefix("chk_")))
+                    for c in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return (
+            annotated.select(F.col(self.id_column).alias("id"), entries.alias("failed"))
+            .filter(F.size("failed") > 0)
+            .select("id", F.explode("failed").alias("check"))
+        )
+
+    def partition_lineage(self, annotated: DataFrame, unit: str = "auto") -> DataFrame:
+        """Per-unit pass/fail + per-check fail counts. Unit = input file name
+        when present (stable across reruns → resumable), else partition id."""
+        checks = self.check_columns(annotated)
+        if unit == "auto":
+            unit_col = F.coalesce(
+                F.nullif(F.input_file_name(), F.lit("")),
+                F.concat(F.lit("partition:"), F.spark_partition_id().cast("string")),
+            )
+        else:
+            unit_col = F.col(unit)
+        aggs = [
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+        ]
+        for c in checks:
+            aggs.append(F.sum((~F.col(c)).cast("long")).alias(f"fail_{c.removeprefix('chk_')}"))
+        return annotated.groupBy(unit_col.alias("unit")).agg(*aggs)
+
+    # ---- table-level checks --------------------------------------------------
+
+    def uniqueness(self, df: DataFrame) -> dict:
+        return {
+            key: duplicate_keys(df, key) for key in self.plan.unique
+        }
+
+    def referential(self, df: DataFrame) -> dict:
+        out = {}
+        for col_name, ref in self.plan.references.items():
+            dim = self.dims.get(ref["dim"])
+            out[col_name] = orphan_key_counts(df, col_name, dim, ref["key"])
+        return out
+
+    def drift(self, df: DataFrame) -> dict:
+        out = {}
+        for key, conf in self.plan.drift.items():
+            if key == "token_freq":
+                if not conf:
+                    continue
+                current = stats_ops.token_frequencies(df)
+                baseline = self.baselines.get("token_freq")
+                if baseline is None:
+                    continue
+                out["token_freq"] = drift_ops.drift_report(
+                    current, baseline, key="token", cnt="cnt"
+                )
+            else:
+                baseline = self.baselines.get(key)
+                if baseline is None:
+                    continue
+                current = stats_ops.histogram(
+                    df, key, conf["bins"], conf["lo"], conf["hi"]
+                )
+                out[key] = drift_ops.drift_report(current, baseline, key="bucket")
+        return out
+
+    # ---- orchestrated run with checkpoint/resume ------------------------------
+
+    def run(
+        self,
+        df: DataFrame,
+        results_dir: str,
+        resume: bool = False,
+        profile_columns: Optional[list] = None,
+    ) -> dict:
+        """Full validation pass. Writes under results_dir:
+        ``lineage/`` (per-unit verdicts, the checkpoint), ``violations/``,
+        ``duplicates_<key>/``, ``orphans_<col>/``, ``profile/``,
+        ``summary.json``. Returns the summary dict."""
+        spark = df.sparkSession
+        t0 = time.time()
+
+        annotated = self.annotate(df)
+
+        completed_units: set = set()
+        lineage_path = os.path.join(results_dir, "lineage")
+        if resume and os.path.isdir(lineage_path):
+            prior = spark.read.parquet(lineage_path)
+            completed_units = {r.unit for r in prior.select("unit").distinct().collect()}
+            if completed_units:
+                annotated = annotated.withColumn(
+                    "_unit",
+                    F.coalesce(
+                        F.nullif(F.input_file_name(), F.lit("")),
+                        F.concat(F.lit("partition:"), F.spark_partition_id().cast("string")),
+                    ),
+                ).filter(~F.col("_unit").isin(list(completed_units))).drop("_unit")
+
+        lineage = self.partition_lineage(annotated)
+        lineage.write.mode("append" if resume else "overwrite").parquet(lineage_path)
+
+        self.violations(annotated).write.mode(
+            "append" if resume else "overwrite"
+        ).parquet(os.path.join(results_dir, "violations"))
+
+        dup_counts = {}
+        for key, dups in self.uniqueness(df).items():
+            dups.write.mode("overwrite").parquet(
+                os.path.join(results_dir, f"duplicates_{key}")
+            )
+            dup_counts[key] = spark.read.parquet(
+                os.path.join(results_dir, f"duplicates_{key}")
+            ).count()
+
+        orphan_counts = {}
+        for col_name, orphans in self.referential(df).items():
+            orphans.write.mode("overwrite").parquet(
+                os.path.join(results_dir, f"orphans_{col_name}")
+            )
+            orphan_counts[col_name] = (
+                spark.read.parquet(os.path.join(results_dir, f"orphans_{col_name}"))
+                .agg(F.sum("n_rows")).collect()[0][0] or 0
+            )
+
+        stats_ops.column_profile(df, profile_columns).write.mode("overwrite").parquet(
+            os.path.join(results_dir, "profile")
+        )
+
+        drift_reports = self.drift(df)
+
+        final_lineage = spark.read.parquet(lineage_path)
+        totals = final_lineage.agg(
+            F.sum("n_rows").alias("n"), F.sum("n_valid").alias("v")
+        ).collect()[0]
+        summary = {
+            "n_rows": totals.n or 0,
+            "n_valid": totals.v or 0,
+            "n_invalid": (totals.n or 0) - (totals.v or 0),
+            "checks": self.plan.check_names
+            + [f"ref_{c}" for c in self.plan.references],
+            "duplicates": dup_counts,
+            "orphans": orphan_counts,
+            "drift": drift_reports,
+            "resumed_units_skipped": len(completed_units),
+            "wall_sec": time.time() - t0,
+        }
+        with open(os.path.join(results_dir, "summary.json"), "w") as fh:
+            json.dump(summary, fh, indent=2, default=str)
+        return summary

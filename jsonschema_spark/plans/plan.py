@@ -1,0 +1,153 @@
+"""TableSpec — the engine's declarative query language — and its compiled
+form.
+
+A TableSpec is to this engine what the schema document is to the reference
+(/root/reference/raw_schema.go:85-120): a JSON-serializable constraint
+specification. Instead of addressing one JSON document by pointer, it
+addresses a *table* by column name, and adds the table-scope checks the
+north rule requires (uniqueness, referential, drift, stats).
+
+Compilation happens once, driver-side (the reference's compile-once contract,
+compiler.go:48-247): every per-column draft-4 spec lowers to a native Column
+predicate via compiler/columns.py; a column spec that cannot lower natively
+falls back to the Arrow-batched kernel *only if* the column is a JSON-text
+string column — otherwise compilation fails loudly.
+
+Example::
+
+    spec = TableSpec.from_dict({
+        "columns": {
+            "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+            "tokens": {"type": "array", "minItems": 1,
+                        "items": {"type": "integer", "minimum": 0,
+                                  "maximum": 50256}},
+            "n_tok":  {"type": "integer", "minimum": 1, "maximum": 2048},
+        },
+        "required": ["doc_id", "tokens", "n_tok", "source"],
+        "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+        "unique": ["doc_id"],
+        "references": {"source": {"dim": "dim_source", "key": "source_id"}},
+        "drift": {"n_tok": {"bins": 64, "lo": 0, "hi": 2560},
+                   "token_freq": true},
+    })
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.compiler.columns import LoweringError, lower_predicate
+from jsonschema_spark.compiler.kernel import json_validation_kernel
+from jsonschema_spark.spec.compile import SpecError, compile_spec
+
+
+@dataclass
+class TableSpec:
+    columns: dict = field(default_factory=dict)       # col -> draft-4 keyword dict
+    required: list = field(default_factory=list)      # cols that must be non-null
+    row_checks: dict = field(default_factory=dict)    # name -> SQL boolean expr
+    json_columns: dict = field(default_factory=dict)  # col of JSON text -> spec
+    unique: list = field(default_factory=list)        # key columns, each unique
+    references: dict = field(default_factory=dict)    # col -> {"dim": name, "key": col}
+    drift: dict = field(default_factory=dict)         # col -> {bins, lo, hi}; "token_freq": bool
+
+    @classmethod
+    def from_dict(cls, raw: dict) -> "TableSpec":
+        known = {
+            "columns", "required", "row_checks", "json_columns", "unique",
+            "references", "drift",
+        }
+        unknown = set(raw) - known
+        if unknown:
+            raise SpecError(f"unknown TableSpec keys: {sorted(unknown)}")
+        return cls(**{k: raw[k] for k in known if k in raw})
+
+    @classmethod
+    def from_json(cls, text: str) -> "TableSpec":
+        return cls.from_dict(json.loads(text))
+
+
+@dataclass
+class CompiledPlan:
+    """Named boolean check columns plus table-check descriptors; the verdict
+    select is one projection over the scan (zero extra passes)."""
+
+    spec: TableSpec
+    checks: dict          # check name -> Column (True = pass; never NULL)
+    kernel_checks: dict   # check name -> Column (pandas-UDF backed)
+    unique: list
+    references: dict
+    drift: dict
+
+    @property
+    def check_names(self) -> list:
+        return list(self.checks) + list(self.kernel_checks)
+
+    def annotate(self, df: DataFrame, prefix: str = "chk_") -> DataFrame:
+        """df + one boolean column per check + `_valid` conjunction."""
+        out = df
+        valid = F.lit(True)
+        for name, pred in {**self.checks, **self.kernel_checks}.items():
+            out = out.withColumn(prefix + name, pred)
+            valid = valid & F.col(prefix + name)
+        return out.withColumn("_valid", valid)
+
+
+def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
+    checks: dict = {}
+    kernel_checks: dict = {}
+    fields = {f.name: f.dataType for f in schema.fields}
+
+    for col_name, col_spec in spec.columns.items():
+        if col_name not in fields:
+            raise SpecError(f"column {col_name!r} not in table schema")
+        compiled = compile_spec(col_spec)
+        name = f"col_{col_name}"
+        try:
+            checks[name] = lower_predicate(compiled, F.col(col_name), fields[col_name])
+        except LoweringError:
+            if isinstance(fields[col_name], T.StringType):
+                kernel_checks[name] = json_validation_kernel(
+                    col_spec, F.col(col_name)
+                ).getField("valid")
+            else:
+                raise
+
+    for col_name in spec.required:
+        if col_name not in fields:
+            raise SpecError(f"required column {col_name!r} not in table schema")
+        checks[f"required_{col_name}"] = F.col(col_name).isNotNull()
+
+    for name, expr in spec.row_checks.items():
+        checks[f"row_{name}"] = F.coalesce(F.expr(expr), F.lit(False))
+
+    for col_name, col_spec in spec.json_columns.items():
+        if not isinstance(fields.get(col_name), T.StringType):
+            raise SpecError(f"json column {col_name!r} must be a string column")
+        kernel_checks[f"json_{col_name}"] = json_validation_kernel(
+            col_spec, F.col(col_name)
+        ).getField("valid")
+
+    for col_name in spec.unique:
+        if col_name not in fields:
+            raise SpecError(f"unique column {col_name!r} not in table schema")
+    for col_name, ref in spec.references.items():
+        if col_name not in fields:
+            raise SpecError(f"reference column {col_name!r} not in table schema")
+        if not isinstance(ref, dict) or "dim" not in ref or "key" not in ref:
+            raise SpecError(f"reference for {col_name!r} needs {{'dim','key'}}")
+
+    return CompiledPlan(
+        spec=spec,
+        checks=checks,
+        kernel_checks=kernel_checks,
+        unique=list(spec.unique),
+        references=dict(spec.references),
+        drift=dict(spec.drift),
+    )

@@ -1,0 +1,169 @@
+"""End-to-end tests of the tokenized-corpus validation pipeline (the north
+rule's flagship): synthetic corpus → TableSpec → one-pass verdicts →
+violations / uniqueness / referential / stats / drift → lineage + resume."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.sources import corpus as corpus_mod
+from jsonschema_spark.sources.corpus import (
+    DUP_MOD, LEN_MOD, NTOK_MOD, SRC_MOD, MAX_TOKENS, SOURCES, VOCAB_SIZE,
+    corpus, dim_source,
+)
+from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+from jsonschema_spark.plans.job import ValidationJob
+
+N = 20_000
+
+CORPUS_SPEC = {
+    "columns": {
+        "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+        "tokens": {
+            "type": "array",
+            "minItems": 1,
+            "items": {"type": "integer", "minimum": 0, "maximum": VOCAB_SIZE - 1},
+        },
+        "n_tok": {"type": "integer", "minimum": 1, "maximum": MAX_TOKENS},
+    },
+    "required": ["doc_id", "tokens", "n_tok", "source"],
+    "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+    "unique": ["doc_id"],
+    "references": {"source": {"dim": "dim_source", "key": "source_id"}},
+    "drift": {"n_tok": {"bins": 64, "lo": 0, "hi": 2560}, "token_freq": True},
+}
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return corpus(spark, N, seed=42)
+
+
+@pytest.fixture(scope="module")
+def job(spark, corpus_df):
+    plan = compile_table_spec(TableSpec.from_dict(CORPUS_SPEC), corpus_df.schema)
+    clean = corpus(spark, N, seed=7, inject_violations=False)
+    from jsonschema_spark.operators import stats as stats_ops
+
+    baselines = {
+        "n_tok": stats_ops.histogram(clean, "n_tok", 64, 0, 2560),
+        "token_freq": stats_ops.token_frequencies(clean),
+    }
+    return ValidationJob(plan, dims={"dim_source": dim_source(spark)}, baselines=baselines)
+
+
+def _expected(mods_hit: str) -> set:
+    """Row ids whose *first-matching* injection rule is `mods_hit` (mirrors
+    the when-chain precedence in the generator)."""
+    out = set()
+    for i in range(N):
+        if i % NTOK_MOD == NTOK_MOD - 1:
+            kind = "ntok"
+        elif i % LEN_MOD == LEN_MOD - 1:
+            kind = "len"
+        else:
+            kind = None
+        if mods_hit == "ntok" and kind == "ntok":
+            out.add(i)
+        elif mods_hit == "len" and kind == "len":
+            out.add(i)
+        elif mods_hit == "src" and i % SRC_MOD == SRC_MOD - 1:
+            out.add(i)
+        elif mods_hit == "dup" and i % DUP_MOD == DUP_MOD - 1:
+            out.add(i)
+    return out
+
+
+def test_generator_is_deterministic_across_parallelism(spark):
+    a = corpus(spark, 2000, seed=42, num_partitions=2).orderBy("doc_id").collect()
+    b = corpus(spark, 2000, seed=42, num_partitions=16).orderBy("doc_id").collect()
+    assert a == b
+
+
+def test_generator_shape_and_rates(corpus_df):
+    row = corpus_df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.array_min("tokens")).alias("tmin"),
+        F.max(F.array_max("tokens")).alias("tmax"),
+    ).collect()[0]
+    assert row.n == N
+    assert 0 <= row.tmin and row.tmax < VOCAB_SIZE
+    assert [f.name for f in corpus_df.schema.fields] == ["doc_id", "tokens", "n_tok", "source"]
+
+
+def test_row_verdicts_match_injection(job, corpus_df):
+    annotated = job.annotate(corpus_df)
+    agg = annotated.agg(
+        F.sum((~F.col("chk_col_n_tok")).cast("long")).alias("bad_ntok"),
+        F.sum((~F.col("chk_row_len_consistent")).cast("long")).alias("bad_len"),
+        F.sum((~F.col("chk_ref_source")).cast("long")).alias("bad_src"),
+        F.sum((~F.col("_valid")).cast("long")).alias("invalid"),
+        F.sum((~F.col("chk_col_doc_id")).cast("long")).alias("bad_docid"),
+        F.sum((~F.col("chk_col_tokens")).cast("long")).alias("bad_tokens"),
+    ).collect()[0]
+    exp_ntok = _expected("ntok")
+    exp_len = _expected("len")
+    exp_src = _expected("src")
+    # n_tok out-of-bounds rows: injected 0 or 4096 — both violate [1, 2048]
+    assert agg.bad_ntok == len(exp_ntok)
+    # len mismatch: n_tok+1 (plus every bad-ntok row also mismatches size)
+    assert agg.bad_len == len(exp_len) + len(exp_ntok)
+    assert agg.bad_src == len(exp_src)
+    assert agg.bad_docid == 0 and agg.bad_tokens == 0
+    assert agg.invalid == len(exp_ntok | exp_len | exp_src)
+
+
+def test_violation_rows(job, corpus_df):
+    v = job.violations(job.annotate(corpus_df))
+    counts = {r.check: r.cnt for r in v.groupBy("check").agg(F.count("*").alias("cnt")).collect()}
+    assert counts["ref_source"] == len(_expected("src"))
+    assert counts["col_n_tok"] == len(_expected("ntok"))
+
+
+def test_uniqueness_salted(job, corpus_df):
+    dups = job.uniqueness(corpus_df)["doc_id"]
+    rows = dups.collect()
+    assert len(rows) == len(_expected("dup"))
+    assert all(r.dup_count == 2 for r in rows)
+
+
+def test_referential_orphans(job, corpus_df):
+    orphans = job.referential(corpus_df)["source"].collect()
+    assert len(orphans) == 1  # one unregistered source value
+    assert orphans[0].n_rows == len(_expected("src"))
+
+
+def test_drift_detects_shift(spark, job, corpus_df):
+    reports = job.drift(corpus_df)
+    # same generator family, different seed: distribution identical in shape
+    assert reports["n_tok"]["psi"] < 0.05
+    assert not reports["n_tok"]["drifted"]
+    # force drift: halve the length distribution
+    shifted = corpus_df.withColumn("n_tok", (F.col("n_tok") / 4 + 1).cast("int"))
+    rep2 = job.drift(shifted)
+    assert rep2["n_tok"]["psi"] > 0.25 and rep2["n_tok"]["drifted"]
+
+
+def test_run_and_resume(tmp_path, spark, job, corpus_df):
+    results = str(tmp_path / "results")
+    summary = job.run(corpus_df, results)
+    assert summary["n_rows"] == N
+    assert summary["n_invalid"] == len(
+        _expected("ntok") | _expected("len") | _expected("src")
+    )
+    assert summary["duplicates"]["doc_id"] == len(_expected("dup"))
+    assert summary["orphans"]["source"] == len(_expected("src"))
+    # resume: all units already completed -> zero new rows processed
+    summary2 = job.run(corpus_df, results, resume=True)
+    assert summary2["resumed_units_skipped"] > 0
+    assert summary2["n_rows"] == N  # lineage total unchanged (append of empty)
+
+
+def test_profile(spark, corpus_df):
+    from jsonschema_spark.operators.stats import column_profile
+
+    prof = {r.column: r for r in column_profile(corpus_df).collect()}
+    assert prof["doc_id"].null_rate == 0.0
+    assert prof["tokens"].min_len >= 1
+    assert prof["n_tok"].n_rows == N
