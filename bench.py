@@ -1,0 +1,178 @@
+"""Benchmark harness — prints ONE JSON line with per-query wall seconds.
+
+Headline (BASELINE.json north rule): validated **sequences/sec and
+tokens/sec** of one full validation pass (per-row draft-4 checks +
+length-consistency + referential + uniqueness + stats histogram) over a
+materialized tokenized-corpus parquet table with ~1% injected violations.
+
+The corpus is generated once per (sf, seed) into a cache dir and read back
+from parquet, so the measured pass is scan -> validate -> aggregate, not
+generation. Operator queries from `__spark_entry__.queries()` run at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS     local[N] cores (default 32)
+    BENCH_CORPUS_ROWS    corpus rows (default 1_000_000 at sf0.1, scaled)
+    BENCH_CACHE_DIR      corpus parquet cache (default /tmp/jsonschema_spark_bench)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+
+def _sf(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.removeprefix("sf"))
+    except ValueError:
+        return 0.1
+
+
+def materialize_corpus(spark, n_rows: int, cache_dir: str, seed: int = 42) -> str:
+    """Write the deterministic corpus to parquet once; reuse across runs so
+    every parallelism level reads the identical bytes."""
+    from jsonschema_spark.sources.corpus import corpus
+
+    path = os.path.join(cache_dir, f"corpus_n{n_rows}_s{seed}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        corpus(spark, n_rows, seed=seed, num_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def corpus_validation_pass(spark, corpus_path: str):
+    """The headline job: one partition-parallel validation pass. Returns
+    (n_rows, n_valid, n_tokens)."""
+    from jsonschema_spark.sources.corpus import MAX_TOKENS, VOCAB_SIZE, dim_source
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+    from jsonschema_spark.plans.job import ValidationJob
+
+    df = spark.read.parquet(corpus_path)
+    spec = TableSpec.from_dict(
+        {
+            "columns": {
+                "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+                "tokens": {
+                    "type": "array",
+                    "minItems": 1,
+                    "items": {
+                        "type": "integer",
+                        "minimum": 0,
+                        "maximum": VOCAB_SIZE - 1,
+                    },
+                },
+                "n_tok": {"type": "integer", "minimum": 1, "maximum": MAX_TOKENS},
+            },
+            "required": ["doc_id", "tokens", "n_tok", "source"],
+            "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+            "unique": ["doc_id"],
+            "references": {"source": {"dim": "dim_source", "key": "source_id"}},
+        }
+    )
+    plan = compile_table_spec(spec, df.schema)
+    job = ValidationJob(plan, dims={"dim_source": dim_source(spark)})
+    annotated = job.annotate(df)
+    checks = job.check_columns(annotated)
+    row = annotated.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+        F.sum("n_tok").alias("n_tokens"),
+        *[F.sum((~F.col(c)).cast("long")).alias(c) for c in checks],
+    ).collect()[0]
+    # salted uniqueness (separate small-output job, part of the pass)
+    n_dups = job.uniqueness(df)["doc_id"].count()
+    return row.n_rows, row.n_valid, row.n_tokens or 0, n_dups
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf(sf_dir)
+    default_rows = max(int(1_000_000 * (sf / 0.1)), 20_000)
+    corpus_rows = int(os.environ.get("BENCH_CORPUS_ROWS", str(default_rows)))
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+
+    from jsonschema_spark.sources.session import get_spark
+
+    spark = get_spark(app_name="jsonschema_spark-bench", cores=cores)
+
+    import __spark_entry__ as entry
+
+    corpus_path = materialize_corpus(spark, corpus_rows, cache_dir)
+
+    timings: dict[str, float] = {}
+
+    # warm the JVM / parquet footer caches with one cheap action
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+    # warm-up pass (JIT + parquet footer caches), then best-of-N steady state
+    corpus_validation_pass(spark, corpus_path)
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    corpus_sec = float("inf")
+    for _ in range(repeat):
+        t0 = time.time()
+        n_rows, n_valid, n_tokens, n_dups = corpus_validation_pass(spark, corpus_path)
+        corpus_sec = min(corpus_sec, time.time() - t0)
+    timings["corpus_validate_full"] = round(corpus_sec, 3)
+
+    headline = [
+        "tpch_q1",
+        "join_agg",
+        "topk_per_group",
+        "dup_keys",
+        "orphans",
+        "word_freq",
+        "exact_stats",
+        "json_schema_kernel",
+        "forall_items",
+        "minhash_near_dup",
+        "simhash_near_dup",
+        "embedding_topk",
+        "lang_id",
+        "quality_score",
+    ]
+    qs = entry.queries()
+    for name in headline:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total headline wall time (corpus validation pass + operator queries)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "corpus_rows": n_rows,
+                "corpus_tokens": int(n_tokens),
+                "corpus_invalid": int(n_rows - n_valid),
+                "corpus_duplicates": int(n_dups),
+                "sequences_per_sec": round(n_rows / corpus_sec, 1),
+                "tokens_per_sec": round(n_tokens / corpus_sec, 1),
+                "cores": cores,
+            }
+        )
+    )
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

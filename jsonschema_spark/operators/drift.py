@@ -92,12 +92,26 @@ def chi_square(current: DataFrame, baseline: DataFrame, key: str = "bucket",
 
 
 def drift_report(current: DataFrame, baseline: DataFrame, key: str = "bucket",
-                 cnt: str = "cnt", psi_threshold: float = 0.25) -> dict:
-    p = psi(current, baseline, key, cnt)
-    chi = chi_square(current, baseline, key, cnt)
+                 cnt: str = "cnt", psi_threshold: float = 0.25,
+                 epsilon: float = 1e-6) -> dict:
+    """PSI + chi-square from ONE aligned-histogram pass (the histograms are
+    the expensive inputs at scale — never aggregate them twice)."""
+    rows = _aligned_counts(current, baseline, key, cnt)
+    n_cur = sum(r[1] for r in rows) or 1
+    n_base = sum(r[2] for r in rows) or 1
+    psi_total, chi_stat, chi_buckets = 0.0, 0.0, 0
+    for _, cur, base in rows:
+        p = max(cur / n_cur, epsilon)
+        q = max(base / n_base, epsilon)
+        psi_total += (p - q) * math.log(p / q)
+        if base > 0:
+            expected = n_cur * (base / n_base)
+            if expected > 0:
+                chi_stat += (cur - expected) ** 2 / expected
+                chi_buckets += 1
     return {
-        "psi": p,
-        "chi_square": chi["statistic"],
-        "dof": chi["dof"],
-        "drifted": p > psi_threshold,
+        "psi": psi_total,
+        "chi_square": chi_stat,
+        "dof": max(chi_buckets - 1, 1),
+        "drifted": psi_total > psi_threshold,
     }

@@ -36,14 +36,20 @@ CORPUS_SPEC = {
 
 
 @pytest.fixture(scope="module")
-def corpus_df(spark):
-    return corpus(spark, N, seed=42)
+def corpus_df(spark, tmp_path_factory):
+    """Materialized to parquet once — downstream actions scan bytes instead
+    of re-running the hash-based generator expression chain per action."""
+    path = str(tmp_path_factory.mktemp("corpus") / "dirty")
+    corpus(spark, N, seed=42).write.parquet(path)
+    return spark.read.parquet(path)
 
 
 @pytest.fixture(scope="module")
-def job(spark, corpus_df):
+def job(spark, corpus_df, tmp_path_factory):
     plan = compile_table_spec(TableSpec.from_dict(CORPUS_SPEC), corpus_df.schema)
-    clean = corpus(spark, N, seed=7, inject_violations=False)
+    clean_path = str(tmp_path_factory.mktemp("corpus") / "clean")
+    corpus(spark, N, seed=7, inject_violations=False).write.parquet(clean_path)
+    clean = spark.read.parquet(clean_path)
     from jsonschema_spark.operators import stats as stats_ops
 
     baselines = {
