@@ -1,0 +1,168 @@
+"""Text-analysis functions for training-data pipelines: tokenization,
+language ID, quality scoring, fingerprinting.
+
+Everything here is a native Column expression (JVM-side, whole-stage
+codegen where Catalyst supports it) — no Python on the hot path. These are
+*new semantics* relative to the reference validator (SURVEY.md §2.3): the
+reference's per-document accept/reject vocabulary (pattern
+/root/reference/validate.go:202-204, length validate.go:193-200) generalized
+to per-document *profiling* columns that feed TableSpec row checks
+(e.g. ``{"row_checks": {"quality": "quality >= 0.3"}}``).
+
+Determinism: every function is a pure expression of the input text, so
+results are identical at any parallelism/partitioning — required for the
+DuckDB oracle twins and for cross-cluster reproducibility.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, unambiguous stopword lists (disjoint across languages on purpose —
+# the tie-break story stays trivial and the oracle SQL stays readable).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "une", "pour", "dans", "que"],
+    "es": ["el", "los", "las", "es", "no", "una", "por", "para", "con", "del"],
+}
+
+
+def let_(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per row
+    and pass it to ``body`` as a lambda variable.
+
+    Catalyst inlines sub-expressions through projections, and higher-order
+    functions are interpreted (no whole-stage codegen, no common
+    sub-expression elimination) — so an expensive array expression
+    referenced k times is computed k times. Wrapping it as the element of a
+    one-element array and binding it via ``transform``'s lambda variable
+    forces single evaluation:
+
+        let_(expensive, lambda x: f(x, x, x))   # expensive runs once
+    """
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokenization; empty string -> empty array (not [''])."""
+    trimmed = F.trim(col)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (the cheap n_tok proxy for raw text)."""
+    return F.size(words(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """Sub-word token estimate with a BPE-ish regex: words, numbers, and
+    individual punctuation marks each count as one token, and long words
+    cost ceil(len/6) tokens (roughly GPT-style bytes-per-token)."""
+    pieces = F.regexp_extract_all(col, F.lit(r"([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9])"), 1)
+    return F.aggregate(
+        pieces,
+        F.lit(0),
+        lambda acc, p: acc + F.ceil(F.length(p) / F.lit(6.0)).cast("int"),
+    )
+
+
+def stopword_ratio(col: Column, lang: str) -> Column:
+    """Fraction of whitespace tokens that are in STOPWORDS[lang]."""
+    ws = words(F.lower(col))
+    hits = F.size(F.filter(ws, lambda w: w.isin(STOPWORDS[lang])))
+    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+        hits.cast("double") / F.size(ws)
+    )
+
+
+def lang_id(col: Column) -> Column:
+    """N-gram-free heuristic language ID: argmax of per-language stopword
+    ratios; 'und' when no language scores > 0. Ties break toward the
+    lexicographically largest language code (struct max semantics — mirrored
+    exactly in the oracle SQL)."""
+    candidates = F.array(
+        *[
+            F.struct(
+                stopword_ratio(col, lang).alias("ratio"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(candidates)
+    return F.when(best.getField("ratio") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic, equal-weighted:
+
+    - length score:    min(n_words / 100, 1)        (too-short docs score low)
+    - diversity:       distinct_words / n_words      (boilerplate repeats)
+    - stopword score:  min(any-language ratio / 0.4, 1)  (natural prose has
+                       function words; token soup doesn't)
+    - word-len score:  1 - min(|avg_word_len - 5| / 5, 1) (gibberish and
+                       minified blobs have extreme average word lengths)
+    """
+    all_stop = [w for lst in STOPWORDS.values() for w in lst]
+
+    def _score(ws: Column) -> Column:
+        n = F.size(ws)
+        hits = F.size(F.filter(ws, lambda w: w.isin(all_stop)))
+        total_chars = F.aggregate(ws, F.lit(0), lambda acc, w: acc + F.length(w))
+        len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+        diversity = F.size(F.array_distinct(ws)).cast("double") / n
+        stop_score = F.least(hits / (n * F.lit(0.4)), F.lit(1.0))
+        avg_len = total_chars / n.cast("double")
+        wl_score = F.lit(1.0) - F.least(F.abs(avg_len - 5.0) / F.lit(5.0), F.lit(1.0))
+        score = (len_score + diversity + stop_score + wl_score) / 4.0
+        return F.when(n == 0, F.lit(0.0)).otherwise(score)
+
+    return let_(words(F.lower(col)), _score)
+
+
+def normalized(col: Column) -> Column:
+    """Canonical text form for content hashing: lowercase, collapsed
+    whitespace, trimmed."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Whole-document content fingerprint: md5 of the normalized text
+    (md5 chosen over xxhash64 for cross-engine oracle parity)."""
+    return F.md5(normalized(col))
+
+
+def rolling_hashes(col: Column, k: int = 5) -> Column:
+    """Rolling character k-gram hash sequence of the normalized text —
+    input to winnowing. xxhash64 per k-gram, computed positionally."""
+    def _hashes(norm: Column) -> Column:
+        n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+        )
+
+    # let-bound: the regex normalization runs once, not once per k-gram
+    return F.element_at(
+        F.transform(F.array(normalized(col)), _hashes), 1
+    )
+
+
+def winnow(col: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): the
+    distinct set of per-window minima over the rolling k-gram hash sequence.
+    Robust to local edits; the standard near-copy sketch for text corpora."""
+    def _winnow(hashes: Column) -> Column:
+        n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+        mins = F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        )
+        return F.array_sort(F.array_distinct(mins))
+
+    return let_(rolling_hashes(col, k), _winnow)

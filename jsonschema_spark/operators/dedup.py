@@ -1,0 +1,299 @@
+"""Corpus deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — the table-scope generalization of the reference's ``uniqueItems``
+(/root/reference/validate.go:320-370; its O(n²) pairwise structural-equality
+loop becomes hash-group / signature-bucket joins at corpus scale).
+
+Scale shapes (design target 10^12 docs):
+
+- **Exact**: one groupBy on a 128-bit content hash — uniform key
+  distribution by construction (md5), duplicate groups are tiny, so no
+  salting needed; shuffle volume = one (hash, id) pair per row.
+- **MinHash**: signatures are computed *per row* with native higher-order
+  functions (transform/array_min over shingle hashes) — zero shuffle, no
+  Python. Only the LSH band index shuffles: B rows per doc, grouped by
+  (band, band_hash); candidate pairs then verify with exact Jaccard, so
+  false positives are eliminated and the only approximation is recall.
+- **SimHash**: word hashes computed JVM-side; the 64-bit bit-fold runs in an
+  Arrow-batched pandas UDF (numpy matrix ops per batch — the documented
+  vectorized-kernel path, never per-row Python). Near-dup candidates come
+  from 4x16-bit band buckets (any pair within Hamming distance 3 shares at
+  least one exact band by pigeonhole), verified with native bit_count(xor).
+- **Brute-force pairwise** (`near_dup_pairs_exact`) exists as the oracle
+  baseline; it is O(n²) by design and documented as small-scale-only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from jsonschema_spark.functions.text import let_, normalized, words
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+
+def content_hash(col: Column) -> Column:
+    return F.md5(normalized(col))
+
+
+def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(fingerprint, n_docs, keep_id): one row per duplicated content hash;
+    keep_id = min id (the canonical survivor under keep-first policy)."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"), content_hash(F.col(text_col)).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep-first exact dedup: one survivor (min id) per content hash.
+    Implemented as groupBy(hash) -> min(id) -> shuffle join back on
+    (hash, id); both sides hash-partition on the uniform md5 key, AQE
+    coalesces the near-empty reduce side."""
+    keep = (
+        df.select(
+            F.col(id_col).alias(id_col), content_hash(F.col(text_col)).alias("_fp")
+        )
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.withColumn("_fp", content_hash(F.col(text_col))).join(
+        keep, on=["_fp", id_col], how="left_semi"
+    ).drop("_fp")
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard
+# --------------------------------------------------------------------------
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram set (sorted for determinism). The tokenization
+    is let-bound so the split runs once per row, not once per shingle."""
+
+    def _grams(ws: Column) -> Column:
+        n_sh = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
+        grams = F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        )
+        return F.array_sort(F.array_distinct(grams))
+
+    return let_(words(F.lower(col)), _grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|a ∩ b| / |a ∪ b| on distinct-element arrays; 0.0 when both empty."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union)
+
+
+def near_dup_pairs_exact(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Brute-force pairwise n-gram Jaccard (id_a < id_b, jaccard >= t).
+    O(n²) oracle baseline — use minhash_near_dup at scale."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+
+def minhash_signature(col: Column, n: int = 3, num_hashes: int = 128) -> Column:
+    """MinHash signature (array<bigint>, length num_hashes) of the word
+    n-gram set: sig[i] = min over shingles of xxhash64(shingle, i). Computed
+    entirely per-row (no shuffle, no Python); empty shingle sets get the
+    sentinel signature [i] so empties only match empties.
+
+    The shingle set is let-bound (computed once, hashed num_hashes times) —
+    without the binding Catalyst would inline the whole shingle pipeline
+    into every one of the num_hashes min-hash expressions."""
+    return let_(
+        word_shingles(col, n),
+        lambda sh: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.coalesce(
+                F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
+                i.cast("bigint"),
+            ),
+        ),
+    )
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<struct<band int, h bigint>>: one bucket key per band, where h
+    hashes the band's signature slice. ``sig`` is let-bound — each band
+    slices the SAME materialized signature instead of re-deriving it."""
+    return let_(
+        sig,
+        lambda s: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice(s, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ))
+                ).alias("h"),
+            ),
+        ),
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
+    Shuffle volume: bands rows per doc, grouped by (band, h); a bucket of
+    size m yields m(m-1)/2 pairs — collisions are rare for honest hash
+    functions, and the join is self-equi-join on the bucket key (AQE skew
+    split handles pathological buckets)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), n, num_hashes)
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bb"))
+        .select("id", F.col("bb.band").alias("band"), F.col("bb.h").alias("h"))
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pairs: LSH candidates verified with exact n-gram
+    Jaccard (no false positives; recall governed by (bands, rows) — with
+    128 hashes / 32 bands of 4, P[candidate] ≈ 1-(1-j⁴)³² > 0.99 at j=0.5)."""
+    cands = minhash_candidates(df, id_col, text_col, n, num_hashes, bands)
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    return (
+        cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .select(
+            "id_a", "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+
+@pandas_udf(T.LongType())
+def _simhash_fold(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-word 64-bit hashes. Arrow-batched: the outer
+    loop is per document, the inner bit-fold is a vectorized numpy matmul
+    over (n_words x 64). No JVM round-trips inside the batch."""
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    out = np.zeros(len(hashes), dtype=np.int64)
+    for i, hs in enumerate(hashes):
+        if hs is None or len(hs) == 0:
+            out[i] = 0
+            continue
+        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+        bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        sim = np.uint64(0)
+        sim_bits = (votes >= 0).astype(np.uint64)
+        sim = (sim_bits << shifts).sum(dtype=np.uint64)
+        out[i] = sim.astype(np.int64)
+    return pd.Series(out)
+
+
+def simhash(col: Column) -> Column:
+    """SimHash of the word multiset: JVM computes per-word xxhash64, the
+    Arrow kernel folds bits."""
+    word_hashes = F.transform(words(F.lower(col)), lambda w: F.xxhash64(w))
+    return _simhash_fold(word_hashes)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup(
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+) -> DataFrame:
+    """(id_a, id_b, distance) pairs with Hamming distance <= max_distance.
+    Pigeonhole blocking: distance <= 3 implies at least one of the four
+    16-bit chunks is byte-identical, so candidates = pairs sharing any
+    (chunk_idx, chunk_value) bucket; verification is native bit_count."""
+    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim"))
+    chunks = sh.select(
+        "id", "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("sim"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("v"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.v").alias("v"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+        .distinct()
+    )

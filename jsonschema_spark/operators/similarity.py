@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>): brute-force
+cosine top-k as the exact baseline, a random-hyperplane LSH bucketed
+variant as the scale path, and embedding near-duplicate pairs.
+
+Scale shapes:
+
+- **Brute force** is one scan + TakeOrderedAndProject (per-partition top-k,
+  driver merges k per partition — no full sort, no shuffle of the data).
+  Exact, and the right choice whenever the query batch is small.
+- **Vectorized kernel** (`cosine_scores_kernel`) moves the dot product into
+  an Arrow-batched pandas UDF: one numpy (batch x dim) @ (dim,) matmul per
+  batch. Same plan shape, ~10x the arithmetic throughput of the interpreted
+  higher-order function on wide vectors; this is the documented
+  "Python only as vectorized kernels" path.
+- **LSH ANN**: H seeded hyperplanes -> H sign bits -> bucket int. Buckets
+  partition the corpus; a query probes its own bucket plus all buckets at
+  Hamming distance 1 (multi-probe), then exact-reranks. Bucketing is a
+  native expression (no shuffle to build), and the probe is a bucket-set
+  filter that prunes ~(1 - (H+1)/2^H) of the corpus before the exact
+  rerank. Approximate: recall is tested, not assumed.
+
+Hyperplanes are generated on the driver from a fixed seed (numpy
+RandomState) and folded into the expressions as literals — deterministic
+across cluster sizes, nothing shipped to executors but the plan.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def dot(vec: Column, q: Sequence[float]) -> Column:
+    """Native dot product against a literal query vector via zip_with +
+    aggregate (JVM-side, per-row, zero shuffle)."""
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    return F.aggregate(
+        F.zip_with(vec, qcol, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(vec: Column, q: Sequence[float]) -> Column:
+    qn = float(np.linalg.norm(np.asarray(q, dtype="float64")))
+    denom = norm(vec) * F.lit(qn)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(vec, q) / denom)
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, query: Sequence[float], k: int,
+    id_col: str = "vec_id", decimals: int = 6,
+) -> DataFrame:
+    """Exact brute-force top-k by cosine similarity. orderBy+limit compiles
+    to TakeOrderedAndProject: per-partition heaps, merge-k on the driver."""
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), query), decimals).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def make_cosine_kernel(query: Sequence[float]):
+    """Arrow-batched cosine kernel: numpy matmul per batch."""
+    q = np.asarray(query, dtype="float32")
+    qn = np.linalg.norm(q)
+
+    @pandas_udf(T.DoubleType())
+    def _cos(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.values).astype("float32")
+        norms = np.linalg.norm(mat, axis=1) * qn
+        norms[norms == 0] = 1.0
+        return pd.Series((mat @ q) / norms)
+
+    return _cos
+
+
+def cosine_topk_kernel(
+    df: DataFrame, vec_col: str, query: Sequence[float], k: int,
+    id_col: str = "vec_id", decimals: int = 6,
+) -> DataFrame:
+    """Same result as cosine_topk via the vectorized Arrow kernel (requires
+    fixed-length vectors within each batch)."""
+    kernel = make_cosine_kernel(query)
+    return (
+        df.select(F.col(id_col), F.round(kernel(F.col(vec_col)), decimals).alias("score"))
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH ANN
+# --------------------------------------------------------------------------
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 13) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
+def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id: bit i = 1 iff vec . plane_i >= 0."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        bit = F.when(dot(vec, plane.tolist()) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + bit
+    return bucket.cast("int")
+
+
+def _probe_buckets(query: Sequence[float], planes: np.ndarray) -> list[int]:
+    """Query's bucket plus all Hamming-distance-1 neighbors (multi-probe)."""
+    signs = (np.asarray(planes) @ np.asarray(query, dtype="float64") >= 0).astype(int)
+    base = int(sum(b << i for i, b in enumerate(signs)))
+    return [base] + [base ^ (1 << i) for i in range(len(planes))]
+
+
+def ann_topk(
+    df: DataFrame, vec_col: str, query: Sequence[float], k: int,
+    id_col: str = "vec_id", n_planes: int = 8, seed: int = 13, decimals: int = 6,
+) -> DataFrame:
+    """Approximate top-k: restrict to the multi-probe bucket set, then exact
+    rerank. The bucket predicate is a native isin filter evaluated in the
+    scan stage — at 10^12 rows it prunes ~1 - 9/256 ≈ 96% of the corpus
+    before any arithmetic (and the bucket column can be precomputed and
+    partition-pruned for repeated query workloads)."""
+    dim = len(list(query))
+    planes = hyperplanes(dim, n_planes, seed)
+    probes = _probe_buckets(query, planes)
+    return (
+        df.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+        .filter(F.col("_bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), query), decimals).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str, threshold: float = 0.99,
+    id_col: str = "vec_id", n_planes: int = 12, seed: int = 13, decimals: int = 6,
+) -> DataFrame:
+    """Near-duplicate embedding pairs via LSH blocking: pairs sharing a
+    sign-bucket, verified with exact cosine >= threshold. At threshold≈1 the
+    pair's vectors agree on every hyperplane sign with high probability, so
+    same-bucket blocking keeps recall high while cutting the O(n²) pair
+    space by ~2^planes."""
+    planes = hyperplanes(_dim_of(df, vec_col), n_planes, seed)
+    with_b = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("b"),
+    )
+    a, b = with_b.alias("a"), with_b.alias("b")
+    pair_cos = _pair_cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.round(pair_cos, decimals).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def _pair_cosine(va: Column, vb: Column) -> Column:
+    d = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    denom = norm(va) * norm(vb)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(d / denom)
+
+
+def _dim_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).first()
+    return int(row.d)

@@ -1,0 +1,296 @@
+"""Training-data pipeline operators: dedup (exact / Jaccard / MinHash /
+SimHash), similarity search (brute force / kernel / LSH ANN), text
+analysis, multimodal plumbing. Oracles are exact where the op is exact;
+approximate ops assert recall/containment against the exact baseline."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, docs):
+    """documents plus exact copies of 3 docs and near-copies (one word
+    appended) of 2 docs, with fresh ids."""
+    base = docs.select("doc_id", "text")
+    exact = (
+        base.filter(F.col("doc_id") < 3)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    near = (
+        base.filter((F.col("doc_id") >= 3) & (F.col("doc_id") < 5))
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" extra")).alias("text"),
+        )
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+# --------------------------------------------------------------------------
+# dedup
+# --------------------------------------------------------------------------
+
+
+def test_exact_dedup(docs_with_dups):
+    from jsonschema_spark.operators.dedup import dedup_exact, exact_duplicate_groups
+
+    n = docs_with_dups.count()
+    groups = exact_duplicate_groups(docs_with_dups, "doc_id", "text").collect()
+    assert len(groups) == 3
+    assert all(g.n_docs == 2 and g.keep_id < 100000 for g in groups)
+    kept = dedup_exact(docs_with_dups, "doc_id", "text")
+    assert kept.count() == n - 3
+    # survivors are the originals
+    assert kept.filter(F.col("doc_id").between(100000, 199999)).count() == 0
+
+
+def test_jaccard_exact_pairs(docs_with_dups):
+    from jsonschema_spark.operators.dedup import near_dup_pairs_exact
+
+    pairs = near_dup_pairs_exact(
+        docs_with_dups, "doc_id", "text", n=3, threshold=0.8
+    ).collect()
+    scores = {(r.id_a, r.id_b): r.jaccard for r in pairs}
+    # the 3 injected exact copies must score exactly 1.0
+    for d in range(3):
+        assert scores.get((d, d + 100000)) == 1.0
+    # the 2 injected near-copies (one word appended) must clear the bar
+    for d in (3, 4):
+        assert scores.get((d, d + 200000), 0.0) >= 0.8
+    # the corpus itself contains organic near-dups — all above threshold
+    assert all(j >= 0.8 for j in scores.values())
+
+
+def test_minhash_matches_exact(docs_with_dups):
+    from jsonschema_spark.operators.dedup import minhash_near_dup, near_dup_pairs_exact
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in near_dup_pairs_exact(
+            docs_with_dups, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_dup(
+            docs_with_dups, "doc_id", "text", n=3, threshold=0.8
+        ).collect()
+    }
+    # verified candidates => no false positives; recall at j>=0.8 with
+    # 32 bands of 4 is ~1-(1-0.8^4)^32 ≈ 1-6e-8
+    assert approx <= exact
+    recall = len(approx & exact) / max(len(exact), 1)
+    assert recall >= 0.95
+
+
+def test_simhash_near_dup(docs_with_dups):
+    from jsonschema_spark.operators.dedup import simhash_near_dup
+
+    pairs = simhash_near_dup(docs_with_dups, "doc_id", "text", max_distance=3)
+    ids = {(r.id_a, r.id_b): r.distance for r in pairs.collect()}
+    for d in range(3):  # identical docs -> identical simhash
+        assert ids.get((d, d + 100000)) == 0
+
+
+def test_simhash_deterministic(spark, docs):
+    from jsonschema_spark.operators.dedup import simhash
+
+    sub = docs.limit(20).select("doc_id", simhash(F.col("text")).alias("s"))
+    a = {r.doc_id: r.s for r in sub.collect()}
+    b = {r.doc_id: r.s for r in sub.repartition(7).collect()}
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# similarity
+# --------------------------------------------------------------------------
+
+
+def _query_vec(embeddings):
+    return embeddings.filter(F.col("vec_id") == 0).first().embedding
+
+
+def test_cosine_topk_exact_vs_kernel(embeddings):
+    from jsonschema_spark.operators.similarity import cosine_topk, cosine_topk_kernel
+
+    q = _query_vec(embeddings)
+    exact = cosine_topk(embeddings, "embedding", q, 10).collect()
+    kernel = cosine_topk_kernel(embeddings, "embedding", q, 10).collect()
+    assert [r.vec_id for r in exact] == [r.vec_id for r in kernel]
+    assert exact[0].vec_id == 0 and exact[0].score == 1.0
+    for a, b in zip(exact, kernel):
+        assert abs(a.score - b.score) < 1e-4
+
+
+def test_ann_recall_clustered(spark, embeddings):
+    """LSH ANN is evaluated where ANN is meaningful: a clustered corpus
+    (query's true neighbors at cosine ~0.98). On uniform-random vectors the
+    true top-k is barely above orthogonal and sign-LSH rightly degrades."""
+    import numpy as np
+    from jsonschema_spark.operators.similarity import ann_topk, cosine_topk
+
+    q = np.array(_query_vec(embeddings), dtype="float64")
+    rng = np.random.RandomState(7)
+    near = [
+        (10_000 + i, (q + 0.05 * rng.standard_normal(len(q))).tolist(), 99)
+        for i in range(20)
+    ]
+    df = embeddings.unionByName(
+        spark.createDataFrame(near, "vec_id long, embedding array<float>, label int")
+    )
+    exact = [r.vec_id for r in cosine_topk(df, "embedding", q.tolist(), 10).collect()]
+    approx = [r.vec_id for r in ann_topk(df, "embedding", q.tolist(), 10).collect()]
+    assert approx[0] == 0  # the query vector itself is always found
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8
+    assert all(v == 0 or v >= 10_000 for v in exact)  # sanity: cluster is the top-k
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    from jsonschema_spark.operators.similarity import embedding_near_dup_pairs
+
+    # add an exact copy of vec 0 under a new id: must always be found
+    clone = embeddings.filter(F.col("vec_id") == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    df = embeddings.unionByName(clone)
+    pairs = embedding_near_dup_pairs(df, "embedding", threshold=0.999)
+    found = {(r.id_a, r.id_b): r.score for r in pairs.collect()}
+    assert (0, 10_000) in found
+    assert found[(0, 10_000)] >= 0.999999
+
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+
+def test_lang_id_and_quality(spark):
+    from jsonschema_spark.functions.text import lang_id, quality_score, token_count
+
+    rows = [
+        (1, "the cat and the dog ran to the house in the rain"),
+        (2, "der hund und die katze ist nicht auf der straße"),
+        (3, "le chat et la maison est pour les enfants dans le jardin"),
+        (4, "xyzzy qwfp zxcv plomb"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.lang, r.q, r.nt)
+        for r in df.select(
+            "id",
+            lang_id(F.col("text")).alias("lang"),
+            F.round(quality_score(F.col("text")), 6).alias("q"),
+            token_count(F.col("text")).alias("nt"),
+        ).collect()
+    }
+    assert got[1][0] == "en" and got[2][0] == "de" and got[3][0] == "fr"
+    assert got[4][0] == "und"
+    assert got[5] == ("und", 0.0, 0)
+    assert got[1][1] > got[4][1]  # english prose beats gibberish
+    assert got[1][2] == 12
+
+
+def test_fingerprint_and_winnow(spark):
+    from jsonschema_spark.functions.text import fingerprint, winnow
+
+    rows = [
+        (1, "The quick   brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # same normalized
+        (3, "the quick brown fox jumps over the lazy cat"),  # local edit
+        (4, "completely different content with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string").select(
+        "id",
+        fingerprint(F.col("text")).alias("fp"),
+        winnow(F.col("text")).alias("wn"),
+    )
+    got = {r.id: r for r in df.collect()}
+    assert got[1].fp == got[2].fp != got[3].fp
+    assert got[1].wn == got[2].wn
+    w1, w3, w4 = set(got[1].wn), set(got[3].wn), set(got[4].wn)
+    overlap_13 = len(w1 & w3) / len(w1 | w3)
+    overlap_14 = len(w1 & w4) / len(w1 | w4)
+    assert overlap_13 > 0.5 > overlap_14  # winnow survives local edit
+
+
+def test_bpe_ish_token_count(spark):
+    from jsonschema_spark.functions.text import bpe_ish_token_count
+
+    df = spark.createDataFrame(
+        [(1, "hello, world!"), (2, "internationalization"), (3, "a b c")],
+        "id long, text string",
+    )
+    got = {r.id: r.n for r in df.select("id", bpe_ish_token_count(F.col("text")).alias("n")).collect()}
+    assert got[1] == 4       # hello , world !
+    assert got[2] == 4       # ceil(20/6)
+    assert got[3] == 3
+
+
+# --------------------------------------------------------------------------
+# multimodal
+# --------------------------------------------------------------------------
+
+
+def test_blob_attach_and_stats(docs):
+    from jsonschema_spark.operators.multimodal import attach_fake_blob, blob_stats
+
+    df = attach_fake_blob(docs, "text")
+    row = df.select("blob_meta.n_bytes", F.octet_length("blob").alias("raw")).first()
+    assert row.n_bytes == row.raw
+    stats = blob_stats(df).first()
+    assert stats.n_blobs == docs.count()
+    assert stats.total_bytes > 0 and stats.max_bytes >= stats.avg_bytes
+
+
+def test_decode_images_fake_codec(docs):
+    from jsonschema_spark.operators.multimodal import (
+        attach_fake_blob, decode_images, fake_image_codec,
+    )
+
+    df = attach_fake_blob(docs.limit(50), "text")
+    feats = decode_images(df, codec=fake_image_codec)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(1 <= r.height <= 64 and 1 <= r.width <= 64 for r in rows)
+    assert all(1 <= r.channels <= 4 and 0.0 <= r.mean_pixel <= 1.0 for r in rows)
+    # deterministic: same payload -> same features
+    again = {r.doc_id: (r.height, r.width) for r in decode_images(df, codec=fake_image_codec).collect()}
+    assert all(again[r.doc_id] == (r.height, r.width) for r in rows)
+
+
+def test_decode_images_stub_raises(docs):
+    from jsonschema_spark.operators.multimodal import attach_fake_blob, decode_images
+
+    df = attach_fake_blob(docs.limit(2), "text")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_images(df).collect()
+
+
+def test_frame_sample(docs):
+    from jsonschema_spark.operators.multimodal import attach_fake_blob, frame_sample
+
+    df = attach_fake_blob(docs.limit(10), "text")
+    frames = frame_sample(df, frame_bytes=16, every_n=4)
+    rows = frames.collect()
+    assert all(r.frame_idx % 4 == 0 for r in rows)
+    sizes = df.select("doc_id", F.octet_length("blob").alias("nb")).collect()
+    import math
+    for s in sizes:
+        expected = len(range(0, max(s.nb // 16, 0), 4)) if s.nb >= 16 else 0
+        got = len([r for r in rows if r.doc_id == s.doc_id])
+        assert got == expected
