@@ -387,6 +387,162 @@ def q_corpus_validate(spark, sf_dir):
     )
 
 
+# --------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text / multimodal)
+# --------------------------------------------------------------------------
+
+
+def q_exact_dedup_groups(spark, sf_dir):
+    """Exact dedup via content-hash groupBy (uniform md5 keys, no salt needed)."""
+    from jsonschema_spark.operators.dedup import exact_duplicate_groups
+
+    df = _t(spark, sf_dir, "documents")
+    return exact_duplicate_groups(df, "doc_id", "text")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Brute-force 3-gram Jaccard near-dup pairs (exact oracle baseline)."""
+    from jsonschema_spark.operators.dedup import near_dup_pairs_exact
+
+    df = _t(spark, sf_dir, "documents")
+    return near_dup_pairs_exact(df, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified. Approximate in
+    recall only (rows-only check; containment in the exact pairs is asserted
+    in tests/test_training_ops.py)."""
+    from jsonschema_spark.operators.dedup import minhash_near_dup
+
+    df = _t(spark, sf_dir, "documents")
+    return minhash_near_dup(df, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming <= 3) via 16-bit-band pigeonhole
+    blocking; signature folded in an Arrow kernel (rows-only check)."""
+    from jsonschema_spark.operators.dedup import simhash_near_dup
+
+    df = _t(spark, sf_dir, "documents")
+    return simhash_near_dup(df, "doc_id", "text", max_distance=3)
+
+
+def q_lang_id_counts(spark, sf_dir):
+    """Stopword-ratio language ID, aggregated to per-language doc counts."""
+    from jsonschema_spark.functions.text import lang_id
+
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select(lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite text-quality heuristic per document."""
+    from jsonschema_spark.functions.text import quality_score
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish token counts per document."""
+    from jsonschema_spark.functions.text import bpe_ish_token_count, token_count
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_ws_tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Normalized content fingerprint (md5) per document."""
+    from jsonschema_spark.functions.text import fingerprint
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _vec0(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0).first().embedding
+    )
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-10 (native zip_with/aggregate dot product,
+    TakeOrderedAndProject physical plan)."""
+    from jsonschema_spark.operators.similarity import cosine_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(df, "embedding", _vec0(spark, sf_dir), 10)
+
+
+def q_embedding_topk_kernel(spark, sf_dir):
+    """Same top-10 via the Arrow-batched numpy kernel (the wide-vector
+    scale path) — must agree with the native expression AND the oracle."""
+    from jsonschema_spark.operators.similarity import cosine_topk_kernel
+
+    df = _t(spark, sf_dir, "embeddings")
+    return cosine_topk_kernel(df, "embedding", _vec0(spark, sf_dir), 10)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Exact pairwise embedding cosine pairs >= 0.3 (oracle baseline for
+    the LSH-blocked variant, which is rows-only)."""
+    from jsonschema_spark.operators.similarity import _pair_cosine
+
+    df = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = df.alias("a"), df.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(
+                _pair_cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= 0.3)
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    """Hyperplane-LSH ANN top-10 with multi-probe + exact rerank
+    (approximate: rows-only check; recall asserted in tests)."""
+    from jsonschema_spark.operators.similarity import ann_topk
+
+    df = _t(spark, sf_dir, "embeddings")
+    return ann_topk(df, "embedding", _vec0(spark, sf_dir), 10)
+
+
+def q_blob_stats(spark, sf_dir):
+    """Multimodal blob profile over deterministic fake payloads."""
+    from jsonschema_spark.operators.multimodal import attach_fake_blob, blob_stats
+
+    df = attach_fake_blob(_t(spark, sf_dir, "documents"), "text")
+    return blob_stats(df)
+
+
+def q_frame_sample_counts(spark, sf_dir):
+    """Frame sampling (every 4th 16-byte frame) — per-doc kept-frame counts,
+    checked against the closed form ceil(floor(bytes/16)/4)."""
+    from jsonschema_spark.operators.multimodal import attach_fake_blob, frame_sample
+
+    df = attach_fake_blob(_t(spark, sf_dir, "documents"), "text")
+    return (
+        frame_sample(df, frame_bytes=16, every_n=4)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_frames"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "type_integer": q_type_integer,
@@ -417,7 +573,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
         "corpus_validate": q_corpus_validate,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "lang_id_counts": q_lang_id_counts,
+        "quality_score": q_quality_score,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_doc_fingerprint,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_kernel": q_embedding_topk_kernel,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "blob_stats": q_blob_stats,
+        "frame_sample_counts": q_frame_sample_counts,
     }
+
+
+_WS = "string_split_regex(trim(lower(text)), '\\s+')"
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _stoplist(lang: str) -> str:
+    from jsonschema_spark.functions.text import STOPWORDS
+
+    items = STOPWORDS[lang] if lang != "*" else [
+        w for lst in STOPWORDS.values() for w in lst
+    ]
+    return "[" + ", ".join(f"'{w}'" for w in items) + "]"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -567,4 +750,95 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY c_mktsegment"
         ),
         # corpus_validate: hash-based generator not expressible in SQL → rows-only
+        "exact_dedup_groups": (
+            f"SELECT md5({_NORM}) AS fingerprint, count(*) AS n_docs,"
+            " min(doc_id) AS keep_id FROM documents"
+            " GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "ngram_jaccard_pairs": (
+            "WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents))"
+            " SELECT id_a, id_b, jaccard FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            " WHERE jaccard >= 0.8"
+        ),
+        # minhash_near_dup / simhash_near_dup / ann_topk: hash-seeded
+        # approximate ops → rows-only (containment/recall asserted in tests)
+        "lang_id_counts": (
+            "WITH r AS (SELECT"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('de')}, w))) / CAST(len(ws) AS DOUBLE) AS r_de,"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('en')}, w))) / CAST(len(ws) AS DOUBLE) AS r_en,"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('es')}, w))) / CAST(len(ws) AS DOUBLE) AS r_es,"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('fr')}, w))) / CAST(len(ws) AS DOUBLE) AS r_fr"
+            f" FROM (SELECT {_WS} AS ws FROM documents))"
+            " SELECT CASE WHEN greatest(r_de, r_en, r_es, r_fr) <= 0 THEN 'und'"
+            "  WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'"
+            "  WHEN r_es >= r_en AND r_es >= r_de THEN 'es'"
+            "  WHEN r_en >= r_de THEN 'en' ELSE 'de' END AS lang_pred,"
+            " count(*) AS n_docs FROM r GROUP BY 1"
+        ),
+        "quality_score": (
+            "SELECT doc_id, round(CASE WHEN n = 0 THEN 0.0 ELSE"
+            "  (least(n / 100.0, 1.0)"
+            "   + nd / CAST(n AS DOUBLE)"
+            "   + least(hits / (n * 0.4), 1.0)"
+            "   + (1.0 - least(abs(tc / CAST(n AS DOUBLE) - 5.0) / 5.0, 1.0))"
+            "  ) / 4.0 END, 6) AS quality"
+            " FROM (SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd,"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('*')}, w))) AS hits,"
+            "  list_sum(list_transform(ws, w -> length(w))) AS tc"
+            f" FROM (SELECT doc_id, {_WS} AS ws FROM documents))"
+        ),
+        "token_stats": (
+            "SELECT doc_id,"
+            " len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,"
+            " CAST(list_sum(list_transform("
+            "  regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9])'),"
+            "  p -> ceil(length(p) / 6.0))) AS BIGINT) AS n_bpe_tokens"
+            " FROM documents"
+        ),
+        "doc_fingerprint": (
+            f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"
+        ),
+        "embedding_topk": (
+            "SELECT vec_id, round(list_cosine_similarity("
+            "  CAST(embedding AS DOUBLE[]),"
+            "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            " ), 6) AS score"
+            " FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"
+        ),
+        "embedding_topk_kernel": (
+            "SELECT vec_id, round(list_cosine_similarity("
+            "  CAST(embedding AS DOUBLE[]),"
+            "  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+            " ), 6) AS score"
+            " FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"
+        ),
+        "embedding_near_dup": (
+            "SELECT id_a, id_b, score FROM ("
+            " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+            "  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+            "   CAST(b.embedding AS DOUBLE[])), 6) AS score"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)"
+            " WHERE score >= 0.3"
+        ),
+        "blob_stats": (
+            "SELECT count(*) AS n_blobs,"
+            " sum(strlen(text)) AS total_bytes,"
+            " round(avg(strlen(text)), 3) AS avg_bytes,"
+            " max(strlen(text)) AS max_bytes,"
+            " count(DISTINCT md5(text)) AS distinct_payloads"
+            " FROM documents"
+        ),
+        "frame_sample_counts": (
+            "SELECT doc_id, CAST(floor((floor(strlen(text) / 16) + 3) / 4)"
+            "  AS BIGINT) AS n_frames"
+            " FROM documents WHERE strlen(text) >= 16"
+        ),
     }

@@ -137,7 +137,7 @@ def main() -> None:
         "minhash_near_dup",
         "simhash_near_dup",
         "embedding_topk",
-        "lang_id",
+        "lang_id_counts",
         "quality_score",
     ]
     qs = entry.queries()

@@ -41,7 +41,7 @@ def dot(vec: Column, q: Sequence[float]) -> Column:
     aggregate (JVM-side, per-row, zero shuffle)."""
     qcol = F.array(*[F.lit(float(x)) for x in q])
     return F.aggregate(
-        F.zip_with(vec, qcol, lambda a, b: a * b),
+        F.zip_with(vec, qcol, lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -49,7 +49,7 @@ def dot(vec: Column, q: Sequence[float]) -> Column:
 
 def norm(vec: Column) -> Column:
     return F.sqrt(
-        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+        F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
     )
 
 
@@ -77,12 +77,14 @@ def cosine_topk(
 
 def make_cosine_kernel(query: Sequence[float]):
     """Arrow-batched cosine kernel: numpy matmul per batch."""
-    q = np.asarray(query, dtype="float32")
+    q = np.asarray(query, dtype="float64")
     qn = np.linalg.norm(q)
 
     @pandas_udf(T.DoubleType())
     def _cos(vecs: pd.Series) -> pd.Series:
-        mat = np.stack(vecs.values).astype("float32")
+        # float64 throughout: float32 inputs widen exactly, so the kernel
+        # agrees with the native double-accumulating expression to ~1 ulp
+        mat = np.stack(vecs.values).astype("float64")
         norms = np.linalg.norm(mat, axis=1) * qn
         norms[norms == 0] = 1.0
         return pd.Series((mat @ q) / norms)
@@ -180,7 +182,11 @@ def embedding_near_dup_pairs(
 
 
 def _pair_cosine(va: Column, vb: Column) -> Column:
-    d = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    d = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
     denom = norm(va) * norm(vb)
     return F.when(denom == 0, F.lit(0.0)).otherwise(d / denom)
 
