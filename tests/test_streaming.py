@@ -1,0 +1,149 @@
+"""Structured Streaming validation: file-source stream of corpus batches ->
+annotate -> windowed verdicts / violations / streaming dedup, drained with
+availableNow into memory or parquet sinks; results must match the batch
+engine on the same rows."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.sources.corpus import MAX_TOKENS, VOCAB_SIZE, corpus
+from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+
+N = 5_000
+
+SPEC = TableSpec.from_dict(
+    {
+        "columns": {
+            "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+            "n_tok": {"type": "integer", "minimum": 1, "maximum": MAX_TOKENS},
+        },
+        "required": ["doc_id", "tokens", "n_tok", "source"],
+        "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Corpus with an event-time column, written as two parquet 'micro
+    batches' into a watched directory."""
+    d = tmp_path_factory.mktemp("stream") / "in"
+    df = corpus(spark, N, seed=42).withColumn(
+        "event_time",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000)
+            + (F.xxhash64("doc_id") % 300 + 300) % 300  # 0..299s spread
+        ),
+    )
+    df.filter(F.crc32(F.col("doc_id")) % 2 == 0).write.parquet(str(d / "batch1"))
+    df.filter(F.crc32(F.col("doc_id")) % 2 == 1).write.parquet(str(d / "batch2"))
+    return str(d)
+
+
+def _read_stream(spark, stream_dir):
+    schema = (
+        "doc_id string, tokens array<int>, n_tok int, source string,"
+        " event_time timestamp"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+    )
+
+
+def test_windowed_verdicts_match_batch(spark, stream_dir, tmp_path):
+    from jsonschema_spark.streaming.validate import annotate_stream, windowed_verdicts
+
+    plan = compile_table_spec(SPEC, _read_stream(spark, stream_dir).schema)
+    stream = annotate_stream(_read_stream(spark, stream_dir), plan)
+    windows = windowed_verdicts(stream, "event_time", "1 minute", "2 minutes")
+    q = (
+        windows.writeStream.format("memory")
+        .queryName("verdict_windows")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT sum(n_rows) AS n, sum(n_valid) AS v,"
+        " sum(fail_row_len_consistent) AS f FROM verdict_windows"
+    ).first()
+    # batch truth on the same rows
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(stream_dir)
+    from jsonschema_spark.plans.job import ValidationJob
+
+    ann = ValidationJob(compile_table_spec(SPEC, batch.schema)).annotate(batch)
+    want = ann.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_valid").cast("long")).alias("v"),
+        F.sum((~F.col("chk_row_len_consistent")).cast("long")).alias("f"),
+    ).first()
+    assert (got.n, got.v, got.f) == (want.n, want.v, want.f)
+    assert got.n == N
+    # 300s spread starting 20s into a minute -> 6 tumbling 1-min windows
+    assert spark.sql("SELECT count(*) AS c FROM verdict_windows").first().c == 6
+
+
+def test_stream_violations_and_resume(spark, stream_dir, tmp_path):
+    from jsonschema_spark.streaming.validate import annotate_stream, stream_violations
+
+    plan = compile_table_spec(SPEC, _read_stream(spark, stream_dir).schema)
+    out = str(tmp_path / "viol_out")
+    ck = str(tmp_path / "ck2")
+
+    def run():
+        v = stream_violations(annotate_stream(_read_stream(spark, stream_dir), plan))
+        q = (
+            v.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    first = spark.read.parquet(out).count()
+    # resume with same checkpoint: no new input -> no duplicate output
+    run()
+    assert spark.read.parquet(out).count() == first
+    from jsonschema_spark.sources.corpus import NTOK_MOD, LEN_MOD
+
+    exp_bad_ntok = len([i for i in range(N) if i % NTOK_MOD == NTOK_MOD - 1])
+    got_ntok = (
+        spark.read.parquet(out).filter(F.col("check") == "col_n_tok").count()
+    )
+    assert got_ntok == exp_bad_ntok
+
+
+def test_streaming_dedup(spark, stream_dir, tmp_path):
+    from jsonschema_spark.streaming.validate import streaming_dedup
+
+    deduped = streaming_dedup(
+        _read_stream(spark, stream_dir), "doc_id", "event_time", "10 minutes"
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    total = spark.sql("SELECT count(*) c FROM dedup_stream").first().c
+    distinct_keys = spark.sql(
+        "SELECT count(DISTINCT doc_id) c FROM dedup_stream"
+    ).first().c
+    assert total == distinct_keys
+    from jsonschema_spark.sources.corpus import DUP_MOD
+
+    n_dup = len([i for i in range(N) if i % DUP_MOD == DUP_MOD - 1])
+    assert total == N - n_dup
