@@ -1,0 +1,160 @@
+"""Command-line entry point for cluster runs (``spark-submit --py-files``).
+
+Usage (the north rule's launch contract)::
+
+    # package the engine for executors
+    python -m jsonschema_spark package --out dist/jsonschema_spark.zip
+
+    # run a validation job
+    spark-submit --master local[32] --py-files dist/jsonschema_spark.zip \
+        -c spark.sql.shuffle.partitions=32 \
+        $(python -c 'import jsonschema_spark.cli as c; print(c.__file__)') \
+        validate --input /data/corpus --spec spec.json --results /data/results
+
+On a real cluster, replace ``--master`` with the cluster manager and the
+same job runs unchanged at N or 4N executors — the engine has no
+driver-side row loops, so parallelism is purely an executor-count knob.
+
+When invoked under spark-submit, the active SparkSession is the one
+spark-submit built (we call ``getOrCreate`` and respect its master);
+standalone invocation builds a local session from --cores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+
+def _build_session(args):
+    from jsonschema_spark.sources.session import get_spark
+
+    return get_spark(app_name="jsonschema_spark-cli", cores=args.cores)
+
+
+def cmd_package(args) -> int:
+    """Zip the package for --py-files shipping."""
+    import jsonschema_spark
+
+    pkg_dir = Path(jsonschema_spark.__file__).parent
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = shutil.make_archive(str(out.with_suffix("")), "zip",
+                              root_dir=pkg_dir.parent, base_dir=pkg_dir.name)
+    print(json.dumps({"py_files": tmp}))
+    return 0
+
+
+def cmd_validate(args) -> int:
+    """Full validation pass over a parquet/corpus input; writes the results
+    tree (lineage/violations/duplicates/orphans/profile/summary.json) and
+    prints one JSON summary line."""
+    spark = _build_session(args)
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.plans.job import ValidationJob
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+
+    if args.input == "synthetic":
+        from jsonschema_spark.sources.corpus import corpus
+
+        df = corpus(spark, args.rows, seed=args.seed)
+    else:
+        df = spark.read.parquet(args.input)
+
+    spec = TableSpec.from_json(Path(args.spec).read_text())
+    plan = compile_table_spec(spec, df.schema)
+    dims = {}
+    for pair in args.dim or []:
+        name, path = pair.split("=", 1)
+        dims[name] = spark.read.parquet(path)
+    if "dim_source" in {r["dim"] for r in plan.references.values()} and (
+        "dim_source" not in dims
+    ):
+        from jsonschema_spark.sources.corpus import dim_source
+
+        dims["dim_source"] = dim_source(spark)
+
+    job = ValidationJob(plan, dims=dims)
+    t0 = time.time()
+    summary = job.run(df, args.results, resume=args.resume)
+    summary["wall_sec_total"] = round(time.time() - t0, 3)
+    n_tokens = None
+    if "tokens" in df.columns:
+        n_tokens = df.agg(F.sum(F.size("tokens"))).collect()[0][0]
+        summary["n_tokens"] = int(n_tokens or 0)
+    print(json.dumps(summary, default=str))
+    return 0
+
+
+def cmd_throughput(args) -> int:
+    """One timed validation pass (no sinks) — the scaling-protocol probe.
+    Prints {rows, tokens, wall_sec, sequences_per_sec, tokens_per_sec}."""
+    spark = _build_session(args)
+    from jsonschema_spark.benchlib import corpus_validation_pass, materialize_corpus
+
+    path = args.input
+    if path == "synthetic":
+        path = materialize_corpus(spark, args.rows, args.cache_dir, seed=args.seed)
+    # warm-up then best-of-N
+    corpus_validation_pass(spark, path)
+    best = float("inf")
+    for _ in range(args.repeat):
+        t0 = time.time()
+        n_rows, n_valid, n_tokens, n_dups = corpus_validation_pass(spark, path)
+        best = min(best, time.time() - t0)
+    print(
+        json.dumps(
+            {
+                "rows": n_rows,
+                "tokens": int(n_tokens),
+                "invalid": int(n_rows - n_valid),
+                "duplicates": int(n_dups),
+                "wall_sec": round(best, 3),
+                "sequences_per_sec": round(n_rows / best, 1),
+                "tokens_per_sec": round(n_tokens / best, 1),
+                "parallelism": spark.sparkContext.defaultParallelism,
+            }
+        )
+    )
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="jsonschema_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pp = sub.add_parser("package")
+    pp.add_argument("--out", default="dist/jsonschema_spark.zip")
+    pp.set_defaults(fn=cmd_package)
+
+    pv = sub.add_parser("validate")
+    pv.add_argument("--input", required=True, help="parquet dir or 'synthetic'")
+    pv.add_argument("--spec", required=True, help="TableSpec JSON file")
+    pv.add_argument("--results", required=True)
+    pv.add_argument("--resume", action="store_true")
+    pv.add_argument("--rows", type=int, default=100_000)
+    pv.add_argument("--seed", type=int, default=42)
+    pv.add_argument("--cores", type=int, default=None)
+    pv.add_argument("--dim", action="append", help="name=parquet_path")
+    pv.set_defaults(fn=cmd_validate)
+
+    pt = sub.add_parser("throughput")
+    pt.add_argument("--input", default="synthetic")
+    pt.add_argument("--rows", type=int, default=1_000_000)
+    pt.add_argument("--seed", type=int, default=42)
+    pt.add_argument("--repeat", type=int, default=2)
+    pt.add_argument("--cores", type=int, default=None)
+    pt.add_argument("--cache-dir", default="/tmp/jsonschema_spark_bench")
+    pt.set_defaults(fn=cmd_throughput)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

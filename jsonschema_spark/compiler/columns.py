@@ -263,9 +263,13 @@ def _lower_array(
         preds.append(F.size(F.array_distinct(col)) == F.size(col))
     if isinstance(schema.items, CompiledSchema):
         items = schema.items
-        preds.append(
-            F.forall(col, lambda e: _lower(items, e, elem_type, seen))
-        )
+        fast = _bounds_only_items(items, col, elem_type)
+        if fast is not None:
+            preds.extend(fast)
+        else:
+            preds.append(
+                F.forall(col, lambda e: _lower(items, e, elem_type, seen))
+            )
     elif isinstance(schema.items, list):
         for i, child in enumerate(schema.items):
             elem_ok = _lower(child, F.element_at(col, i + 1), elem_type, seen)
@@ -277,6 +281,47 @@ def _lower_array(
             extra = schema.additional_items
             tail = F.slice(col, n + 1, F.greatest(F.size(col) - n, F.lit(0)))
             preds.append(F.forall(tail, lambda e: _lower(extra, e, elem_type, seen)))
+    return preds
+
+
+def _bounds_only_items(
+    items: CompiledSchema, col: Column, elem_type: T.DataType
+) -> Optional[list]:
+    """Plan-builder optimization (the engine's analog of a Catalyst rule):
+    ``items: {type: integer, minimum: lo, maximum: hi}`` over an integral
+    element type needs no per-element lambda — ``array_min/array_max``
+    bounds are equivalent and stay out of interpreted higher-order-function
+    evaluation (the hottest expression of the corpus validation pass; see
+    BASELINE.md). Null elements fail the numeric type check in the general
+    path, so the fast path adds an explicit no-nulls guard for parity."""
+    target = _deref(items)
+    if target is None or not isinstance(elem_type, _INTEGRAL):
+        return None
+    simple_type = not target.types or set(target.types) <= {"integer", "number"}
+    others_unset = (
+        target.enum is None
+        and not target.all_of and not target.any_of and not target.one_of
+        and target.not_ is None and target.multiple_of is None
+        and target.ref is None
+    )
+    if not (simple_type and others_unset):
+        return None
+    preds = []
+    if target.types:
+        # a NULL element fails the type check in the general path
+        preds.append(F.size(F.array_compact(col)) == F.size(col))
+    # bounds are vacuous over empty / all-null arrays (array_min -> NULL),
+    # matching forall's vacuous truth — hence the coalesce(True)
+    if target.minimum is not None:
+        bound = _fraction_literal(target.minimum)
+        mn = F.array_min(col)
+        p = mn > bound if target.exclusive_minimum else mn >= bound
+        preds.append(F.coalesce(p, F.lit(True)))
+    if target.maximum is not None:
+        bound = _fraction_literal(target.maximum)
+        mx = F.array_max(col)
+        p = mx < bound if target.exclusive_maximum else mx <= bound
+        preds.append(F.coalesce(p, F.lit(True)))
     return preds
 
 

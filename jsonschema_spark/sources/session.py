@@ -20,6 +20,7 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
+    mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
@@ -29,7 +30,19 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.driver.memory", mem)
+        # Fixed, pre-touched heap: a growing heap page-faults its way up
+        # under multi-threaded allocation pressure (measured: 50-85% kernel
+        # time, 10x slowdown at local[32] on the corpus validation pass —
+        # see BASELINE.md). Committing+touching the heap once at startup
+        # removes the page-zeroing storm from the measured path.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{mem} -XX:+AlwaysPreTouch",
+        )
+        # vectorized decode for array<int> token columns (off by default in
+        # Spark; measured ~1.6x on the corpus scan at local[32])
+        .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

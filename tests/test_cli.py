@@ -1,0 +1,65 @@
+"""CLI (spark-submit entry) contract: package zip, validate job with
+results tree + resume, throughput probe."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import zipfile
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_package_zip(tmp_path):
+    out = tmp_path / "dist" / "engine.zip"
+    res = subprocess.run(
+        [sys.executable, "-m", "jsonschema_spark", "package", "--out", str(out)],
+        cwd=REPO, capture_output=True, text=True, timeout=120,
+    )
+    assert res.returncode == 0, res.stderr[-500:]
+    path = json.loads(res.stdout.strip().splitlines()[-1])["py_files"]
+    names = zipfile.ZipFile(path).namelist()
+    assert "jsonschema_spark/cli.py" in names
+    assert "jsonschema_spark/operators/dedup.py" in names
+    assert not any(n.endswith(".pyc") for n in names if "__pycache__" not in n)
+
+
+def test_validate_cli_and_resume(tmp_path, spark):
+    spec = {
+        "columns": {
+            "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+            "n_tok": {"type": "integer", "minimum": 1, "maximum": 2048},
+        },
+        "required": ["doc_id", "tokens", "n_tok", "source"],
+        "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+        "unique": ["doc_id"],
+        "references": {"source": {"dim": "dim_source", "key": "source_id"}},
+    }
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps(spec))
+    results = tmp_path / "results"
+
+    from jsonschema_spark.cli import main
+
+    # use the in-process session (conftest) — get_spark getOrCreate reuses it
+    rc = main([
+        "validate", "--input", "synthetic", "--rows", "5000",
+        "--spec", str(spec_file), "--results", str(results), "--cores", "8",
+    ])
+    assert rc == 0
+    summary = json.loads((results / "summary.json").read_text())
+    assert summary["n_rows"] == 5000
+    assert summary["duplicates"]["doc_id"] == 5000 // 499
+    assert (results / "lineage").is_dir() and (results / "violations").is_dir()
+
+    rc = main([
+        "validate", "--input", "synthetic", "--rows", "5000",
+        "--spec", str(spec_file), "--results", str(results),
+        "--resume", "--cores", "8",
+    ])
+    assert rc == 0
+    summary2 = json.loads((results / "summary.json").read_text())
+    assert summary2["resumed_units_skipped"] > 0
+    assert summary2["n_rows"] == 5000

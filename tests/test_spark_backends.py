@@ -122,3 +122,52 @@ def test_kernel_backend_matches_suite(spark):
     bad = got.filter(F.col("got") != F.col("valid")).select("case_id", "got").collect()
     assert not bad, [r.case_id for r in bad][:20]
     assert len(local_rows) > 450
+
+
+def test_bounds_only_items_fast_path_edges(spark):
+    """The array_min/array_max fast path for bounds-only `items` must agree
+    with forall semantics on the edges: empty arrays (vacuously true), null
+    elements (fail when a type is declared, pass when not), bounds."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from jsonschema_spark.compiler.columns import lower_predicate
+
+    rows = [
+        (1, [1, 2, 3]),
+        (2, []),
+        (3, [0, 50256]),
+        (4, [-1, 5]),
+        (5, [1, None, 3]),
+        (6, None),
+        (7, [50257]),
+    ]
+    df = spark.createDataFrame(rows, "id long, xs array<int>")
+    typed = {"type": "array",
+             "items": {"type": "integer", "minimum": 0, "maximum": 50256}}
+    untyped = {"items": {"minimum": 0, "maximum": 50256}}
+    out = {
+        r.id: (r.t, r.u)
+        for r in df.select(
+            "id",
+            lower_predicate(compile_spec(typed), F.col("xs"),
+                            df.schema["xs"].dataType).alias("t"),
+            lower_predicate(compile_spec(untyped), F.col("xs"),
+                            df.schema["xs"].dataType).alias("u"),
+        ).collect()
+    }
+    #            typed  untyped
+    assert out[1] == (True, True)
+    assert out[2] == (True, True)       # empty: vacuous
+    assert out[3] == (True, True)
+    assert out[4] == (False, False)     # -1 below minimum
+    assert out[5] == (False, True)      # null elem: fails typed, passes untyped
+    assert out[6] == (False, True)      # null value: fails {"type":"array"} only
+    assert out[7] == (False, False)     # above maximum
+
+    # sanity: the fast path actually engaged (no higher-order forall in plan)
+    plan = df.select(
+        lower_predicate(compile_spec(typed), F.col("xs"),
+                        df.schema["xs"].dataType).alias("t")
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "forall" not in plan
+    assert "array_min" in plan and "array_max" in plan
