@@ -387,6 +387,35 @@ def q_corpus_validate(spark, sf_dir):
     )
 
 
+def q_tuple_items(spark, sf_dir):
+    """SURVEY §2.1 #16: tuple-form items + additionalItems schema — element
+    1 checked positionally, the tail checked by the additionalItems
+    subschema (forall over the bounded slice)."""
+    df = _t(spark, sf_dir, "part")
+    arr_df = df.select(
+        F.array(
+            F.col("p_size").cast("double"), F.col("p_retailprice").cast("double")
+        ).alias("xs")
+    )
+    spec = {"items": [{"minimum": 10}], "additionalItems": {"maximum": 1500}}
+    return _count_pass(arr_df, _pred(arr_df, "xs", spec))
+
+
+def q_map_object(spark, sf_dir):
+    """SURVEY §2.1 #17/#20/#23 on a MAP column (dynamic keys, absent-vs-null
+    preserved): required + minProperties/maxProperties over parsed JSON."""
+    df = _t(spark, sf_dir, "events")
+    from pyspark.sql import types as T
+
+    mcol = F.from_json(F.col("props"), "map<string,string>")
+    m_df = df.select(mcol.alias("m"))
+    spec = {"type": "object", "required": ["k"], "minProperties": 1, "maxProperties": 2}
+    pred = lower_predicate(
+        compile_spec(spec), F.col("m"), T.MapType(T.StringType(), T.StringType())
+    )
+    return _count_pass(m_df, pred)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -573,6 +602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
         "corpus_validate": q_corpus_validate,
+        "tuple_items": q_tuple_items,
+        "map_object": q_map_object,
         "exact_dedup_groups": q_exact_dedup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_near_dup": q_minhash_near_dup,
@@ -750,6 +781,17 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY c_mktsegment"
         ),
         # corpus_validate: hash-based generator not expressible in SQL → rows-only
+        "tuple_items": (
+            "SELECT count(*) FILTER (WHERE p_size >= 10 AND p_retailprice <= 1500)"
+            " AS n_pass, count(*) AS n_rows FROM part"
+        ),
+        "map_object": (
+            "SELECT count(*) FILTER (WHERE json_valid(props)"
+            " AND json_type(json(props)) = 'OBJECT'"
+            " AND list_contains(json_keys(json(props)), 'k')"
+            " AND len(json_keys(json(props))) BETWEEN 1 AND 2) AS n_pass,"
+            " count(*) AS n_rows FROM events"
+        ),
         "exact_dedup_groups": (
             f"SELECT md5({_NORM}) AS fingerprint, count(*) AS n_docs,"
             " min(doc_id) AS keep_id FROM documents"

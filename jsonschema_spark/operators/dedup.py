@@ -329,24 +329,35 @@ def minhash_near_dup(
 
 @pandas_udf(T.LongType())
 def _simhash_fold(hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash from per-word 64-bit hashes. Arrow-batched: the outer
-    loop is per document, the inner bit-fold is a vectorized numpy matmul
-    over (n_words x 64). No JVM round-trips inside the batch."""
+    """64-bit SimHash from per-word 64-bit hashes. Fully vectorized across
+    the whole Arrow batch: concatenate every document's hashes, expand to a
+    (total_words x 64) bit matrix, then per-document segment sums via
+    np.add.reduceat — no per-document Python loop."""
     import numpy as np
 
+    n = len(hashes)
+    lens = np.fromiter(
+        (0 if hs is None else len(hs) for hs in hashes), dtype=np.int64, count=n
+    )
+    if lens.sum() == 0:
+        return pd.Series(np.zeros(n, dtype=np.int64))
+    flat = np.concatenate(
+        [np.asarray(hs, dtype=np.int64) for hs in hashes if hs is not None and len(hs)]
+    ).astype(np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
-    out = np.zeros(len(hashes), dtype=np.int64)
-    for i, hs in enumerate(hashes):
-        if hs is None or len(hs) == 0:
-            out[i] = 0
-            continue
-        arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-        bits = ((arr[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-        votes = (2 * bits - 1).sum(axis=0)
-        sim = np.uint64(0)
-        sim_bits = (votes >= 0).astype(np.uint64)
-        sim = (sim_bits << shifts).sum(dtype=np.uint64)
-        out[i] = sim.astype(np.int64)
+    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+    votes_pm = 2 * bits - 1  # +1 / -1 per bit
+    offsets = np.zeros(n, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    nonempty = lens > 0
+    # reduceat needs strictly valid segment starts: run it on the nonempty
+    # segments only, then scatter back (empty docs -> simhash 0)
+    seg_starts = offsets[nonempty]
+    sums = np.add.reduceat(votes_pm, seg_starts, axis=0)
+    sim_bits = (sums >= 0).astype(np.uint64)
+    packed = (sim_bits << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    out[nonempty] = packed
     return pd.Series(out)
 
 
