@@ -25,14 +25,26 @@ def orphan_rows(
 
 
 def orphan_key_counts(
-    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str,
+    salt_buckets: int = 64,
 ) -> DataFrame:
-    """``(fact_key, n_rows)`` per distinct orphan key — the aggregate view
-    (map-side combine keeps shuffle volume at distinct-orphan cardinality)."""
-    return (
+    """``(fact_key, n_rows)`` per distinct orphan key, via two-phase salted
+    aggregation: orphan keys are adversarially skewed by nature (one
+    unregistered source typically accounts for most violations — our
+    injected corpus does exactly this), so phase 1 groups by (salt, key)
+    splitting any hot key across salt_buckets reducers; phase 2 sums ≤
+    salt_buckets partials per key."""
+    salted = (
         orphan_rows(fact, fact_key, dim, dim_key)
-        .groupBy(fact_key)
-        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col(fact_key).alias("key"))
+        .withColumn("salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
+        .groupBy("salt", "key")
+        .agg(F.count(F.lit(1)).alias("partial"))
+    )
+    return (
+        salted.groupBy("key")
+        .agg(F.sum("partial").alias("n_rows"))
+        .select(F.col("key").alias(fact_key), "n_rows")
     )
 
 

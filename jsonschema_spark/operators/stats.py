@@ -100,6 +100,36 @@ def token_frequencies(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     )
 
 
+def token_frequency_sketch(
+    df: DataFrame, tokens_col: str = "tokens",
+    eps: float = 0.0001, confidence: float = 0.99, seed: int = 42,
+):
+    """Count-min sketch of token frequencies — the O(1)-memory alternative
+    to the exact explode+groupBy when the id space is huge (byte-level or
+    merged vocabularies). Spark's count_min_sketch aggregate merges
+    per-partition sketches tree-wise; the result answers point queries
+    with ±eps*N error at the given confidence. Returns the binary sketch
+    bytes for driver-side queries (see cms_estimate) or merging."""
+    row = (
+        df.select(F.explode(tokens_col).alias("token"))
+        .agg(
+            F.count_min_sketch(
+                "token", F.lit(eps), F.lit(confidence), F.lit(seed)
+            ).alias("sketch")
+        )
+        .collect()[0]
+    )
+    return bytes(row.sketch)
+
+
+def cms_estimate(spark, sketch: bytes, value: int) -> int:
+    """Point-query a serialized count-min sketch (upper-bound estimate)."""
+    jvm = spark.sparkContext._jvm
+    bais = jvm.java.io.ByteArrayInputStream(bytearray(sketch))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bais)
+    return cms.estimateCount(jvm.java.lang.Long(value))
+
+
 def ntok_quantiles(df: DataFrame, column: str = "n_tok") -> DataFrame:
     return df.agg(
         F.percentile_approx(column, [0.5, 0.9, 0.99], 10000).alias("q"),

@@ -5,11 +5,11 @@ distributed key-uniqueness check over 10^12 rows.
 Strategy (north rule: skew handled explicitly):
 
 - ``duplicate_keys``: two-phase *salted* aggregation. Phase 1 groups by
-  (salt, key) where salt = hash(key) % S — a hot key is split across S
-  reducers, each emitting one (key, partial_count) row; phase 2 sums the ≤S
-  partials per key. A pathological key that appears 10^9 times costs 10^9/S
-  rows in one reducer instead of 10^9. For near-unique keys AQE coalesces
-  the tiny second shuffle.
+  (salt, key) where salt varies per partition — a hot key is split across
+  S reducers, each emitting one (key, partial_count) row; phase 2 sums the
+  ≤S partials per key. A pathological key that appears 10^9 times costs
+  bounded rows per reducer instead of 10^9. For near-unique keys AQE
+  coalesces the tiny second shuffle.
 - ``uniqueness_report``: cheap O(1)-output pre-check — exact count vs
   approx_count_distinct in one pass. At design scale you run the report
   first; only if it signals duplicates do you pay for the exact listing.
@@ -22,10 +22,19 @@ from pyspark.sql import functions as F
 
 
 def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = 64) -> DataFrame:
-    """``(key, dup_count)`` for every key value appearing more than once."""
+    """``(key, dup_count)`` for every key value appearing more than once.
+
+    The salt must vary *within* a key or it splits nothing: we salt by
+    partition id, so a key appearing 10^9 times across the cluster
+    contributes at most (#partitions) phase-1 rows spread over
+    salt_buckets reducers, and phase 2 sums ≤ salt_buckets partials per
+    key. (Catalyst's map-side partial aggregation gives count-aggs similar
+    protection implicitly; the explicit two-phase shape keeps the bound
+    even where partial agg degrades — hash-table spill fallback — and is
+    the required pattern for non-combinable aggregates.)"""
     salted = (
         df.select(F.col(key).alias("key"))
-        .withColumn("salt", F.pmod(F.xxhash64("key"), F.lit(salt_buckets)))
+        .withColumn("salt", F.pmod(F.spark_partition_id(), F.lit(salt_buckets)))
         .groupBy("salt", "key")
         .agg(F.count(F.lit(1)).alias("partial"))
     )

@@ -74,10 +74,24 @@ class ValidationJob:
     def check_columns(self, annotated: DataFrame) -> list:
         return [c for c in annotated.columns if c.startswith("chk_")]
 
-    def violations(self, annotated: DataFrame) -> DataFrame:
+    def violations(
+        self, annotated: DataFrame, sample_fraction: float | None = None
+    ) -> DataFrame:
         """(id, check) rows for every failed check — melted via an array of
-        named structs filtered in-stage, so passing rows never leave the scan."""
+        named structs filtered in-stage, so passing rows never leave the scan.
+
+        ``sample_fraction``: at 10^12 rows a 1% violation rate is 10^10
+        rows — often too many to materialize. A deterministic hash sample
+        on the id (NOT rand(): reproducible across retries/resume) keeps
+        the per-check *counts* exact in lineage while bounding the itemized
+        rows written."""
         checks = self.check_columns(annotated)
+        if sample_fraction is not None and sample_fraction < 1.0:
+            threshold = int(sample_fraction * 1_000_000)
+            annotated = annotated.filter(
+                F.pmod(F.xxhash64(F.col(self.id_column), F.lit(7)), F.lit(1_000_000))
+                < threshold
+            )
         entries = F.filter(
             F.array(
                 *[

@@ -173,3 +173,48 @@ def test_profile(spark, corpus_df):
     assert prof["doc_id"].null_rate == 0.0
     assert prof["tokens"].min_len >= 1
     assert prof["n_tok"].n_rows == N
+
+
+def test_violation_sampling(job, corpus_df):
+    """Deterministic hash sampling of violation rows: reproducible subset,
+    roughly proportional to the fraction."""
+    ann = job.annotate(corpus_df)
+    full = job.violations(ann).count()
+    a = job.violations(ann, sample_fraction=0.25)
+    b = job.violations(ann, sample_fraction=0.25)
+    na, nb = a.count(), b.count()
+    assert na == nb  # deterministic (hash, not rand)
+    assert 0 < na < full
+    assert abs(na / full - 0.25) < 0.15
+
+
+def test_token_frequency_sketch(spark, corpus_df):
+    from jsonschema_spark.operators.stats import (
+        cms_estimate, token_frequencies, token_frequency_sketch,
+    )
+
+    sketch = token_frequency_sketch(corpus_df.limit(2000), eps=0.0001)
+    exact = {
+        r.token: r.cnt
+        for r in token_frequencies(corpus_df.limit(2000)).orderBy(
+            F.col("cnt").desc()
+        ).limit(5).collect()
+    }
+    for token, cnt in exact.items():
+        est = cms_estimate(spark, sketch, token)
+        assert est >= cnt  # CMS overestimates only
+        assert est <= cnt * 1.05 + 1000
+
+
+def test_results_sink_parquet_mode(spark, tmp_path):
+    from jsonschema_spark.sources.sink import ResultsSink, iceberg_available
+
+    assert iceberg_available(spark) is False  # sandbox: no iceberg jar
+    sink = ResultsSink(spark)
+    assert sink.mode == "parquet"
+    df = spark.range(10)
+    target = str(tmp_path / "t")
+    sink.write(df, target)
+    assert sink.exists(target) and sink.read(target).count() == 10
+    sink.write(df, target, append=True)
+    assert sink.read(target).count() == 20

@@ -147,3 +147,50 @@ def test_streaming_dedup(spark, stream_dir, tmp_path):
 
     n_dup = len([i for i in range(N) if i % DUP_MOD == DUP_MOD - 1])
     assert total == N - n_dup
+
+
+def test_stateful_running_counters(spark, stream_dir, tmp_path):
+    """applyInPandasWithState: running per-source counters persist across
+    micro-batches; final state equals the batch ground truth."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.streaming.stateful import running_source_counters
+    from jsonschema_spark.streaming.validate import annotate_stream
+
+    plan = compile_table_spec(SPEC, _read_stream(spark, stream_dir).schema)
+    counters = running_source_counters(
+        annotate_stream(_read_stream(spark, stream_dir), plan)
+    )
+    q = (
+        counters.writeStream.format("memory")
+        .queryName("source_counters")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per source = final running state
+    got = {
+        r.source: (r.n_rows, r.n_invalid)
+        for r in spark.sql(
+            "SELECT source, n_rows, n_invalid FROM ("
+            " SELECT *, row_number() OVER (PARTITION BY source ORDER BY n_rows DESC) rn"
+            " FROM source_counters) WHERE rn = 1"
+        ).collect()
+    }
+    batch = spark.read.option("recursiveFileLookup", "true").parquet(stream_dir)
+    from jsonschema_spark.plans.job import ValidationJob
+
+    ann = ValidationJob(compile_table_spec(SPEC, batch.schema)).annotate(batch)
+    want = {
+        r.source: (r.n, r.i)
+        for r in ann.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((~F.col("_valid")).cast("long")).alias("i"),
+        )
+        .collect()
+    }
+    assert got == want
+    assert len(got) >= 20  # every registered source plus the injected bad one
