@@ -212,7 +212,7 @@ def _scalar_matches_dtype(value: Any, dtype: T.DataType) -> bool:
         return False  # null handled by the outer null_verdict branch
     if isinstance(value, bool):
         return isinstance(dtype, T.BooleanType)
-    if isinstance(value, (int, Fraction)):
+    if isinstance(value, (int, float, Fraction)):
         return isinstance(dtype, _INTEGRAL + _FRACTIONAL)
     if isinstance(value, str):
         return isinstance(dtype, T.StringType)
