@@ -416,6 +416,26 @@ def q_map_object(spark, sf_dir):
     return _count_pass(m_df, pred)
 
 
+def q_pattern_properties(spark, sf_dir):
+    """SURVEY §2.1 #18/#19: patternProperties + additionalProperties:false
+    on a map column — every key must match ^[a-z]$ and its value must look
+    a single digit (per-entry forall; no per-row Python)."""
+    df = _t(spark, sf_dir, "events")
+    from pyspark.sql import types as T
+
+    mcol = F.from_json(F.col("props"), "map<string,string>")
+    m_df = df.select(mcol.alias("m"))
+    spec = {
+        "type": "object",
+        "patternProperties": {"^[a-z]$": {"pattern": "^[0-9]$"}},
+        "additionalProperties": False,
+    }
+    pred = lower_predicate(
+        compile_spec(spec), F.col("m"), T.MapType(T.StringType(), T.StringType())
+    )
+    return _count_pass(m_df, pred)
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline operators (dedup / similarity / text / multimodal)
 # --------------------------------------------------------------------------
@@ -604,6 +624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_validate": q_corpus_validate,
         "tuple_items": q_tuple_items,
         "map_object": q_map_object,
+        "pattern_properties": q_pattern_properties,
         "exact_dedup_groups": q_exact_dedup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_near_dup": q_minhash_near_dup,
@@ -790,6 +811,15 @@ def oracle_sql() -> dict[str, str]:
             " AND json_type(json(props)) = 'OBJECT'"
             " AND list_contains(json_keys(json(props)), 'k')"
             " AND len(json_keys(json(props))) BETWEEN 1 AND 2) AS n_pass,"
+            " count(*) AS n_rows FROM events"
+        ),
+        "pattern_properties": (
+            "SELECT count(*) FILTER (WHERE json_valid(props)"
+            " AND json_type(json(props)) = 'OBJECT'"
+            " AND len(list_filter(json_keys(json(props)),"
+            "   k -> NOT regexp_matches(k, '^[a-z]$')"
+            "    OR NOT regexp_matches(json_extract_string(props, '$.' || k),"
+            "         '^[0-9]$'))) = 0) AS n_pass,"
             " count(*) AS n_rows FROM events"
         ),
         "exact_dedup_groups": (

@@ -218,3 +218,30 @@ def test_results_sink_parquet_mode(spark, tmp_path):
     assert sink.exists(target) and sink.read(target).count() == 10
     sink.write(df, target, append=True)
     assert sink.read(target).count() == 20
+
+
+def test_partial_resume_processes_only_remainder(tmp_path, spark, job, corpus_df):
+    """Resume with PARTIAL prior lineage: only not-yet-completed units are
+    re-processed; totals converge to the full run."""
+    results = str(tmp_path / "partial")
+    full = job.run(corpus_df, results)
+    lineage = spark.read.parquet(results + "/lineage")
+    units = [r.unit for r in lineage.select("unit").distinct().collect()]
+    assert len(units) > 1
+    # rewrite lineage keeping only half the units -> simulates a crash
+    keep = sorted(units)[: len(units) // 2]
+    partial = lineage.filter(F.col("unit").isin(keep))
+    kept_rows = partial.agg(F.sum("n_rows")).collect()[0][0]
+    partial.write.mode("overwrite").parquet(str(tmp_path / "lineage_tmp"))
+    spark.read.parquet(str(tmp_path / "lineage_tmp")).write.mode(
+        "overwrite"
+    ).parquet(results + "/lineage")
+
+    resumed = job.run(corpus_df, results, resume=True)
+    assert resumed["resumed_units_skipped"] == len(keep)
+    # lineage total: kept rows + re-processed remainder = full corpus
+    assert resumed["n_rows"] == full["n_rows"] == N
+    final_units = {
+        r.unit for r in spark.read.parquet(results + "/lineage").select("unit").distinct().collect()
+    }
+    assert final_units == set(units)
