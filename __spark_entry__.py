@@ -416,6 +416,25 @@ def q_map_object(spark, sf_dir):
     return _count_pass(m_df, pred)
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (the batch
+    twin of streaming/validate.windowed_verdicts): per 6-hour window, event
+    count + count of value >= 100 failures-style predicate."""
+    df = _t(spark, sf_dir, "events")
+    return (
+        df.groupBy(F.window(F.col("ts"), "6 hours").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.when(F.col("value") >= 100, 1)).alias("n_high"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "n_high",
+        )
+    )
+
+
 def q_pattern_properties(spark, sf_dir):
     """SURVEY §2.1 #18/#19: patternProperties + additionalProperties:false
     on a map column — every key must match ^[a-z]$ and its value must look
@@ -625,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuple_items": q_tuple_items,
         "map_object": q_map_object,
         "pattern_properties": q_pattern_properties,
+        "windowed_counts": q_windowed_counts,
         "exact_dedup_groups": q_exact_dedup_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_near_dup": q_minhash_near_dup,
@@ -812,6 +832,13 @@ def oracle_sql() -> dict[str, str]:
             " AND list_contains(json_keys(json(props)), 'k')"
             " AND len(json_keys(json(props))) BETWEEN 1 AND 2) AS n_pass,"
             " count(*) AS n_rows FROM events"
+        ),
+        "windowed_counts": (
+            "SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts),"
+            " '%Y-%m-%d %H:%M:%S') AS window_start,"
+            " count(*) AS n_events,"
+            " count(*) FILTER (WHERE value >= 100) AS n_high"
+            " FROM events GROUP BY 1"
         ),
         "pattern_properties": (
             "SELECT count(*) FILTER (WHERE json_valid(props)"
