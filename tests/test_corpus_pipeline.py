@@ -245,3 +245,33 @@ def test_partial_resume_processes_only_remainder(tmp_path, spark, job, corpus_df
         r.unit for r in spark.read.parquet(results + "/lineage").select("unit").distinct().collect()
     }
     assert final_units == set(units)
+
+
+def test_json_columns_kernel_in_tablespec(spark):
+    """TableSpec.json_columns: a free-form JSON text column validated by
+    the Arrow kernel inside the same one-pass verdict projection as the
+    native checks."""
+    rows = [
+        (1, '{"k": 5}'),
+        (2, '{"k": -1}'),      # minimum violated
+        (3, '{"nope": 1}'),    # required violated
+        (4, 'not json'),       # malformed
+        (5, None),             # null text
+    ]
+    df = spark.createDataFrame(rows, "id long, payload string")
+    spec = TableSpec.from_dict(
+        {
+            "columns": {"id": {"type": "integer", "minimum": 0}},
+            "json_columns": {
+                "payload": {
+                    "type": "object",
+                    "required": ["k"],
+                    "properties": {"k": {"type": "integer", "minimum": 0}},
+                }
+            },
+        }
+    )
+    plan = compile_table_spec(spec, df.schema)
+    ann = ValidationJob(plan, id_column="id").annotate(df)
+    got = {r.id: r["chk_json_payload"] for r in ann.collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
