@@ -32,6 +32,18 @@ from pyspark.sql.functions import pandas_udf
 
 from jsonschema_spark.functions.text import let_, normalized, words
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Guard against under-partitioned inputs (a single parquet file would
+    serialize the per-row shingle/signature work onto one core). Only
+    repartitions when the scan has fewer partitions than the cluster's
+    default parallelism — real corpora with thousands of files never pay
+    this extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------------------
 # exact dedup
 # --------------------------------------------------------------------------
@@ -103,7 +115,7 @@ def near_dup_pairs_exact(
 ) -> DataFrame:
     """Brute-force pairwise n-gram Jaccard (id_a < id_b, jaccard >= t).
     O(n²) oracle baseline — use minhash_near_dup at scale."""
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     a = sh.alias("a")
@@ -284,7 +296,7 @@ def minhash_candidates(
     size m yields m(m-1)/2 pairs — collisions are rare for honest hash
     functions, and the join is self-equi-join on the bucket key (AQE skew
     split handles pathological buckets)."""
-    exploded = _band_rows(df, id_col, text_col, n, num_hashes, bands)
+    exploded = _band_rows(_ensure_parallelism(df), id_col, text_col, n, num_hashes, bands)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -307,6 +319,7 @@ def minhash_near_dup(
     """End-to-end near-dup pairs: LSH candidates verified with exact n-gram
     Jaccard (no false positives; recall governed by (bands, rows) — with
     128 hashes / 32 bands of 4, P[candidate] ≈ 1-(1-j⁴)³² > 0.99 at j=0.5)."""
+    df = _ensure_parallelism(df)
     cands = minhash_candidates(df, id_col, text_col, n, num_hashes, bands)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
@@ -379,7 +392,9 @@ def simhash_near_dup(
     Pigeonhole blocking: distance <= 3 implies at least one of the four
     16-bit chunks is byte-identical, so candidates = pairs sharing any
     (chunk_idx, chunk_value) bucket; verification is native bit_count."""
-    sh = df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim"))
+    sh = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim")
+    )
     chunks = sh.select(
         "id", "sim",
         F.explode(
