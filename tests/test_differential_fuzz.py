@@ -137,3 +137,110 @@ def test_differential(spark, kind, dtype, mk_spec, mk_vals):
             if want != got:
                 mismatches.append((spec_dict, value, want, got))
     assert not mismatches, f"{len(mismatches)} disagreements, first 3: {mismatches[:3]}"
+
+
+def _obj_spec():
+    spec = {}
+    if rng.random() < 0.4:
+        spec["type"] = "object"
+    props = {}
+    for name in ("a", "b", "c"):
+        if rng.random() < 0.5:
+            props[name] = rng.choice([
+                {"type": "integer", "minimum": 0},
+                {"minimum": 2},
+                {"maximum": 5},
+                {"enum": [1, 2, 3]},
+                {"not": {"minimum": 4}},
+            ])
+    if props:
+        spec["properties"] = props
+    if rng.random() < 0.5:
+        spec["required"] = rng.sample(["a", "b", "c"], k=rng.randint(1, 2))
+    if rng.random() < 0.3:
+        spec["dependencies"] = {"a": rng.sample(["b", "c"], k=rng.randint(1, 2))}
+    if rng.random() < 0.3:
+        spec["minProperties"] = rng.randint(0, 2)
+    if rng.random() < 0.3:
+        spec["maxProperties"] = rng.randint(1, 3)
+    return spec
+
+
+def _obj_values():
+    out = []
+    for _ in range(40):
+        if rng.random() < 0.08:
+            out.append(None)
+        else:
+            out.append({
+                name: rng.choice([None, 0, 1, 2, 3, 4, 5, 6])
+                for name in ("a", "b", "c") if rng.random() < 0.75
+            })
+    return out
+
+
+def test_differential_struct(spark):
+    """Object keywords over a typed struct column: NULL field == absent
+    member (documented bridge); evaluator runs on the dict-with-absences
+    view, lowering on the struct."""
+    dtype = T.StructType([T.StructField(n, T.IntegerType()) for n in "abc"])
+    cases = []
+    for _ in range(200):
+        spec_dict = _obj_spec()
+        if spec_dict:
+            cases.append((spec_dict, compile_spec(spec_dict)))
+    values = _obj_values()
+    rows = [
+        (None,) if v is None
+        else ((v.get("a"), v.get("b"), v.get("c")),)
+        for v in values
+    ]
+    df = spark.createDataFrame(rows, T.StructType([T.StructField("v", dtype)]))
+    preds, kept = [], []
+    for i, (spec_dict, compiled) in enumerate(cases):
+        try:
+            preds.append(lower_predicate(compiled, F.col("v"), dtype).alias(f"p{i}"))
+            kept.append((i, spec_dict, compiled))
+        except LoweringError:
+            continue
+    out = df.select(*preds).collect()
+    mismatches = []
+    for row, v in zip(out, values):
+        # struct-column semantics: NULL field == absent member
+        pyv = None if v is None else {k: x for k, x in v.items() if x is not None}
+        for i, spec_dict, compiled in kept:
+            want = is_valid(compiled, pyv)
+            got = row[f"p{i}"]
+            if want != got:
+                mismatches.append((spec_dict, v, want, got))
+    assert not mismatches, f"{len(mismatches)} disagreements, first 3: {mismatches[:3]}"
+
+
+def test_differential_map(spark):
+    """Object keywords over map<string,int>: absent-vs-null preserved, so
+    the evaluator sees the dict verbatim (None values stay)."""
+    dtype = T.MapType(T.StringType(), T.IntegerType())
+    cases = []
+    for _ in range(200):
+        spec_dict = _obj_spec()
+        if spec_dict:
+            cases.append((spec_dict, compile_spec(spec_dict)))
+    values = _obj_values()
+    df = spark.createDataFrame([(v,) for v in values],
+                               T.StructType([T.StructField("v", dtype)]))
+    preds, kept = [], []
+    for i, (spec_dict, compiled) in enumerate(cases):
+        try:
+            preds.append(lower_predicate(compiled, F.col("v"), dtype).alias(f"p{i}"))
+            kept.append((i, spec_dict, compiled))
+        except LoweringError:
+            continue
+    out = df.select(*preds).collect()
+    mismatches = []
+    for row, v in zip(out, values):
+        for i, spec_dict, compiled in kept:
+            want = is_valid(compiled, v)
+            got = row[f"p{i}"]
+            if want != got:
+                mismatches.append((spec_dict, v, want, got))
+    assert not mismatches, f"{len(mismatches)} disagreements, first 3: {mismatches[:3]}"
