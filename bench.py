@@ -87,17 +87,26 @@ def main() -> None:
         "embedding_topk",
         "lang_id_counts",
         "quality_score",
+        "exact_dedup_groups",
+        "windowed_counts",
+        "pattern_properties",
+        "blob_stats",
+        "ann_topk",
     ]
     qs = entry.queries()
     for name in headline:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        assert n >= 0
+        # best-of-2: the first run pays python-worker spawn + JIT + page
+        # cache; the host is shared, so single-shot numbers are noise
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            n = fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+            assert n >= 0
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
