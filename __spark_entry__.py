@@ -590,6 +590,17 @@ def q_ann_topk(spark, sf_dir):
     return ann_topk(df, "embedding", _vec0(spark, sf_dir), 10)
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN: spherical k-means trained with DataFrame aggs (deterministic
+    seeded init), nearest-list probing + exact rerank (approximate:
+    rows-only; recall asserted in tests vs brute force)."""
+    from jsonschema_spark.operators.similarity import ivf_topk, ivf_train
+
+    df = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train(df, "embedding", n_lists=8, iters=2)
+    return ivf_topk(df, "embedding", _vec0(spark, sf_dir), 10, centroids, n_probe=3)
+
+
 def q_blob_stats(spark, sf_dir):
     """Multimodal blob profile over deterministic fake payloads."""
     from jsonschema_spark.operators.multimodal import attach_fake_blob, blob_stats
@@ -657,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk_kernel": q_embedding_topk_kernel,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
+        "ivf_topk": q_ivf_topk,
         "blob_stats": q_blob_stats,
         "frame_sample_counts": q_frame_sample_counts,
     }

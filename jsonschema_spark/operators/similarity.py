@@ -155,6 +155,98 @@ def ann_topk(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+
+def _make_assign_kernel(centroids: np.ndarray):
+    """Arrow kernel: nearest-centroid id per vector via one (batch x dim) @
+    (dim x k) matmul (cosine == dot on L2-normalized operands)."""
+    c = centroids.astype("float64")
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf(T.IntegerType())
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.values).astype("float64")
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ c_norm.T).argmax(axis=1).astype("int32"))
+
+    return _assign
+
+
+def ivf_train(
+    df: DataFrame, vec_col: str, n_lists: int = 16, iters: int = 3,
+    id_col: str = "vec_id", seed: int = 29,
+) -> np.ndarray:
+    """Spherical k-means (Lloyd) trained with DataFrame aggregations:
+    assignment is an Arrow-kernel matmul; the centroid update is
+    posexplode -> groupBy(cluster, dim) -> avg — one shuffle of
+    (k x dim) grouped cells per iteration regardless of corpus size.
+    Deterministic init: the n_lists rows with smallest xxhash64(id, seed).
+    Returns the (n_lists x dim) centroid matrix (driver-side, tiny)."""
+    init_rows = (
+        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    centroids = np.array([r.v for r in init_rows], dtype="float64")
+    for _ in range(iters):
+        assign = _make_assign_kernel(centroids)
+        assigned = df.select(
+            assign(F.col(vec_col)).alias("c"), F.col(vec_col).alias("v")
+        )
+        cells = (
+            assigned.select("c", F.posexplode("v").alias("d", "x"))
+            .groupBy("c", "d")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new = centroids.copy()
+        by_cluster: dict = {}
+        for r in cells:
+            by_cluster.setdefault(r.c, {})[r.d] = r.mu
+        for cid, dims in by_cluster.items():
+            for d, mu in dims.items():
+                new[cid, d] = mu
+        centroids = new
+    return centroids
+
+
+def ivf_assign(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """df + `_list` column (the inverted-list id). At scale this column is
+    written once and the table is partitioned/bucketed by it, so probes
+    become partition pruning instead of a full scan."""
+    assign = _make_assign_kernel(centroids)
+    return df.withColumn("_list", assign(F.col(vec_col)))
+
+
+def ivf_topk(
+    df: DataFrame, vec_col: str, query: Sequence[float], k: int,
+    centroids: np.ndarray, n_probe: int = 4,
+    id_col: str = "vec_id", decimals: int = 6,
+) -> DataFrame:
+    """IVF search: rank centroids by cosine to the query, scan only the
+    n_probe nearest inverted lists, exact-rerank within them."""
+    q = np.asarray(query, dtype="float64")
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    c = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    probes = [int(i) for i in (c @ qn).argsort()[::-1][:n_probe]]
+    return (
+        ivf_assign(df, vec_col, centroids)
+        .filter(F.col("_list").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), query), decimals).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str, threshold: float = 0.99,
     id_col: str = "vec_id", n_planes: int = 12, seed: int = 13, decimals: int = 6,

@@ -194,3 +194,45 @@ def test_stateful_running_counters(spark, stream_dir, tmp_path):
     }
     assert got == want
     assert len(got) >= 20  # every registered source plus the injected bad one
+
+
+def test_streaming_drift_monitor(spark, stream_dir, tmp_path):
+    """foreachBatch drift: in-distribution batches are not flagged; a
+    shifted batch is."""
+    from jsonschema_spark.operators import stats as stats_ops
+    from jsonschema_spark.streaming.drift import run_drift_monitor
+
+    clean = corpus(spark, N, seed=9, inject_violations=False)
+    baseline = stats_ops.histogram(clean, "n_tok", 64, 0, 2560)
+
+    reports = []
+    run_drift_monitor(
+        _read_stream(spark, stream_dir), "n_tok", baseline, 64, 0, 2560,
+        str(tmp_path / "ck_drift"), reports,
+    )
+    assert len(reports) >= 1
+    assert sum(r["n_rows"] for r in reports) == N
+    assert all(not r["drifted"] for r in reports)
+
+    # shifted stream: quarter the lengths -> major PSI shift
+    d2 = tmp_path / "in2"
+    corpus(spark, 2000, seed=3).withColumn(
+        "n_tok", (F.col("n_tok") / 4 + 1).cast("int")
+    ).withColumn(
+        "event_time", F.timestamp_seconds(F.lit(1_700_000_000))
+    ).write.parquet(str(d2 / "b1"))
+    shifted_stream = (
+        spark.readStream.schema(
+            "doc_id string, tokens array<int>, n_tok int, source string,"
+            " event_time timestamp"
+        )
+        .option("recursiveFileLookup", "true")
+        .parquet(str(d2))
+    )
+    reports2 = []
+    run_drift_monitor(
+        shifted_stream, "n_tok", baseline, 64, 0, 2560,
+        str(tmp_path / "ck_drift2"), reports2,
+    )
+    assert len(reports2) == 1
+    assert reports2[0]["drifted"] and reports2[0]["psi"] > 0.25

@@ -294,3 +294,38 @@ def test_frame_sample(docs):
         expected = len(range(0, max(s.nb // 16, 0), 4)) if s.nb >= 16 else 0
         got = len([r for r in rows if r.doc_id == s.doc_id])
         assert got == expected
+
+
+def test_ivf_ann(spark, embeddings):
+    """IVF: train spherical k-means via DataFrame aggs, probe nearest
+    lists, exact-rerank. On clustered data, recall@10 >= 0.8 and the query
+    vector itself is always found."""
+    import numpy as np
+    from jsonschema_spark.operators.similarity import cosine_topk, ivf_topk, ivf_train
+
+    q = np.array(_query_vec(embeddings), dtype="float64")
+    rng = np.random.RandomState(11)
+    near = [
+        (20_000 + i, (q + 0.05 * rng.standard_normal(len(q))).tolist(), 98)
+        for i in range(20)
+    ]
+    df = embeddings.unionByName(
+        spark.createDataFrame(near, "vec_id long, embedding array<float>, label int")
+    )
+    centroids = ivf_train(df, "embedding", n_lists=8, iters=2)
+    assert centroids.shape == (8, len(q))
+    exact = [r.vec_id for r in cosine_topk(df, "embedding", q.tolist(), 10).collect()]
+    approx = [r.vec_id for r in ivf_topk(df, "embedding", q.tolist(), 10, centroids, n_probe=3).collect()]
+    assert approx[0] == 0
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8
+
+
+def test_ivf_deterministic(spark, embeddings):
+    from jsonschema_spark.operators.similarity import ivf_train
+
+    a = ivf_train(embeddings.limit(200), "embedding", n_lists=4, iters=1)
+    b = ivf_train(embeddings.limit(200).repartition(5), "embedding", n_lists=4, iters=1)
+    import numpy as np
+
+    assert np.allclose(a, b)
