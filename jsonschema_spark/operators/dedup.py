@@ -296,7 +296,14 @@ def minhash_candidates(
     size m yields m(m-1)/2 pairs — collisions are rare for honest hash
     functions, and the join is self-equi-join on the bucket key (AQE skew
     split handles pathological buckets)."""
-    exploded = _band_rows(_ensure_parallelism(df), id_col, text_col, n, num_hashes, bands)
+    # persist: the self-join below evaluates both sides independently
+    # (no ReusedExchange across join aliases), which would run the whole
+    # shingle+signature pipeline twice. Band rows are tiny relative to the
+    # corpus (bands x 16 bytes per doc) — the canonical deployment
+    # materializes signatures once, exactly this.
+    exploded = _band_rows(
+        _ensure_parallelism(df), id_col, text_col, n, num_hashes, bands
+    ).persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -411,6 +418,9 @@ def simhash_near_dup(
             )
         ).alias("cc"),
     ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.v").alias("v"))
+    # persist: avoids the self-join recomputing the simhash kernel per side
+    # (16 bytes/doc signature table — materializing it is the standard shape)
+    chunks = chunks.persist()
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
