@@ -83,19 +83,28 @@ def lang_id(col: Column) -> Column:
     """N-gram-free heuristic language ID: argmax of per-language stopword
     ratios; 'und' when no language scores > 0. Ties break toward the
     lexicographically largest language code (struct max semantics — mirrored
-    exactly in the oracle SQL)."""
-    candidates = F.array(
-        *[
-            F.struct(
-                stopword_ratio(col, lang).alias("ratio"), F.lit(lang).alias("lang")
-            )
-            for lang in sorted(STOPWORDS)
-        ]
-    )
-    best = F.array_max(candidates)
-    return F.when(best.getField("ratio") > 0, best.getField("lang")).otherwise(
-        F.lit("und")
-    )
+    exactly in the oracle SQL). The tokenization is let-bound once and
+    shared by all four ratio expressions."""
+
+    def _ratio(ws: Column, lang: str) -> Column:
+        hits = F.size(F.filter(ws, lambda w: w.isin(STOPWORDS[lang])))
+        return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+            hits.cast("double") / F.size(ws)
+        )
+
+    def _pick(ws: Column) -> Column:
+        candidates = F.array(
+            *[
+                F.struct(_ratio(ws, lang).alias("ratio"), F.lit(lang).alias("lang"))
+                for lang in sorted(STOPWORDS)
+            ]
+        )
+        best = F.array_max(candidates)
+        return F.when(best.getField("ratio") > 0, best.getField("lang")).otherwise(
+            F.lit("und")
+        )
+
+    return let_(words(F.lower(col)), _pick)
 
 
 def quality_score(col: Column) -> Column:
