@@ -468,6 +468,18 @@ def q_exact_dedup_groups(spark, sf_dir):
     return exact_duplicate_groups(df, "doc_id", "text")
 
 
+def q_dedup_count(spark, sf_dir):
+    """Keep-first exact dedup: corpus size before/after (semi-join on the
+    per-fingerprint min id)."""
+    from jsonschema_spark.operators.dedup import dedup_exact
+
+    df = _t(spark, sf_dir, "documents")
+    kept = dedup_exact(df, "doc_id", "text")
+    return kept.agg(F.count(F.lit(1)).alias("n_kept")).crossJoin(
+        df.agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Brute-force 3-gram Jaccard near-dup pairs (exact oracle baseline)."""
     from jsonschema_spark.operators.dedup import near_dup_pairs_exact
@@ -657,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pattern_properties": q_pattern_properties,
         "windowed_counts": q_windowed_counts,
         "exact_dedup_groups": q_exact_dedup_groups,
+        "dedup_count": q_dedup_count,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
@@ -865,6 +878,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT md5({_NORM}) AS fingerprint, count(*) AS n_docs,"
             " min(doc_id) AS keep_id FROM documents"
             " GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "dedup_count": (
+            f"SELECT count(DISTINCT md5({_NORM})) AS n_kept,"
+            " count(*) AS n_docs FROM documents"
         ),
         "ngram_jaccard_pairs": (
             "WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
