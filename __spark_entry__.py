@@ -349,16 +349,33 @@ def q_join_agg(spark, sf_dir):
     )
 
 
+def _corpus_oracle_path() -> str:
+    """Stable parquet path for the 50k seed-42 corpus: the Spark query
+    materializes it once (content is deterministic at any parallelism), and
+    the DuckDB oracle reads the SAME bytes — converting corpus_validate from
+    a rows-only check into a full value-hash oracle row."""
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "corpus_oracle_50k_seed42.parquet")
+
+
 def q_corpus_validate(spark, sf_dir):
     """Flagship synthetic-corpus validation (north rule): per-check fail
-    counts over 50k generated rows with ~1% injected violations. The
-    generator is hash-based Spark SQL (not SQL-expressible) → rows-only
-    check; exact counts are asserted in tests/test_corpus_pipeline.py."""
+    counts over 50k generated rows with ~1% injected violations. The corpus
+    is materialized to parquet (deterministic content) so the DuckDB oracle
+    can recompute every check over the same file; exact closed-form counts
+    are additionally asserted in tests/test_corpus_pipeline.py."""
+    import os
+
     from jsonschema_spark.sources.corpus import corpus, dim_source, MAX_TOKENS, VOCAB_SIZE
     from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
     from jsonschema_spark.plans.job import ValidationJob
 
-    df = corpus(spark, 50_000, seed=42)
+    path = _corpus_oracle_path()
+    if not os.path.isdir(path):
+        corpus(spark, 50_000, seed=42).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
     spec = TableSpec.from_dict(
         {
             "columns": {
@@ -489,9 +506,12 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 
 def q_minhash_near_dup(spark, sf_dir):
-    """MinHash+LSH near-dup pairs, exact-Jaccard verified. Approximate in
-    recall only (rows-only check; containment in the exact pairs is asserted
-    in tests/test_training_ops.py)."""
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified — so false
+    positives are impossible by construction, and at threshold 0.8 with
+    128 hashes / 32 bands of 4 the per-pair miss probability is
+    (1-j^4)^32 <= 5e-8: the output equals the exact pair set, which is the
+    oracle (verified equal at sf0.01; containment additionally asserted in
+    tests/test_training_ops.py)."""
     from jsonschema_spark.operators.dedup import minhash_near_dup
 
     df = _t(spark, sf_dir, "documents")
@@ -500,7 +520,11 @@ def q_minhash_near_dup(spark, sf_dir):
 
 def q_simhash_near_dup(spark, sf_dir):
     """SimHash near-dup pairs (Hamming <= 3) via 16-bit-band pigeonhole
-    blocking; signature folded in an Arrow kernel (rows-only check)."""
+    blocking; signature folded in an Arrow kernel. The blocking is
+    EXHAUSTIVE for distance <= 3 (pigeonhole over 4 chunks), so the result
+    is exactly all pairs within distance 3 — and with the portable md5-based
+    word hash the DuckDB oracle recomputes the full simhash + Hamming join
+    independently."""
     from jsonschema_spark.operators.dedup import simhash_near_dup
 
     df = _t(spark, sf_dir, "documents")
@@ -594,8 +618,10 @@ def q_embedding_near_dup(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    """Hyperplane-LSH ANN top-10 with multi-probe + exact rerank
-    (approximate: rows-only check; recall asserted in tests)."""
+    """Hyperplane-LSH ANN top-10 with multi-probe + exact rerank. The
+    seeded planes are literals, so the DuckDB oracle replays the identical
+    bucket filter (query bucket + Hamming-1 probes) and rerank; recall vs
+    brute force additionally asserted in tests."""
     from jsonschema_spark.operators.similarity import ann_topk
 
     df = _t(spark, sf_dir, "embeddings")
@@ -604,8 +630,10 @@ def q_ann_topk(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN: spherical k-means trained with DataFrame aggs (deterministic
-    seeded init), nearest-list probing + exact rerank (approximate:
-    rows-only; recall asserted in tests vs brute force)."""
+    portable-hash init), nearest-list probing + exact rerank. The DuckDB
+    oracle replays the ENTIRE training run (init ordering, 2 Lloyd
+    iterations, probe selection) in SQL; recall vs brute force additionally
+    asserted in tests."""
     from jsonschema_spark.operators.similarity import ivf_topk, ivf_train
 
     df = _t(spark, sf_dir, "embeddings")
@@ -687,8 +715,162 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-_WS = "string_split_regex(trim(lower(text)), '\\s+')"
+# Empty/whitespace-only guard: DuckDB string_split_regex('', '\s+') yields
+# [''] (len 1) while the engine's words() helper returns [] — guard the
+# oracle so empty docs agree on both sides (testdata has none today, but
+# the sweep must not silently break if they appear).
+_WS = (
+    "(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])"
+    " ELSE string_split_regex(trim(lower(text)), '\\s+') END)"
+)
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+def _hex60(expr: str) -> str:
+    """DuckDB twin of functions.text.portable_hash60."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _simhash_oracle_sql() -> str:
+    """Independent DuckDB recomputation of the full simhash pipeline:
+    portable 60-bit word hashes -> per-bit majority vote (ties -> 1, empty
+    docs -> 0, matching the Arrow kernel) -> pairwise Hamming join."""
+    return (
+        f"WITH wh AS (SELECT doc_id, list_transform({_WS},"
+        f" w -> {_hex60('w')}) AS hs FROM documents),"
+        " sim AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN 0 ELSE"
+        "  CAST(list_sum(list_transform(range(60), bit ->"
+        "   CASE WHEN 2 * len(list_filter(hs, h -> ((h >> bit) & 1) = 1)) >= len(hs)"
+        "   THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END)) AS BIGINT) END AS sim"
+        "  FROM wh)"
+        " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        "  bit_count(xor(a.sim, b.sim)) AS distance"
+        " FROM sim a JOIN sim b ON a.doc_id < b.doc_id"
+        " WHERE bit_count(xor(a.sim, b.sim)) <= 3"
+    )
+
+
+def _vec_lit(vec) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def _ann_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 13, k: int = 10) -> str:
+    """DuckDB replay of hyperplane-LSH ANN: the seeded planes are embedded
+    as literals, the bucket filter is (query bucket) OR (Hamming distance 1
+    in bucket bits) — identical to similarity._probe_buckets — then exact
+    cosine rerank."""
+    from jsonschema_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+
+    def bucket(vexpr: str) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({vexpr}, {_vec_lit(p)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return "(" + " + ".join(terms) + ")"
+
+    return (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv"
+        "  FROM embeddings WHERE vec_id = 0),"
+        " e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        f" b AS (SELECT vec_id, v, {bucket('v')} AS bucket FROM e),"
+        f" qb AS (SELECT {bucket('qv')} AS qbucket, qv FROM q)"
+        " SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS score"
+        " FROM b, qb"
+        " WHERE bucket = qbucket"
+        "  OR bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT))) = 1"
+        f" ORDER BY score DESC, vec_id LIMIT {k}"
+    )
+
+
+def _ivf_oracle_sql(
+    n_lists: int = 8, iters: int = 2, n_probe: int = 3, seed: int = 29,
+    dim: int = 64, k: int = 10,
+) -> str:
+    """DuckDB replay of the ENTIRE IVF pipeline: portable-hash init ordering
+    (similarity.ivf_train), `iters` Lloyd iterations (assign = argmax cosine
+    with smallest-centroid tiebreak; update = per-dimension mean, empty
+    clusters keep their centroid), probe selection (top n_probe centroids by
+    query cosine, reversed-argsort tiebreak = larger cid first), then exact
+    rerank within the probed lists."""
+    h = _hex60(f"CAST(vec_id AS VARCHAR) || '#{seed}'")
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
+        " q AS (SELECT v AS qv FROM e WHERE vec_id = 0),",
+        " c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv"
+        f"  FROM (SELECT vec_id, v, {h} AS h FROM e) ORDER BY h, vec_id LIMIT {n_lists}),",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f" a{it} AS (SELECT vec_id, v, cid FROM ("
+            f"  SELECT e.vec_id, e.v, c.cid, row_number() OVER ("
+            "   PARTITION BY e.vec_id"
+            "   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn"
+            f"  FROM e, {prev} c) WHERE rn = 1),"
+        )
+        parts.append(
+            f" u{it} AS (SELECT cid, d, avg(x) AS mu FROM ("
+            f"  SELECT cid, unnest(v) AS x, unnest(range({dim})) AS d FROM a{it})"
+            "  GROUP BY cid, d),"
+        )
+        parts.append(
+            f" c{it} AS (SELECT c.cid, coalesce(n.nv, c.cv) AS cv FROM {prev} c"
+            f"  LEFT JOIN (SELECT cid, list(mu ORDER BY d) AS nv FROM u{it}"
+            "   GROUP BY cid) n ON c.cid = n.cid),"
+        )
+        prev = f"c{it}"
+    parts.append(
+        f" probes AS (SELECT cid FROM {prev}, q"
+        f"  ORDER BY list_cosine_similarity(cv, qv) DESC, cid DESC LIMIT {n_probe}),"
+    )
+    parts.append(
+        " af AS (SELECT vec_id, v, cid FROM ("
+        "  SELECT e.vec_id, e.v, c.cid, row_number() OVER ("
+        "   PARTITION BY e.vec_id"
+        "   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn"
+        f"  FROM e, {prev} c) WHERE rn = 1)"
+    )
+    parts.append(
+        " SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS score"
+        " FROM af, q WHERE cid IN (SELECT cid FROM probes)"
+        f" ORDER BY score DESC, vec_id LIMIT {k}"
+    )
+    return "".join(parts)
+
+
+def _corpus_validate_oracle_sql() -> str:
+    """DuckDB recomputation of every corpus check over the SAME materialized
+    parquet the Spark query validates (see _corpus_oracle_path)."""
+    from jsonschema_spark.sources.corpus import MAX_TOKENS, SOURCES, VOCAB_SIZE
+
+    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
+    srcs = ", ".join(f"'{s}'" for s in SOURCES)
+    ok = {
+        "col_doc_id": "(doc_id IS NULL OR regexp_matches(doc_id, '^doc-[0-9]{12}$'))",
+        "col_tokens": (
+            "(tokens IS NULL OR (len(tokens) >= 1 AND len(list_filter(tokens,"
+            f" t -> t < 0 OR t > {VOCAB_SIZE - 1})) = 0))"
+        ),
+        "col_n_tok": f"(n_tok IS NULL OR (n_tok >= 1 AND n_tok <= {MAX_TOKENS}))",
+        "required_doc_id": "(doc_id IS NOT NULL)",
+        "required_tokens": "(tokens IS NOT NULL)",
+        "required_n_tok": "(n_tok IS NOT NULL)",
+        "required_source": "(source IS NOT NULL)",
+        "row_len_consistent": "(n_tok = len(tokens))",
+        "ref_source": f"(source IS NULL OR source IN ({srcs}))",
+    }
+    valid = " AND ".join(ok.values())
+    fails = ", ".join(
+        f"count(*) FILTER (WHERE NOT {expr}) AS fail_{name}"
+        for name, expr in ok.items()
+    )
+    return (
+        f"SELECT count(*) AS n_rows, count(*) FILTER (WHERE {valid}) AS n_valid,"
+        f" {fails} FROM {tbl}"
+    )
 
 
 def _stoplist(lang: str) -> str:
@@ -846,7 +1028,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_mktsegment"
         ),
-        # corpus_validate: hash-based generator not expressible in SQL → rows-only
+        "corpus_validate": _corpus_validate_oracle_sql(),
         "tuple_items": (
             "SELECT count(*) FILTER (WHERE p_size >= 10 AND p_retailprice <= 1500)"
             " AS n_pass, count(*) AS n_rows FROM part"
@@ -896,8 +1078,25 @@ def oracle_sql() -> dict[str, str]:
             "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
             " WHERE jaccard >= 0.8"
         ),
-        # minhash_near_dup / simhash_near_dup / ann_topk: hash-seeded
-        # approximate ops → rows-only (containment/recall asserted in tests)
+        # minhash's exact-Jaccard verification (zero false positives) plus
+        # banding recall (1-j^4)^32 <= 5e-8 per pair at j >= 0.8 means its
+        # output IS the exact pair set — same oracle as the brute-force query
+        "minhash_near_dup": (
+            "WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents))"
+            " SELECT id_a, id_b, jaccard FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            " WHERE jaccard >= 0.8"
+        ),
+        "simhash_near_dup": _simhash_oracle_sql(),
+        "ann_topk": _ann_oracle_sql(),
+        "ivf_topk": _ivf_oracle_sql(),
         "lang_id_counts": (
             "WITH r AS (SELECT"
             f"  len(list_filter(ws, w -> list_contains({_stoplist('de')}, w))) / CAST(len(ws) AS DOUBLE) AS r_de,"
@@ -925,7 +1124,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_stats": (
             "SELECT doc_id,"
-            " len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,"
+            " (CASE WHEN trim(text) = '' THEN 0"
+            "  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS n_ws_tokens,"
             " CAST(list_sum(list_transform("
             "  regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9])'),"
             "  p -> ceil(length(p) / 6.0))) AS BIGINT) AS n_bpe_tokens"
@@ -958,9 +1158,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "blob_stats": (
             "SELECT count(*) AS n_blobs,"
-            " sum(strlen(text)) AS total_bytes,"
+            " CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,"
             " round(avg(strlen(text)), 3) AS avg_bytes,"
-            " max(strlen(text)) AS max_bytes,"
+            " CAST(max(strlen(text)) AS BIGINT) AS max_bytes,"
             " count(DISTINCT md5(text)) AS distinct_payloads"
             " FROM documents"
         ),

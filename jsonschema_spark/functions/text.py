@@ -71,12 +71,17 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, lang: str) -> Column:
-    """Fraction of whitespace tokens that are in STOPWORDS[lang]."""
-    ws = words(F.lower(col))
-    hits = F.size(F.filter(ws, lambda w: w.isin(STOPWORDS[lang])))
-    return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
-        hits.cast("double") / F.size(ws)
-    )
+    """Fraction of whitespace tokens that are in STOPWORDS[lang]. The
+    tokenization is let-bound so the split/lower pipeline runs once, not
+    three times (size twice + filter once) — HOFs get no CSE."""
+
+    def _ratio(ws: Column) -> Column:
+        hits = F.size(F.filter(ws, lambda w: w.isin(STOPWORDS[lang])))
+        return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(
+            hits.cast("double") / F.size(ws)
+        )
+
+    return let_(words(F.lower(col)), _ratio)
 
 
 def lang_id(col: Column) -> Column:
@@ -132,6 +137,16 @@ def quality_score(col: Column) -> Column:
         return F.when(n == 0, F.lit(0.0)).otherwise(score)
 
     return let_(words(F.lower(col)), _score)
+
+
+def portable_hash60(col: Column) -> Column:
+    """Cross-engine deterministic 60-bit hash: the first 15 hex chars of
+    md5, as a non-negative bigint. Exists so sketch operators (simhash, IVF
+    init) have a hash an external SQL engine can reproduce exactly — the
+    DuckDB twin is ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``.
+    Slower than xxhash64 (still fully JVM-side); ops that use it expose a
+    ``portable=False`` switch for the xxhash64 fast path at scale."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def normalized(col: Column) -> Column:

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from jsonschema_spark.functions.text import let_, normalized, words
+from jsonschema_spark.functions.text import let_, normalized, portable_hash60, words
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Guard against under-partitioned inputs (a single parquet file would
@@ -296,14 +296,19 @@ def minhash_candidates(
     size m yields m(m-1)/2 pairs — collisions are rare for honest hash
     functions, and the join is self-equi-join on the bucket key (AQE skew
     split handles pathological buckets)."""
-    # persist: the self-join below evaluates both sides independently
+    # localCheckpoint: the self-join below evaluates both sides independently
     # (no ReusedExchange across join aliases), which would run the whole
     # shingle+signature pipeline twice. Band rows are tiny relative to the
     # corpus (bands x 16 bytes per doc) — the canonical deployment
-    # materializes signatures once, exactly this.
+    # materializes signatures once, exactly this. localCheckpoint (not
+    # persist) so the cached blocks are released by the ContextCleaner when
+    # the result goes out of scope — persist() pins CacheManager entries for
+    # the session lifetime, leaking across a multi-dataset pipeline. On a
+    # real cluster, swap for an explicit signature-table write if executor
+    # loss must be recoverable (checkpointed blocks are not recomputable).
     exploded = _band_rows(
         _ensure_parallelism(df), id_col, text_col, n, num_hashes, bands
-    ).persist()
+    ).localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -381,10 +386,15 @@ def _simhash_fold(hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def simhash(col: Column) -> Column:
-    """SimHash of the word multiset: JVM computes per-word xxhash64, the
-    Arrow kernel folds bits."""
-    word_hashes = F.transform(words(F.lower(col)), lambda w: F.xxhash64(w))
+def simhash(col: Column, portable: bool = True) -> Column:
+    """SimHash of the word multiset: JVM computes per-word hashes, the
+    Arrow kernel folds bits. ``portable=True`` (default) uses the 60-bit
+    md5-derived hash an external SQL engine can reproduce — the DuckDB
+    oracle recomputes the full simhash + Hamming join independently;
+    ``portable=False`` switches to xxhash64 (faster, Spark-only) for
+    petabyte runs where no cross-engine twin is needed."""
+    word_hash = portable_hash60 if portable else F.xxhash64
+    word_hashes = F.transform(words(F.lower(col)), lambda w: word_hash(w))
     return _simhash_fold(word_hashes)
 
 
@@ -393,14 +403,15 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dup(
-    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_distance: int = 3,
+    portable: bool = True,
 ) -> DataFrame:
     """(id_a, id_b, distance) pairs with Hamming distance <= max_distance.
     Pigeonhole blocking: distance <= 3 implies at least one of the four
     16-bit chunks is byte-identical, so candidates = pairs sharing any
     (chunk_idx, chunk_value) bucket; verification is native bit_count."""
     sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sim")
+        F.col(id_col).alias("id"), simhash(F.col(text_col), portable).alias("sim")
     )
     chunks = sh.select(
         "id", "sim",
@@ -418,9 +429,11 @@ def simhash_near_dup(
             )
         ).alias("cc"),
     ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.v").alias("v"))
-    # persist: avoids the self-join recomputing the simhash kernel per side
-    # (16 bytes/doc signature table — materializing it is the standard shape)
-    chunks = chunks.persist()
+    # localCheckpoint: avoids the self-join recomputing the simhash kernel
+    # per side (16 bytes/doc signature table — materializing it is the
+    # standard shape); GC-released, unlike persist() which leaks CacheManager
+    # entries in long-lived sessions (see minhash_candidates).
+    chunks = chunks.localCheckpoint(eager=False)
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

@@ -65,9 +65,9 @@ def blob_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     payloads (via md5). One aggregation pass, content never shuffled."""
     return df.agg(
         F.count(F.lit(1)).alias("n_blobs"),
-        F.sum(F.octet_length(blob_col)).alias("total_bytes"),
+        F.sum(F.octet_length(blob_col)).cast("long").alias("total_bytes"),
         F.round(F.avg(F.octet_length(blob_col)), 3).alias("avg_bytes"),
-        F.max(F.octet_length(blob_col)).alias("max_bytes"),
+        F.max(F.octet_length(blob_col)).cast("long").alias("max_bytes"),
         F.count_distinct(F.md5(F.col(blob_col))).alias("distinct_payloads"),
     )
 

@@ -183,11 +183,21 @@ def ivf_train(
     assignment is an Arrow-kernel matmul; the centroid update is
     posexplode -> groupBy(cluster, dim) -> avg — one shuffle of
     (k x dim) grouped cells per iteration regardless of corpus size.
-    Deterministic init: the n_lists rows with smallest xxhash64(id, seed).
+    Deterministic init: the n_lists rows with the smallest portable 60-bit
+    md5 hash of "<id>#<seed>" (id tiebreak) — chosen over xxhash64 so the
+    DuckDB oracle can replay the whole training run independently.
     Returns the (n_lists x dim) centroid matrix (driver-side, tiny)."""
+    from jsonschema_spark.functions.text import portable_hash60
+
     init_rows = (
-        df.select(F.col(vec_col).alias("v"), F.xxhash64(F.col(id_col), F.lit(seed)).alias("h"))
-        .orderBy("h")
+        df.select(
+            F.col(vec_col).alias("v"),
+            portable_hash60(
+                F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+            ).alias("h"),
+            F.col(id_col).alias("tie"),
+        )
+        .orderBy("h", "tie")
         .limit(n_lists)
         .collect()
     )

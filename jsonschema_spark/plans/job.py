@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 
 from jsonschema_spark.operators import drift as drift_ops
 from jsonschema_spark.operators import stats as stats_ops
-from jsonschema_spark.operators.referential import domain_predicate, orphan_key_counts
+from jsonschema_spark.operators.referential import domain_flag, orphan_key_counts
 from jsonschema_spark.operators.uniqueness import duplicate_keys
 from jsonschema_spark.plans.plan import CompiledPlan
 
@@ -59,15 +59,16 @@ class ValidationJob:
 
     def annotate(self, df: DataFrame) -> DataFrame:
         """Input + one boolean column per check + `_valid`. Referential checks
-        join the row pass as broadcast-domain isin predicates, so the whole
-        verdict projection stays in one codegen stage."""
+        join the row pass as domain-membership predicates: small dimensions
+        compile to an isin set inside the verdict codegen stage; large ones
+        fall back to a (broadcast-eligible) join so the domain never has to
+        fit on the driver (see referential.domain_flag)."""
         out = self.plan.annotate(df)
         for col_name, ref in self.plan.references.items():
             dim = self.dims.get(ref["dim"])
             if dim is None:
                 raise ValueError(f"missing dimension table {ref['dim']!r}")
-            pred = domain_predicate(df, col_name, dim, ref["key"])
-            out = out.withColumn(f"chk_ref_{col_name}", pred)
+            out = domain_flag(out, col_name, dim, ref["key"], f"chk_ref_{col_name}")
             out = out.withColumn("_valid", F.col("_valid") & F.col(f"chk_ref_{col_name}"))
         return out
 

@@ -17,16 +17,38 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True iff an Iceberg catalog is usable in this session (the runtime
-    jar is not shipped in-sandbox; on a cluster set
-    spark.sql.catalog.<name>=org.apache.iceberg.spark.SparkCatalog)."""
+    """True iff an Iceberg catalog is usable in this session: the runtime
+    jar must be on the classpath AND at least one spark.sql.catalog.* conf
+    must point at an Iceberg catalog — a cluster shipping the jar without a
+    configured catalog would otherwise select iceberg mode and fail at
+    write time. In-sandbox (no jar) this is always False."""
     try:
         spark._jvm.java.lang.Class.forName(
             "org.apache.iceberg.spark.SparkCatalog"
         )
-        return True
     except Exception:
         return False
+    return _has_iceberg_catalog_conf(spark)
+
+
+def _has_iceberg_catalog_conf(spark: SparkSession) -> bool:
+    """Scan session + context confs for spark.sql.catalog.<name> entries
+    whose implementation class mentions iceberg."""
+    entries: dict[str, str] = dict(spark.sparkContext.getConf().getAll())
+    try:  # runtime-set confs (spark.conf.set) live in the session conf
+        jmap = spark._jsparkSession.conf().getAll()
+        it = jmap.iterator()
+        while it.hasNext():
+            e = it.next()
+            entries[e._1()] = e._2()
+    except Exception:
+        pass
+    return any(
+        k.startswith("spark.sql.catalog.")
+        and k.count(".") == 3  # the catalog root key, not .<name>.type etc.
+        and "iceberg" in str(v).lower()
+        for k, v in entries.items()
+    )
 
 
 class ResultsSink:

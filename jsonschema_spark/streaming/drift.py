@@ -38,11 +38,17 @@ def drift_monitor(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         base = spark.createDataFrame(baseline_rows, baseline.schema)
-        current = stats_ops.histogram(batch_df, column, bins, lo, hi)
-        n_rows = batch_df.count()
-        report = drift_ops.drift_report(
-            current, base, key="bucket", psi_threshold=psi_threshold
-        )
+        # persist: drift_report and the row count are two actions over the
+        # same micro-batch — without it the source recomputes per action
+        batch_df.persist()
+        try:
+            current = stats_ops.histogram(batch_df, column, bins, lo, hi)
+            report = drift_ops.drift_report(
+                current, base, key="bucket", psi_threshold=psi_threshold
+            )
+            n_rows = batch_df.count()
+        finally:
+            batch_df.unpersist()
         report.update({"n_rows": n_rows, "batch_id": batch_id, "ts": time.time()})
         if on_report is not None:
             on_report(batch_id, report)
