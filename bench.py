@@ -45,7 +45,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = _sf(sf_dir)
-    default_rows = max(int(1_000_000 * (sf / 0.1)), 20_000)
+    # 4M rows at sf0.1 — the SAME corpus BASELINE.md's headline pins
+    # (4M sequences / 2.07B tokens), so BENCH_rN vs BASELINE.md is a direct
+    # file-to-file comparison instead of an overhead-confounded one
+    default_rows = max(int(4_000_000 * (sf / 0.1)), 20_000)
     corpus_rows = int(os.environ.get("BENCH_CORPUS_ROWS", str(default_rows)))
     cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
 
@@ -64,7 +67,7 @@ def main() -> None:
 
     # warm-up pass (JIT + parquet footer caches), then best-of-N steady state
     corpus_validation_pass(spark, corpus_path)
-    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
     corpus_sec = float("inf")
     for _ in range(repeat):
         t0 = time.time()

@@ -15,8 +15,11 @@ Typed-column conventions (documented semantic bridge, SURVEY.md §7):
   evaluator on ``None`` at plan-build time — a compile-time constant.
 - ``integer`` on fractional/decimal columns is a *value* check
   (``c == floor(c)``), matching /root/reference/validate.go:220-229.
-- ``pattern`` lowers to ``rlike`` (java.util.regex). Python-re vs Java-regex
-  is a documented gap for exotic constructs; suite patterns are compatible.
+- ``pattern`` lowers to ``rlike`` (java.util.regex) behind a compile-time
+  dialect gate: constructs whose meaning differs from Python re (inline
+  flags, ``\\Z``, ``\\d``-style Unicode classes, class intersection, ...)
+  raise LoweringError so the plan builder routes the check through the
+  Arrow kernel — never a silent cross-dialect divergence.
 
 Anything not expressible raises :class:`LoweringError`; the plan builder
 falls back to the Arrow-batched kernel for that check (never silently).
@@ -32,12 +35,29 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from jsonschema_spark.spec.compile import regex_dialect_risks
 from jsonschema_spark.spec.evaluate import _deref, is_valid
 from jsonschema_spark.spec.model import CompiledSchema
 
 
 class LoweringError(ValueError):
     """Constraint not expressible as a native Column; use the kernel path."""
+
+
+def _rlike(col: Column, pattern: str) -> Column:
+    """Gated ``rlike``: a pattern whose meaning differs between Python re
+    (the engine's semantic reference) and java.util.regex refuses the native
+    lowering instead of silently diverging — the plan builder then routes
+    the check through the Arrow kernel, which keeps Python-re semantics
+    (SURVEY §7 compile-time dialect gate; reference analog of the RE2
+    dialect pin at compiler.go:195-200)."""
+    risks = regex_dialect_risks(pattern)
+    if risks:
+        raise LoweringError(
+            f"pattern {pattern!r} is not rlike-safe "
+            f"(Python-re vs java.util.regex): {'; '.join(risks)}"
+        )
+    return col.rlike(pattern)
 
 
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
@@ -244,7 +264,7 @@ def _lower_string(schema: CompiledSchema, col: Column) -> list:
     if schema.max_length is not None:
         preds.append(F.length(col) <= schema.max_length)
     if schema.pattern is not None:
-        preds.append(col.rlike(schema.pattern.pattern))
+        preds.append(_rlike(col, schema.pattern.pattern))
     return preds
 
 
@@ -409,7 +429,7 @@ def _lower_map(
             F.forall(
                 F.map_entries(col),
                 lambda kv: F.when(
-                    kv.getField("key").rlike(regex.pattern),
+                    _rlike(kv.getField("key"), regex.pattern),
                     _lower(child, kv.getField("value"), vtype, seen),
                 ).otherwise(F.lit(True)),
             )
@@ -424,7 +444,7 @@ def _lower_map(
         def matched(k: Column) -> Column:
             m = F.array_contains(known, k) if schema.properties else F.lit(False)
             for regex, _ in schema.pattern_properties:
-                m = m | k.rlike(regex.pattern)
+                m = m | _rlike(k, regex.pattern)
             return m
 
         if schema.additional_properties is False:

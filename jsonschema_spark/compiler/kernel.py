@@ -84,6 +84,27 @@ def json_validation_kernel(spec: dict | str, doc_col: Column) -> Column:
     return _validate(doc_col)
 
 
+def value_validation_kernel(spec: dict | str, value_col: Column) -> Column:
+    """Boolean validity of a *raw typed value* column (NOT JSON text)
+    against a compiled spec — the fallback when the native lowering refuses
+    a string-column check (e.g. the regex dialect gate): the cell value is
+    validated as a JSON string instance with the pure-Python evaluator, so
+    kernel semantics match the evaluator exactly. Arrow-batched; used only
+    for the rare checks the gate diverts off the codegen fast path."""
+    spec_text = spec if isinstance(spec, str) else json.dumps(spec)
+
+    @F.pandas_udf(T.BooleanType())
+    def _validate(batch: pd.Series) -> pd.Series:
+        from jsonschema_spark.spec.evaluate import validate_value
+
+        compiled = _compiled(spec_text)
+        return pd.Series(
+            [not validate_value(compiled, None if v is None else v) for v in batch]
+        )
+
+    return _validate(value_col)
+
+
 def multi_spec_validity_kernel(specs: list, idx_col: Column, doc_col: Column) -> Column:
     """Boolean validity of each JSON document against ``specs[idx]``.
 

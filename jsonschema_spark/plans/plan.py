@@ -10,8 +10,11 @@ north rule requires (uniqueness, referential, drift, stats).
 Compilation happens once, driver-side (the reference's compile-once contract,
 compiler.go:48-247): every per-column draft-4 spec lowers to a native Column
 predicate via compiler/columns.py; a column spec that cannot lower natively
-falls back to the Arrow-batched kernel *only if* the column is a JSON-text
-string column — otherwise compilation fails loudly.
+(cyclic refs, regex-dialect-gated patterns, ...) falls back to an
+Arrow-batched kernel that validates the raw string VALUE with the
+pure-Python evaluator *only if* the column is a string column — otherwise
+compilation fails loudly. (JSON-text columns are the separate, explicit
+``json_columns`` path.)
 
 Example::
 
@@ -43,7 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from jsonschema_spark.compiler.columns import LoweringError, lower_predicate
-from jsonschema_spark.compiler.kernel import json_validation_kernel
+from jsonschema_spark.compiler.kernel import json_validation_kernel, value_validation_kernel
 from jsonschema_spark.spec.compile import SpecError, compile_spec
 
 
@@ -113,9 +116,12 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
             checks[name] = lower_predicate(compiled, F.col(col_name), fields[col_name])
         except LoweringError:
             if isinstance(fields[col_name], T.StringType):
-                kernel_checks[name] = json_validation_kernel(
+                # kernel fallback validates the cell as a raw string VALUE
+                # (json_columns is the explicit JSON-text path) — used when
+                # the native lowering refuses, e.g. the regex dialect gate
+                kernel_checks[name] = value_validation_kernel(
                     col_spec, F.col(col_name)
-                ).getField("valid")
+                )
             else:
                 raise
 

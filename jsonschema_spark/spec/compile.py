@@ -33,6 +33,84 @@ _SCHEMA_MAP_KEYS = ("properties", "patternProperties", "definitions")
 _SCHEMA_LIST_KEYS = ("allOf", "anyOf", "oneOf")
 
 
+def regex_dialect_risks(pattern: str) -> list:
+    """Constructs whose meaning differs between Python ``re`` (the engine's
+    semantic reference, used by the evaluator and Arrow kernels) and
+    ``java.util.regex`` (Spark ``rlike``, the native-column fast path) — or
+    that Java rejects outright. The native lowering refuses these (SURVEY §7:
+    "flag exotic constructs at compile time") and the plan builder falls
+    back to the kernel path, which keeps Python-re semantics; rewriting the
+    pattern (e.g. ``[0-9]`` for ``\\d``) restores the fast path.
+
+    Returned list is empty for dialect-safe patterns. The reference pins the
+    same problem for RE2 vs its host dialect (compiler.go:195-200).
+    """
+    risks = []
+
+    def risk(msg: str) -> None:
+        if msg not in risks:
+            risks.append(msg)
+
+    i, n = 0, len(pattern)
+    in_class = False
+    class_start = -1
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            nxt = pattern[i + 1] if i + 1 < n else ""
+            if nxt == "Z":
+                risk(r"\Z: absolute end in Python, end-before-final-newline in Java (use \z semantics via the kernel or rewrite with $)")
+            elif nxt == "0":
+                risk(r"\0 octal escape: parsed differently by java.util.regex")
+            elif nxt in "dDwWsSbB":
+                risk(
+                    rf"\{nxt}: Unicode-aware in Python but ASCII-only in Java "
+                    "(rewrite with an explicit class like [0-9] for the native path)"
+                )
+            i += 2
+            continue
+        if in_class:
+            if c == "]" and i > class_start + (2 if pattern[class_start + 1 : class_start + 2] == "^" else 1):
+                in_class = False
+            elif c == "[":
+                risk("'[' inside a character class: literal in Python, nested class in Java")
+            elif c == "&" and pattern[i + 1 : i + 2] == "&":
+                risk("'&&' inside a character class: literal in Python, intersection in Java")
+                i += 2
+                continue
+        else:
+            if c == "[":
+                in_class = True
+                class_start = i
+            elif c == "(" and pattern[i + 1 : i + 2] == "?":
+                tail = pattern[i + 2 :]
+                if tail[:1] == "P":
+                    risk("(?P...) named-group syntax: Python-only, Java rejects it at runtime")
+                elif tail[:1] == "(":
+                    risk("(?(id)...) conditional: Python-only, Java rejects it at runtime")
+                elif tail[:1] == "#":
+                    risk("(?#...) comment: Python-only, Java rejects it at runtime")
+                elif tail[:1] == ">":
+                    risk("(?>...) atomic group: flagged for dialect caution (kernel path keeps Python semantics)")
+                else:
+                    m = re.match(r"([aiLmsux]+)(?:-[imsx]+)?[):]", tail)
+                    if m:
+                        flags = m.group(1)
+                        if "a" in flags or "L" in flags:
+                            risk("(?a)/(?L) flags: Python-only, Java rejects them at runtime")
+                        else:
+                            risk(
+                                f"inline flags (?{flags}...): case/verbose semantics differ "
+                                "between Python and Java (e.g. (?i) folds Unicode in Python, ASCII in Java)"
+                            )
+            elif c in "*+?}" and pattern[i + 1 : i + 2] == "+":
+                risk("possessive quantifier: flagged for dialect caution (kernel path keeps Python semantics)")
+                i += 2
+                continue
+        i += 1
+    return risks
+
+
 class SpecError(ValueError):
     """Malformed constraint spec (bad keyword type, bad regex, duplicate
     required entry, unresolvable $ref, ...). Raised at compile time, never
@@ -65,6 +143,58 @@ def file_map_resolver(prefix_to_dir: dict, fallback: Optional[Resolver] = None) 
         if fallback is not None:
             return fallback(uri)
         return default_resolver(uri)
+
+    return resolve
+
+
+def http_resolver(
+    allow_hosts: Optional[set] = None,
+    max_bytes: int = 4 << 20,
+    timeout_sec: float = 5.0,
+    fallback: Optional[Resolver] = None,
+) -> Resolver:
+    """Driver-side http(s) ``$ref`` fetcher — the real-network counterpart
+    of ``file_map_resolver`` (reference analog: resolver.go:15-95, exercised
+    through an embedded server exactly like suite_test.go:20-31).
+
+    Guard rails, because a $ref is attacker-controllable in hosted settings:
+    scheme must be http/https (everything else falls through to ``fallback``
+    / the metaschema-only default), an optional host allowlist, a response
+    size cap, and per-URI memoization. Resolution happens ONLY at compile
+    time on the driver; executors receive compiled specs and never fetch.
+    """
+    import urllib.request
+    from urllib.parse import urlparse
+
+    cache: dict = {}
+
+    def resolve(uri: str) -> Any:
+        # the embedded draft-4 metaschema always resolves locally — its URI
+        # is http-scheme but must never trigger a network fetch
+        if urldefrag(uri)[0].rstrip("#") == DRAFT4_URI:
+            return DRAFT4_METASCHEMA
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("http", "https"):
+            if fallback is not None:
+                return fallback(uri)
+            return default_resolver(uri)
+        if allow_hosts is not None and parsed.hostname not in allow_hosts:
+            raise SpecError(
+                f"refusing to fetch {uri!r}: host {parsed.hostname!r} "
+                "not in the resolver allowlist"
+            )
+        if uri in cache:
+            return cache[uri]
+        try:
+            with urllib.request.urlopen(uri, timeout=timeout_sec) as resp:
+                data = resp.read(max_bytes + 1)
+        except OSError as exc:
+            raise SpecError(f"failed to fetch remote spec {uri!r}: {exc}") from exc
+        if len(data) > max_bytes:
+            raise SpecError(f"remote spec {uri!r} exceeds {max_bytes} bytes")
+        doc = parse_json(data)
+        cache[uri] = doc
+        return doc
 
     return resolve
 
