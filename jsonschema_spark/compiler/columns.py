@@ -125,6 +125,64 @@ def lower_predicate(
     return _lower(schema, col, dtype, seen=frozenset())
 
 
+def lower_named_predicates(
+    schema: CompiledSchema, col: Column, dtype: T.DataType
+) -> dict:
+    """Per-path boolean predicates whose conjunction equals
+    ``lower_predicate``: for struct columns, each property subschema keys
+    under ``/<field>`` (recursively ``/a/b`` for nested structs) while every
+    schema-level constraint (type, enum, combinators, required,
+    min/maxProperties, dependencies) keys at ``''``. Non-struct dtypes yield
+    a single ``''`` entry.
+
+    This is how the native path recovers the reference's path-wrapped error
+    locations (validate.go:74,346,500): ValidationJob.violations evaluates
+    these per-path predicates in the same scan stage and emits
+    (id, check, path) rows instead of path-less check names. Termination for
+    cyclic specs is driven by dtype descent, like ``_lower``."""
+    import dataclasses
+
+    target = _deref(schema)
+    if target is None or not isinstance(dtype, T.StructType):
+        return {"": lower_predicate(schema, col, dtype)}
+    s = target
+    fields = {f.name: f.dataType for f in dtype.fields}
+    seen = frozenset({id(s)})
+    entries: dict = {}
+
+    def put(key: str, pred: Column, guard: Column) -> None:
+        wrapped = F.when(guard, F.lit(True)).otherwise(F.coalesce(pred, F.lit(False)))
+        entries[key] = (entries[key] & wrapped) if key in entries else wrapped
+
+    for name, ftype in fields.items():
+        applied = [s.properties[name]] if name in s.properties else []
+        for regex, child in s.pattern_properties:
+            if regex.search(name) is not None:
+                applied.append(child)
+        fcol = col.getField(name)
+        # absent member (NULL field) / NULL object: properties don't constrain
+        guard = col.isNull() | fcol.isNull()
+        if applied:
+            for child in applied:
+                if isinstance(ftype, T.StructType) and _deref(child) is not None:
+                    for p, pred in lower_named_predicates(child, fcol, ftype).items():
+                        put(f"/{name}{p}", pred, guard)
+                else:
+                    put(f"/{name}", _lower(child, fcol, ftype, seen), guard)
+        elif s.additional_properties is False:
+            entries[f"/{name}"] = F.when(col.isNull(), F.lit(True)).otherwise(
+                fcol.isNull()
+            )
+        elif isinstance(s.additional_properties, CompiledSchema):
+            put(f"/{name}", _lower(s.additional_properties, fcol, ftype, seen), guard)
+
+    root = dataclasses.replace(
+        s, properties={}, pattern_properties=[], additional_properties=None
+    )
+    entries[""] = lower_predicate(root, col, dtype)
+    return entries
+
+
 def _lower(
     schema: CompiledSchema, col: Column, dtype: T.DataType, seen: frozenset
 ) -> Column:

@@ -78,8 +78,12 @@ class ValidationJob:
     def violations(
         self, annotated: DataFrame, sample_fraction: float | None = None
     ) -> DataFrame:
-        """(id, check) rows for every failed check — melted via an array of
-        named structs filtered in-stage, so passing rows never leave the scan.
+        """(id, check, path) rows for every failed check — melted via an
+        array of named structs filtered in-stage, so passing rows never
+        leave the scan. For struct columns the plan carries per-field
+        predicates (CompiledPlan.detail), so ``path`` pinpoints the failing
+        field ('/addr/zip'), matching the reference's path-wrapped errors
+        (validate.go:74,346,500); scalar checks report path ''.
 
         ``sample_fraction``: at 10^12 rows a 1% violation rate is 10^10
         rows — often too many to materialize. A deterministic hash sample
@@ -93,19 +97,37 @@ class ValidationJob:
                 F.pmod(F.xxhash64(F.col(self.id_column), F.lit(7)), F.lit(1_000_000))
                 < threshold
             )
-        entries = F.filter(
-            F.array(
-                *[
-                    F.when(~F.col(c), F.lit(c.removeprefix("chk_")))
-                    for c in checks
-                ]
-            ),
-            lambda x: x.isNotNull(),
-        )
+        detail = getattr(self.plan, "detail", None) or {}
+        items = []
+        for c in checks:
+            name = c.removeprefix("chk_")
+            named = detail.get(name)
+            if named:
+                # one candidate entry per path; the per-path predicate is
+                # evaluated in the same stage (input columns are still
+                # present in the annotated frame), never a second pass
+                for path, pred in named.items():
+                    items.append(
+                        F.when(
+                            ~F.coalesce(pred, F.lit(False)),
+                            F.struct(
+                                F.lit(name).alias("check"), F.lit(path).alias("path")
+                            ),
+                        )
+                    )
+            else:
+                items.append(
+                    F.when(
+                        ~F.col(c),
+                        F.struct(F.lit(name).alias("check"), F.lit("").alias("path")),
+                    )
+                )
+        entries = F.filter(F.array(*items), lambda x: x.isNotNull())
         return (
             annotated.select(F.col(self.id_column).alias("id"), entries.alias("failed"))
             .filter(F.size("failed") > 0)
-            .select("id", F.explode("failed").alias("check"))
+            .select("id", F.explode("failed").alias("f"))
+            .select("id", F.col("f.check").alias("check"), F.col("f.path").alias("path"))
         )
 
     def partition_lineage(self, annotated: DataFrame, unit: str = "auto") -> DataFrame:

@@ -45,7 +45,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from jsonschema_spark.compiler.columns import LoweringError, lower_predicate
+from jsonschema_spark.compiler.columns import (
+    LoweringError,
+    lower_named_predicates,
+    lower_predicate,
+)
 from jsonschema_spark.compiler.kernel import json_validation_kernel, value_validation_kernel
 from jsonschema_spark.spec.compile import SpecError, compile_spec
 
@@ -87,6 +91,10 @@ class CompiledPlan:
     unique: list
     references: dict
     drift: dict
+    # check name -> {json-pointer path -> Column}: per-field predicates for
+    # struct columns (conjunction == the check), so violations can report
+    # the failing field path (reference's path-wrapped errors)
+    detail: dict = field(default_factory=dict)
 
     @property
     def check_names(self) -> list:
@@ -105,6 +113,7 @@ class CompiledPlan:
 def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
     checks: dict = {}
     kernel_checks: dict = {}
+    detail: dict = {}
     fields = {f.name: f.dataType for f in schema.fields}
 
     for col_name, col_spec in spec.columns.items():
@@ -114,6 +123,12 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
         name = f"col_{col_name}"
         try:
             checks[name] = lower_predicate(compiled, F.col(col_name), fields[col_name])
+            if isinstance(fields[col_name], T.StructType):
+                named = lower_named_predicates(
+                    compiled, F.col(col_name), fields[col_name]
+                )
+                if len(named) > 1:
+                    detail[name] = named
         except LoweringError:
             if isinstance(fields[col_name], T.StringType):
                 # kernel fallback validates the cell as a raw string VALUE
@@ -156,4 +171,5 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
         unique=list(spec.unique),
         references=dict(spec.references),
         drift=dict(spec.drift),
+        detail=detail,
     )

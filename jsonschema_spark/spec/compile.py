@@ -235,9 +235,26 @@ class Compiler:
     def _register(self, uri: str, node: Any, base: str) -> None:
         self.ids[_norm_uri(uri)] = (node, base)
 
+    @staticmethod
+    def _validate_id(node: dict) -> None:
+        """Reference parity (jsonschema_test.go:114-194): ``id`` must be a
+        string and a syntactically valid URI reference — a ':' before any
+        '/?#' delimits a scheme, which must match [A-Za-z][A-Za-z0-9+.-]*."""
+        if "id" not in node or "$ref" in node:
+            return
+        value = node["id"]
+        if not isinstance(value, str):
+            raise SpecError(f"id must be a string, got {value!r}")
+        head = re.split(r"[/?#]", value, maxsplit=1)[0]
+        if ":" in head:
+            scheme = head.split(":", 1)[0]
+            if re.fullmatch(r"[A-Za-z][A-Za-z0-9+.\-]*", scheme) is None:
+                raise SpecError(f"id is not a valid URI reference: {value!r}")
+
     def _collect_ids(self, node: Any, base: str) -> None:
         if not isinstance(node, dict):
             return
+        self._validate_id(node)
         # a sibling id next to $ref is inert: not an identifier, no base change
         if "$ref" not in node and isinstance(node.get("id"), str):
             new_uri = urljoin(base, node["id"]) if base else node["id"]

@@ -25,7 +25,16 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_level(cores: int, rows: int, repeat: int, zip_path: str) -> dict:
+JOB_SCRIPTS = {
+    "validate": "throughput_job.py",
+    "dedup": "dedup_scaling_job.py",
+}
+
+
+def run_level(
+    cores: int, rows: int, repeat: int, zip_path: str,
+    job_script: str = "throughput_job.py",
+) -> dict:
     cmd = [
         "spark-submit",
         "--master", f"local[{cores}]",
@@ -38,7 +47,7 @@ def run_level(cores: int, rows: int, repeat: int, zip_path: str) -> dict:
         "--conf", "spark.driver.extraJavaOptions=-Xms8g -XX:+AlwaysPreTouch",
         "--conf", "spark.sql.parquet.enableNestedColumnVectorizedReader=true",
         "--py-files", zip_path,
-        os.path.join(REPO, "scripts", "throughput_job.py"),
+        os.path.join(REPO, "scripts", job_script),
         "--cores", str(cores),
         "--rows", str(rows),
         "--repeat", str(repeat),
@@ -60,6 +69,10 @@ def main() -> int:
     ap.add_argument("--rows", type=int, default=1_000_000)
     ap.add_argument("--pairs", default="8:32")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument(
+        "--job", choices=sorted(JOB_SCRIPTS), default="validate",
+        help="validate = corpus validation pass; dedup = minhash near-dup",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
 
@@ -74,8 +87,8 @@ def main() -> int:
     results = {"rows": args.rows, "pairs": []}
     for pair in args.pairs.split(","):
         lo, hi = (int(x) for x in pair.split(":"))
-        rec_lo = run_level(lo, args.rows, args.repeat, zip_path)
-        rec_hi = run_level(hi, args.rows, args.repeat, zip_path)
+        rec_lo = run_level(lo, args.rows, args.repeat, zip_path, JOB_SCRIPTS[args.job])
+        rec_hi = run_level(hi, args.rows, args.repeat, zip_path, JOB_SCRIPTS[args.job])
         eff = (rec_hi["tokens_per_sec"] / rec_lo["tokens_per_sec"]) / (hi / lo)
         results["pairs"].append(
             {
@@ -88,9 +101,17 @@ def main() -> int:
             }
         )
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    # merge: the file keeps one section per job so dedup evidence doesn't
+    # clobber the validation headline (legacy layout = bare validate record)
+    merged: dict = {}
+    if os.path.isfile(args.out):
+        with open(args.out) as fh:
+            prior = json.load(fh)
+        merged = prior if "validate" in prior or "dedup" in prior else {"validate": prior}
+    merged[args.job] = results
     with open(args.out, "w") as fh:
-        json.dump(results, fh, indent=2)
-    print(json.dumps(results))
+        json.dump(merged, fh, indent=2)
+    print(json.dumps({args.job: results}))
     return 0
 
 

@@ -69,8 +69,52 @@ def test_custom_suite(schema, data, valid):
     _run_case(schema, data, valid)
 
 
+# one-for-one mirror of the reference's TestParse negative table
+# (/root/reference/jsonschema_test.go:114-194), same order
+_VERY_BAD = (
+    '{"allOf":[{"patternProperties":{"foo$":{"dependencies":{"foo":'
+    '{"additionalProperties":{"additionalItems":{"properties":{"foo":'
+    '{"items":{"required":["foo","foo"]}}}}}}}}}}]}'
+)
+
+REFERENCE_NEGATIVE_PARSE = [
+    "",                                           # invalid JSON
+    "{",
+    "[]",
+    '{"type":{}}',                                # invalid structure
+    '{"id":{}}',
+    '{"items":10}',
+    '{"minimum":"10"}',
+    '{"minimum":true}',
+    '{"properties":["foobar"]}',
+    '{"additionalProperties":{"type":1}}',
+    '{"additionalProperties":[]}',
+    '{"patternProperties":{"foo":[]}}',
+    '{"dependencies":{"foo":1}}',
+    '{"dependencies":{"foo":[1]}}',
+    '{"dependencies":{"foo":{"type":1}}}',
+    '{"type":["foobar"]}',                        # invalid "type"
+    '{"dependencies":{"id":":"}}',                # invalid "id"
+    '{"definitions":{"foo":{"id":":"}}}',
+    '{"items":[{"id":":"}]}',
+    '{"items":{"id":":"}}',
+    '{"$ref":":"}',                               # invalid "ref"
+    _VERY_BAD,                                    # invalid "required"
+    '{"pattern":"\\\\"}',                         # bad regex
+    '{"patternProperties":{"\\\\":{}}}',
+]
+
+
+@pytest.mark.parametrize(
+    "spec", REFERENCE_NEGATIVE_PARSE, ids=range(len(REFERENCE_NEGATIVE_PARSE))
+)
+def test_reference_negative_parse_parity(spec):
+    with pytest.raises(SpecError):
+        compile_spec(spec)
+
+
 def test_malformed_specs_fail_to_compile():
-    """Negative-parse table (reference analog: jsonschema_test.go:114-194)."""
+    """Additional negative-parse cases beyond the reference's table."""
     bad_specs = [
         "{",  # invalid json
         '{"type": "unknown"}',

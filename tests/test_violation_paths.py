@@ -1,0 +1,135 @@
+"""Struct-path violation detail on the native path (VERDICT r1 #7): the
+typed lowering names per-field predicates so violation rows carry the
+failing field location — the reference's path-wrapped errors
+(validate.go:74,346,500) — while the conjunction stays exactly the
+single-column predicate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.compiler.columns import (
+    lower_named_predicates,
+    lower_predicate,
+)
+from jsonschema_spark.plans.job import ValidationJob
+from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+from jsonschema_spark.spec.compile import compile_spec
+
+DOC_TYPE = (
+    "id long, doc struct<name: string, n: long,"
+    " addr: struct<street: string, zip: string>>"
+)
+
+DOC_SPEC = {
+    "type": "object",
+    "required": ["name"],
+    "properties": {
+        "name": {"type": "string", "minLength": 3},
+        "n": {"minimum": 0},
+        "addr": {
+            "type": "object",
+            "properties": {
+                "street": {"minLength": 5},
+                "zip": {"pattern": "^[0-9]{5}$"},
+            },
+            "required": ["zip"],
+        },
+    },
+}
+
+ROWS = [
+    (1, ("alice", 5, ("long street", "12345"))),   # all pass
+    (2, ("al", 5, ("long street", "12345"))),      # /name too short
+    (3, ("alice", -1, ("long street", "12345"))),  # /n below minimum
+    (4, ("alice", 5, ("st", "12345"))),            # /addr/street too short
+    (5, ("alice", 5, ("long street", "12x45"))),   # /addr/zip bad pattern
+    (6, ("alice", 5, ("long street", None))),      # /addr required zip -> /addr root
+    (7, (None, 5, ("long street", "12345"))),      # required name -> root ''
+    (8, ("al", 5, ("st", "12x45"))),               # three paths at once
+    (9, None),                                     # null object: type check at root
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, DOC_TYPE)
+
+
+def test_named_conjunction_equals_single_predicate(spark, docs):
+    compiled = compile_spec(DOC_SPEC)
+    dtype = docs.schema["doc"].dataType
+    single = lower_predicate(compiled, F.col("doc"), dtype)
+    named = lower_named_predicates(compiled, F.col("doc"), dtype)
+    assert "" in named and "/name" in named and "/addr/zip" in named
+    conj = F.lit(True)
+    for pred in named.values():
+        conj = conj & pred
+    mismatches = docs.filter(single != conj).count()
+    assert mismatches == 0
+
+
+def test_violation_rows_carry_field_paths(spark, docs):
+    plan = compile_table_spec(
+        TableSpec.from_dict({"columns": {"doc": DOC_SPEC}}), docs.schema
+    )
+    assert "col_doc" in plan.detail
+    job = ValidationJob(plan, id_column="id")
+    ann = job.annotate(docs)
+    got = {
+        (r.id, r.check, r.path)
+        for r in job.violations(ann).collect()
+    }
+    assert got == {
+        (2, "col_doc", "/name"),
+        (3, "col_doc", "/n"),
+        (4, "col_doc", "/addr/street"),
+        (5, "col_doc", "/addr/zip"),
+        (6, "col_doc", "/addr"),   # nested `required` fails at the addr node
+        (7, "col_doc", ""),        # object-level required -> root path
+        (8, "col_doc", "/name"),
+        (8, "col_doc", "/addr/street"),
+        (8, "col_doc", "/addr/zip"),
+        (9, "col_doc", ""),        # null object fails `type: object` at root
+    }
+
+
+def test_scalar_checks_report_root_path(spark):
+    df = spark.createDataFrame([(1, 5), (2, -3)], "id long, v long")
+    plan = compile_table_spec(
+        TableSpec.from_dict({"columns": {"v": {"minimum": 0}}}), df.schema
+    )
+    job = ValidationJob(plan, id_column="id")
+    rows = job.violations(job.annotate(df)).collect()
+    assert [(r.id, r.check, r.path) for r in rows] == [(2, "col_v", "")]
+
+
+def test_additional_properties_false_paths(spark):
+    df = spark.createDataFrame(
+        [(1, ("a", None)), (2, ("a", "extra"))],
+        "id long, doc struct<k: string, junk: string>",
+    )
+    spec = {"properties": {"k": {"type": "string"}}, "additionalProperties": False}
+    plan = compile_table_spec(
+        TableSpec.from_dict({"columns": {"doc": spec}}), df.schema
+    )
+    job = ValidationJob(plan, id_column="id")
+    rows = {(r.id, r.path) for r in job.violations(job.annotate(df)).collect()}
+    assert rows == {(2, "/junk")}
+
+
+def test_null_object_fails_at_root_when_type_object(spark, docs):
+    """Row 9 (null struct): draft-4 'type: object' rejects null — the
+    violation lands at the root path, not a field."""
+    plan = compile_table_spec(
+        TableSpec.from_dict({"columns": {"doc": DOC_SPEC}}), docs.schema
+    )
+    job = ValidationJob(plan, id_column="id")
+    rows = {
+        (r.id, r.path)
+        for r in job.violations(job.annotate(docs)).collect()
+        if r.id == 9
+    }
+    assert rows == {(9, "")}
