@@ -531,6 +531,55 @@ def q_simhash_near_dup(spark, sf_dir):
     return simhash_near_dup(df, "doc_id", "text", max_distance=3)
 
 
+def _token_corpus_path() -> str:
+    """Stable parquet path for the 1k token-dedup corpus (injected exact +
+    near duplicates); materialized once by the Spark queries, read by the
+    DuckDB oracles — same pattern as _corpus_oracle_path."""
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "token_corpus_1k_seed5.parquet")
+
+
+def _token_corpus(spark):
+    import os
+
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    path = _token_corpus_path()
+    if not os.path.isdir(path):
+        token_neardup_corpus(spark, 1_000, seed=5).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_token_dedup_groups(spark, sf_dir):
+    """Exact dedup of PRE-TOKENIZED sequences (no detokenization): md5 of
+    the comma-joined token ids, keep-first groups."""
+    from jsonschema_spark.operators.dedup import (
+        exact_duplicate_groups,
+        token_content_hash,
+    )
+
+    df = _token_corpus(spark)
+    return exact_duplicate_groups(
+        df, "doc_id", "tokens", fingerprint=token_content_hash(F.col("tokens"))
+    )
+
+
+def q_token_minhash_near_dup(spark, sf_dir):
+    """MinHash+LSH near-dup over token 3-gram shingles (the tokenized-corpus
+    twin of minhash_near_dup): same banding, exact-Jaccard verified, so the
+    output equals the exact token-shingle pair set (oracle = brute-force
+    SQL over the same parquet)."""
+    from jsonschema_spark.operators.dedup import minhash_near_dup
+
+    df = _token_corpus(spark)
+    return minhash_near_dup(
+        df, "doc_id", "tokens", threshold=0.8,
+        elements=F.col("tokens"), shingle_sep=",",
+    )
+
+
 def q_lang_id_counts(spark, sf_dir):
     """Stopword-ratio language ID, aggregated to per-language doc counts."""
     from jsonschema_spark.functions.text import lang_id
@@ -701,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_near_dup": q_minhash_near_dup,
         "simhash_near_dup": q_simhash_near_dup,
+        "token_dedup_groups": q_token_dedup_groups,
+        "token_minhash_near_dup": q_token_minhash_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -1095,6 +1146,27 @@ def oracle_sql() -> dict[str, str]:
             " WHERE jaccard >= 0.8"
         ),
         "simhash_near_dup": _simhash_oracle_sql(),
+        "token_dedup_groups": (
+            "SELECT md5(array_to_string(tokens, ',')) AS fingerprint,"
+            " count(*) AS n_docs, min(doc_id) AS keep_id"
+            f" FROM read_parquet('{_token_corpus_path()}/*.parquet')"
+            " GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "token_minhash_near_dup": (
+            "WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(tokens)-2, 0)),"
+            "   i -> CAST(tokens[i] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+1] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+2] AS VARCHAR)))) AS g"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet'))"
+            " SELECT id_a, id_b, jaccard FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            " WHERE jaccard >= 0.8"
+        ),
         "ann_topk": _ann_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
         "lang_id_counts": (

@@ -21,12 +21,21 @@ Spark-first:
 - ``streaming`` — Structured Streaming validation path.
 """
 
-from jsonschema_spark.spec.compile import SpecError, compile_spec
+from jsonschema_spark.spec.compile import (
+    SpecError,
+    compile_spec,
+    file_map_resolver,
+    http_resolver,
+    regex_dialect_risks,
+)
 from jsonschema_spark.spec.evaluate import Violation, validate_json, validate_value
 
 __all__ = [
     "SpecError",
     "compile_spec",
+    "file_map_resolver",
+    "http_resolver",
+    "regex_dialect_risks",
     "Violation",
     "validate_json",
     "validate_value",

@@ -93,19 +93,36 @@ def cmd_validate(args) -> int:
 
 def cmd_throughput(args) -> int:
     """One timed validation pass (no sinks) — the scaling-protocol probe.
-    Prints {rows, tokens, wall_sec, sequences_per_sec, tokens_per_sec}."""
+    Prints {rows, tokens, wall_sec, sequences_per_sec, tokens_per_sec}.
+    ``--layout packed`` runs the same checks over the packed-binary token
+    layout (sources/packed.py) instead of array<int>."""
     spark = _build_session(args)
     from jsonschema_spark.benchlib import corpus_validation_pass, materialize_corpus
 
     path = args.input
     if path == "synthetic":
         path = materialize_corpus(spark, args.rows, args.cache_dir, seed=args.seed)
+    one_pass = corpus_validation_pass
+    layout = getattr(args, "layout", "array")
+    if layout in ("packed", "packed_stats"):
+        from jsonschema_spark.sources.packed import (
+            pack_corpus,
+            packed_stats_validation_pass,
+            packed_validation_pass,
+        )
+
+        path = pack_corpus(spark, path, path.rstrip("/") + "_packed")
+        one_pass = (
+            packed_stats_validation_pass
+            if layout == "packed_stats"
+            else packed_validation_pass
+        )
     # warm-up then best-of-N
-    corpus_validation_pass(spark, path)
+    one_pass(spark, path)
     best = float("inf")
     for _ in range(args.repeat):
         t0 = time.time()
-        n_rows, n_valid, n_tokens, n_dups = corpus_validation_pass(spark, path)
+        n_rows, n_valid, n_tokens, n_dups = one_pass(spark, path)
         best = min(best, time.time() - t0)
     print(
         json.dumps(
@@ -150,6 +167,9 @@ def main(argv=None) -> int:
     pt.add_argument("--repeat", type=int, default=2)
     pt.add_argument("--cores", type=int, default=None)
     pt.add_argument("--cache-dir", default="/tmp/jsonschema_spark_bench")
+    pt.add_argument(
+        "--layout", choices=["array", "packed", "packed_stats"], default="array"
+    )
     pt.set_defaults(fn=cmd_throughput)
 
     args = p.parse_args(argv)

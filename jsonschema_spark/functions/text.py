@@ -45,6 +45,17 @@ def let_(value: Column, body) -> Column:
     return F.element_at(F.transform(F.array(value), body), 1)
 
 
+def index_range(n: Column) -> Column:
+    """``sequence(1, n)`` that is EMPTY when n < 1. Spark's sequence(1, 0)
+    yields the DESCENDING [1, 0] (default step -1), which sends index 0
+    into slice/element_at and crashes — a trap every n-gram/windowing
+    expression over short inputs hits. Always use this for 1-based
+    positional loops with a data-dependent upper bound."""
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def words(col: Column) -> Column:
     """Whitespace tokenization; empty string -> empty array (not [''])."""
     trimmed = F.trim(col)
@@ -165,9 +176,9 @@ def rolling_hashes(col: Column, k: int = 5) -> Column:
     """Rolling character k-gram hash sequence of the normalized text —
     input to winnowing. xxhash64 per k-gram, computed positionally."""
     def _hashes(norm: Column) -> Column:
-        n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+        n_grams = F.length(norm) - F.lit(k - 1)
         return F.transform(
-            F.sequence(F.lit(1), n_grams),
+            index_range(n_grams),
             lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
         )
 
@@ -182,9 +193,9 @@ def winnow(col: Column, k: int = 5, window: int = 4) -> Column:
     distinct set of per-window minima over the rolling k-gram hash sequence.
     Robust to local edits; the standard near-copy sketch for text corpora."""
     def _winnow(hashes: Column) -> Column:
-        n_windows = F.greatest(F.size(hashes) - F.lit(window - 1), F.lit(0))
+        n_windows = F.size(hashes) - F.lit(window - 1)
         mins = F.transform(
-            F.sequence(F.lit(1), n_windows),
+            index_range(n_windows),
             lambda i: F.array_min(F.slice(hashes, i, window)),
         )
         return F.array_sort(F.array_distinct(mins))

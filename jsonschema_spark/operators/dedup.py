@@ -8,10 +8,13 @@ Scale shapes (design target 10^12 docs):
 - **Exact**: one groupBy on a 128-bit content hash — uniform key
   distribution by construction (md5), duplicate groups are tiny, so no
   salting needed; shuffle volume = one (hash, id) pair per row.
-- **MinHash**: signatures are computed *per row* with native higher-order
-  functions (transform/array_min over shingle hashes) — zero shuffle, no
-  Python. Only the LSH band index shuffles: B rows per doc, grouped by
-  (band, band_hash); candidate pairs then verify with exact Jaccard, so
+- **MinHash**: shingle hashes are pure integer arithmetic JVM-side (a
+  rolling polynomial over per-word xxhash64 — shingle STRINGS never
+  materialize; building them was half the wall of a 500k-doc pass), the
+  (H x S) signature fold is one batch-vectorized Arrow kernel
+  (reduceat segment minima), and only the LSH band index shuffles: B rows
+  per doc, grouped by (band, band_hash). Candidate pairs verify with exact
+  Jaccard computed ONLY for candidate docs (broadcast semi-join first), so
   false positives are eliminated and the only approximation is recall.
 - **SimHash**: word hashes computed JVM-side; the 64-bit bit-fold runs in an
   Arrow-batched pandas UDF (numpy matrix ops per batch — the documented
@@ -30,7 +33,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
-from jsonschema_spark.functions.text import let_, normalized, portable_hash60, words
+from jsonschema_spark.functions.text import (
+    index_range,
+    let_,
+    normalized,
+    portable_hash60,
+    words,
+)
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
     """Guard against under-partitioned inputs (a single parquet file would
@@ -53,12 +62,26 @@ def content_hash(col: Column) -> Column:
     return F.md5(normalized(col))
 
 
-def exact_duplicate_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def token_content_hash(col: Column) -> Column:
+    """Exact-dedup fingerprint of an int token array: md5 of the
+    comma-joined decimal ids (cross-engine reproducible — the DuckDB twin
+    is md5(array_to_string(tokens, ','))); separator keeps [1,23] and
+    [12,3] distinct."""
+    return F.md5(F.concat_ws(",", F.transform(col, lambda t: t.cast("string"))))
+
+
+def exact_duplicate_groups(
+    df: DataFrame, id_col: str, text_col: str, fingerprint: Column | None = None
+) -> DataFrame:
     """(fingerprint, n_docs, keep_id): one row per duplicated content hash;
-    keep_id = min id (the canonical survivor under keep-first policy)."""
+    keep_id = min id (the canonical survivor under keep-first policy).
+    ``fingerprint`` overrides the normalized-text md5 (e.g.
+    token_content_hash for pre-tokenized sequences)."""
+    if fingerprint is None:
+        fingerprint = content_hash(F.col(text_col))
     return (
         df.select(
-            F.col(id_col).alias("id"), content_hash(F.col(text_col)).alias("fingerprint")
+            F.col(id_col).alias("id"), fingerprint.alias("fingerprint")
         )
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("id").alias("keep_id"))
@@ -88,19 +111,39 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram set (sorted for determinism). The tokenization
-    is let-bound so the split runs once per row, not once per shingle."""
+def _raw_grams(elems: Column, n: int, sep: str) -> Column:
+    """n-gram strings over an element array, NOT deduped/sorted — for
+    jaccard verification only (array_intersect/array_union are set ops, so
+    duplicates and order don't change the ratio, and skipping the
+    distinct+sort keeps the verify stage cheap)."""
 
-    def _grams(ws: Column) -> Column:
-        n_sh = F.greatest(F.size(ws) - F.lit(n - 1), F.lit(0))
-        grams = F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+    def _grams(xs: Column) -> Column:
+        return F.transform(
+            index_range(F.size(xs) - F.lit(n - 1)),
+            lambda i: F.concat_ws(sep, F.slice(xs, i, n)),
         )
-        return F.array_sort(F.array_distinct(grams))
 
-    return let_(words(F.lower(col)), _grams)
+    # cast elements to string so int token arrays shingle identically to
+    # their decimal rendering (concat_ws is string-only)
+    return let_(F.transform(elems, lambda e: e.cast("string")), _grams)
+
+
+def _shingle_set(elems: Column, n: int, sep: str) -> Column:
+    """Distinct n-gram set (sorted for determinism) over an element array;
+    the element array is let-bound so it materializes once per row."""
+    return F.array_sort(F.array_distinct(_raw_grams(elems, n, sep)))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram set of a text column."""
+    return _shingle_set(words(F.lower(col)), n, " ")
+
+
+def token_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct n-gram set of an int token array (the north rule's
+    pre-tokenized sequences deduplicate WITHOUT detokenizing): each n-gram
+    is the comma-joined decimal rendering of n consecutive token ids."""
+    return _shingle_set(col, n, ",")
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -111,12 +154,17 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def near_dup_pairs_exact(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
+    shingles: Column | None = None,
 ) -> DataFrame:
     """Brute-force pairwise n-gram Jaccard (id_a < id_b, jaccard >= t).
-    O(n²) oracle baseline — use minhash_near_dup at scale."""
+    O(n²) oracle baseline — use minhash_near_dup at scale. ``shingles``
+    overrides the default word-shingle set (e.g. token_shingles for
+    pre-tokenized sequences)."""
+    if shingles is None:
+        shingles = word_shingles(F.col(text_col), n)
     sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+        F.col(id_col).alias("id"), shingles.alias("sh")
     )
     a = sh.alias("a")
     b = sh.alias("b")
@@ -218,18 +266,39 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
-def _base_hashes(col: Column, n: int) -> Column:
-    """JVM-side: one 31-bit xxhash per shingle (let-bound shingle set)."""
+_POLY = 1_000_003
+
+
+def _shingle_hashes(elems: Column, n: int) -> Column:
+    """31-bit n-gram hashes via a rolling polynomial over per-element
+    xxhash64 — pure integer arithmetic, NO shingle strings materialized.
+    (Building 3-gram strings was the scan-stage bottleneck: ~half the wall
+    of a 500k-doc near-dup pass went to concat_ws + array_distinct +
+    array_sort churn that minhash never needed — min() is invariant to
+    shingle order and multiplicity, and universal-hash quality is all the
+    banding requires.) Values stay < 2^51, safe under ANSI overflow
+    checking; empty/short docs yield an empty array (sentinel signature
+    downstream, empties only match empties)."""
+
+    def _roll(hs: Column) -> Column:
+        def gram_hash(i: Column) -> Column:
+            acc = F.element_at(hs, i)
+            for k in range(1, n):
+                acc = F.pmod(
+                    acc * _POLY + F.element_at(hs, i + k), F.lit(_MERSENNE31)
+                )
+            return acc
+
+        return F.transform(index_range(F.size(hs) - F.lit(n - 1)), gram_hash)
+
     return let_(
-        word_shingles(col, n),
-        lambda sh: F.transform(
-            sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31))
-        ),
+        F.transform(elems, lambda e: F.pmod(F.xxhash64(e), F.lit(_MERSENNE31))),
+        _roll,
     )
 
 
 def _band_rows(
-    df: DataFrame, id_col: str, text_col: str, n: int, num_hashes: int, bands: int
+    df: DataFrame, id_col: str, elements: Column, n: int, num_hashes: int, bands: int
 ) -> DataFrame:
     """(id, band, h) rows via mapInPandas: signature (numpy (H x S) affine
     min-hash) + band combination + row expansion in ONE Arrow-batched node.
@@ -254,31 +323,56 @@ def _band_rows(
         ]
     )
 
+    a_flat = a.reshape(-1)
+    b_flat = b.reshape(-1)
+
     def expand(batches):
+        # fully batch-vectorized: ONE concatenated hash vector per Arrow
+        # batch, then per hash-function an affine pass + per-doc segment min
+        # via np.minimum.reduceat — no per-document numpy calls (the
+        # per-doc (H x S) loop was call-overhead-bound at ~10k docs/batch)
         for batch in batches:
             ids = batch["id"]
-            sigs = np.empty((len(ids), num_hashes), dtype=np.int64)
-            for i, hs in enumerate(batch["hs"]):
-                if hs is None or len(hs) == 0:
-                    sigs[i] = sentinel
-                else:
-                    h = np.asarray(hs, dtype=np.int64)[None, :]
-                    sigs[i] = ((a * h + b) % _MERSENNE31).min(axis=1)
+            nd = len(ids)
+            lens = np.fromiter(
+                (0 if hs is None else len(hs) for hs in batch["hs"]),
+                dtype=np.int64,
+                count=nd,
+            )
+            sigs = np.empty((nd, num_hashes), dtype=np.int64)
+            if int(lens.sum()):
+                flat = np.concatenate(
+                    [
+                        np.asarray(hs, dtype=np.int64)
+                        for hs in batch["hs"]
+                        if hs is not None and len(hs)
+                    ]
+                )
+                offsets = np.zeros(nd, dtype=np.int64)
+                np.cumsum(lens[:-1], out=offsets[1:])
+                nonempty = lens > 0
+                starts = offsets[nonempty]
+                mins = np.empty((int(nonempty.sum()), num_hashes), dtype=np.int64)
+                for h in range(num_hashes):
+                    row = (a_flat[h] * flat + b_flat[h]) % _MERSENNE31
+                    mins[:, h] = np.minimum.reduceat(row, starts)
+                sigs[nonempty] = mins
+            sigs[lens == 0] = sentinel
             # rolling polynomial combine per band (deterministic, vectorized)
-            banded = sigs.reshape(len(ids), bands, rows_per_band)
-            combined = np.zeros((len(ids), bands), dtype=np.int64)
+            banded = sigs.reshape(nd, bands, rows_per_band)
+            combined = np.zeros((nd, bands), dtype=np.int64)
             for r in range(rows_per_band):
                 combined = (combined * 1_000_003 + banded[:, :, r]) % (1 << 61)
             yield pd.DataFrame(
                 {
                     "id": ids.repeat(bands),
-                    "band": np.tile(band_idx, len(ids)),
+                    "band": np.tile(band_idx, nd),
                     "h": combined.reshape(-1),
                 }
             )
 
     base = df.select(
-        F.col(id_col).alias("id"), _base_hashes(F.col(text_col), n).alias("hs")
+        F.col(id_col).alias("id"), _shingle_hashes(elements, n).alias("hs")
     )
     return base.mapInPandas(expand, out_schema)
 
@@ -290,6 +384,7 @@ def minhash_candidates(
     n: int = 3,
     num_hashes: int = 128,
     bands: int = 32,
+    elements: Column | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
     Shuffle volume: bands rows per doc, grouped by (band, h); a bucket of
@@ -306,8 +401,10 @@ def minhash_candidates(
     # the session lifetime, leaking across a multi-dataset pipeline. On a
     # real cluster, swap for an explicit signature-table write if executor
     # loss must be recoverable (checkpointed blocks are not recomputable).
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
     exploded = _band_rows(
-        _ensure_parallelism(df), id_col, text_col, n, num_hashes, bands
+        _ensure_parallelism(df), id_col, elements, n, num_hashes, bands
     ).localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -327,14 +424,41 @@ def minhash_near_dup(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
 ) -> DataFrame:
     """End-to-end near-dup pairs: LSH candidates verified with exact n-gram
     Jaccard (no false positives; recall governed by (bands, rows) — with
-    128 hashes / 32 bands of 4, P[candidate] ≈ 1-(1-j⁴)³² > 0.99 at j=0.5)."""
+    128 hashes / 32 bands of 4, P[candidate] ≈ 1-(1-j⁴)³² > 0.99 at j=0.5).
+    ``elements`` overrides the word default — pass ``F.col('tokens')`` with
+    ``shingle_sep=','`` to near-dedup pre-tokenized sequences without
+    detokenizing.
+
+    Scale shape of the verify stage: candidate ids are tiny (bucket
+    collisions), so the exact-Jaccard verification first broadcast
+    semi-joins the corpus down to candidate docs and only THEN builds
+    shingle strings — the full-corpus string pipeline never runs (it was
+    half the wall of a 500k-doc pass before; candidates are typically <1%
+    of docs)."""
     df = _ensure_parallelism(df)
-    cands = minhash_candidates(df, id_col, text_col, n, num_hashes, bands)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    cands = minhash_candidates(
+        df, id_col, text_col, n, num_hashes, bands, elements=elements
+    )
+    cand_ids = (
+        cands.select(F.col("id_a").alias("id"))
+        .union(cands.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.join(
+            F.broadcast(cand_ids),
+            df[id_col] == cand_ids["id"],
+            "left_semi",
+        )
+        .select(F.col(id_col).alias("id"), _raw_grams(elements, n, shingle_sep).alias("sh"))
+        .localCheckpoint(eager=False)  # reused by both sides of the pair join
     )
     return (
         cands.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -32,7 +32,7 @@ import os
 import time
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jsonschema_spark.operators import drift as drift_ops
@@ -98,7 +98,21 @@ class ValidationJob:
                 < threshold
             )
         detail = getattr(self.plan, "detail", None) or {}
+        detail_specs = getattr(self.plan, "detail_specs", None) or {}
         items = []
+
+        def entry(name: str, path: str) -> Column:
+            # `detail` = the violated spec fragment, a compile-time constant
+            # (the reference's keyword-bearing error text, README.md:41-42)
+            frag = detail_specs.get(name, {}).get(path)
+            return F.struct(
+                F.lit(name).alias("check"),
+                F.lit(path).alias("path"),
+                (F.lit(frag) if frag is not None else F.lit(None).cast("string")).alias(
+                    "detail"
+                ),
+            )
+
         for c in checks:
             name = c.removeprefix("chk_")
             named = detail.get(name)
@@ -108,26 +122,21 @@ class ValidationJob:
                 # present in the annotated frame), never a second pass
                 for path, pred in named.items():
                     items.append(
-                        F.when(
-                            ~F.coalesce(pred, F.lit(False)),
-                            F.struct(
-                                F.lit(name).alias("check"), F.lit(path).alias("path")
-                            ),
-                        )
+                        F.when(~F.coalesce(pred, F.lit(False)), entry(name, path))
                     )
             else:
-                items.append(
-                    F.when(
-                        ~F.col(c),
-                        F.struct(F.lit(name).alias("check"), F.lit("").alias("path")),
-                    )
-                )
+                items.append(F.when(~F.col(c), entry(name, "")))
         entries = F.filter(F.array(*items), lambda x: x.isNotNull())
         return (
             annotated.select(F.col(self.id_column).alias("id"), entries.alias("failed"))
             .filter(F.size("failed") > 0)
             .select("id", F.explode("failed").alias("f"))
-            .select("id", F.col("f.check").alias("check"), F.col("f.path").alias("path"))
+            .select(
+                "id",
+                F.col("f.check").alias("check"),
+                F.col("f.path").alias("path"),
+                F.col("f.detail").alias("detail"),
+            )
         )
 
     def partition_lineage(self, annotated: DataFrame, unit: str = "auto") -> DataFrame:

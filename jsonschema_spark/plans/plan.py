@@ -95,6 +95,10 @@ class CompiledPlan:
     # struct columns (conjunction == the check), so violations can report
     # the failing field path (reference's path-wrapped errors)
     detail: dict = field(default_factory=dict)
+    # check name -> {path -> spec-fragment JSON}: the constraint text at
+    # each detailed path (compile-time constant; the reference's keyword-
+    # bearing error messages, README.md:41-42)
+    detail_specs: dict = field(default_factory=dict)
 
     @property
     def check_names(self) -> list:
@@ -114,6 +118,7 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
     checks: dict = {}
     kernel_checks: dict = {}
     detail: dict = {}
+    detail_specs: dict = {}
     fields = {f.name: f.dataType for f in schema.fields}
 
     for col_name, col_spec in spec.columns.items():
@@ -121,6 +126,7 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
             raise SpecError(f"column {col_name!r} not in table schema")
         compiled = compile_spec(col_spec)
         name = f"col_{col_name}"
+        detail_specs[name] = {"": _spec_fragment_at(col_spec, "")}
         try:
             checks[name] = lower_predicate(compiled, F.col(col_name), fields[col_name])
             if isinstance(fields[col_name], T.StructType):
@@ -129,6 +135,9 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
                 )
                 if len(named) > 1:
                     detail[name] = named
+                    detail_specs[name] = {
+                        path: _spec_fragment_at(col_spec, path) for path in named
+                    }
         except LoweringError:
             if isinstance(fields[col_name], T.StringType):
                 # kernel fallback validates the cell as a raw string VALUE
@@ -147,6 +156,7 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
 
     for name, expr in spec.row_checks.items():
         checks[f"row_{name}"] = F.coalesce(F.expr(expr), F.lit(False))
+        detail_specs[f"row_{name}"] = {"": expr}
 
     for col_name, col_spec in spec.json_columns.items():
         if not isinstance(fields.get(col_name), T.StringType):
@@ -172,4 +182,23 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
         references=dict(spec.references),
         drift=dict(spec.drift),
         detail=detail,
+        detail_specs=detail_specs,
     )
+
+
+def _spec_fragment_at(raw_spec: dict, path: str) -> Optional[str]:
+    """Compact JSON of the subschema a detail path points at — walks the raw
+    spec's nested `properties` chain ('' -> the whole spec). Paths reached
+    only via patternProperties/additionalProperties yield None (the path
+    alone still locates the failure)."""
+    node = raw_spec
+    if path:
+        for token in path.lstrip("/").split("/"):
+            props = node.get("properties") if isinstance(node, dict) else None
+            if not isinstance(props, dict) or token not in props:
+                return None
+            node = props[token]
+    try:
+        return json.dumps(node, sort_keys=True, separators=(",", ":"))
+    except (TypeError, ValueError):
+        return None

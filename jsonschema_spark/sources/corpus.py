@@ -117,6 +117,41 @@ def corpus(
     )
 
 
+TOKDUP_EXACT_MOD, TOKDUP_NEAR_MOD = 67, 41
+
+
+def token_neardup_corpus(spark: SparkSession, n_rows: int, seed: int = 5) -> DataFrame:
+    """(doc_id long, tokens array<int>): 40-120 token sequences over a
+    500-id vocabulary with injected duplicates for token-level dedup tests:
+
+    - every 67th row copies the previous row's tokens verbatim (exact dup,
+      token-shingle Jaccard 1.0)
+    - every 41st row copies the previous row's tokens plus one appended
+      token (near dup, Jaccard >= ~0.93)
+
+    Deterministic at any parallelism (hash-derived, like ``corpus``); the
+    moduli are coprime and offset so no row is both kinds at n <= 2746.
+    """
+    base = spark.range(n_rows)
+    i = F.col("id")
+    exact_dup = F.pmod(i, TOKDUP_EXACT_MOD) == TOKDUP_EXACT_MOD - 1
+    near_dup = F.pmod(i, TOKDUP_NEAR_MOD) == TOKDUP_NEAR_MOD - 1
+    src = F.when(exact_dup | near_dup, i - 1).otherwise(i) + F.lit(seed)
+    u = (
+        F.pmod(F.xxhash64(src, F.lit(1)), F.lit(1_000_000_007)).cast("double")
+        / 1_000_000_007.0
+    )
+    n_tok = (F.lit(40) + F.floor(F.lit(80) * u)).cast("int")
+    tokens = F.transform(
+        F.sequence(F.lit(1), n_tok),
+        lambda pos: F.pmod(F.xxhash64(src, pos), F.lit(500)).cast("int"),
+    )
+    tokens = F.when(
+        near_dup, F.concat(tokens, F.array(F.lit(7).cast("int")))
+    ).otherwise(tokens)
+    return base.select(i.alias("doc_id"), tokens.alias("tokens"))
+
+
 def expected_violation_counts(n_rows: int) -> dict:
     """Closed-form counts of injected violations (for test oracles)."""
     return {

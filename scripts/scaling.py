@@ -33,7 +33,7 @@ JOB_SCRIPTS = {
 
 def run_level(
     cores: int, rows: int, repeat: int, zip_path: str,
-    job_script: str = "throughput_job.py",
+    job_script: str = "throughput_job.py", extra_args: list | None = None,
 ) -> dict:
     cmd = [
         "spark-submit",
@@ -51,7 +51,7 @@ def run_level(
         "--cores", str(cores),
         "--rows", str(rows),
         "--repeat", str(repeat),
-    ]
+    ] + (extra_args or [])
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=1800
     )
@@ -73,6 +73,10 @@ def main() -> int:
         "--job", choices=sorted(JOB_SCRIPTS), default="validate",
         help="validate = corpus validation pass; dedup = minhash near-dup",
     )
+    ap.add_argument(
+        "--layout", choices=["array", "packed", "packed_stats"], default="array",
+        help="validate job only: token storage layout (see sources/packed.py)",
+    )
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "scaling.json"))
     args = ap.parse_args()
 
@@ -84,11 +88,13 @@ def main() -> int:
     )
     zip_path = os.path.join(REPO, "dist", "jsonschema_spark.zip")
 
+    extra = ["--layout", args.layout] if args.job == "validate" else []
+    job_key = args.job if args.layout == "array" else f"{args.job}_{args.layout}"
     results = {"rows": args.rows, "pairs": []}
     for pair in args.pairs.split(","):
         lo, hi = (int(x) for x in pair.split(":"))
-        rec_lo = run_level(lo, args.rows, args.repeat, zip_path, JOB_SCRIPTS[args.job])
-        rec_hi = run_level(hi, args.rows, args.repeat, zip_path, JOB_SCRIPTS[args.job])
+        rec_lo = run_level(lo, args.rows, args.repeat, zip_path, JOB_SCRIPTS[args.job], extra)
+        rec_hi = run_level(hi, args.rows, args.repeat, zip_path, JOB_SCRIPTS[args.job], extra)
         eff = (rec_hi["tokens_per_sec"] / rec_lo["tokens_per_sec"]) / (hi / lo)
         results["pairs"].append(
             {
@@ -108,10 +114,10 @@ def main() -> int:
         with open(args.out) as fh:
             prior = json.load(fh)
         merged = prior if "validate" in prior or "dedup" in prior else {"validate": prior}
-    merged[args.job] = results
+    merged[job_key] = results
     with open(args.out, "w") as fh:
         json.dump(merged, fh, indent=2)
-    print(json.dumps({args.job: results}))
+    print(json.dumps({job_key: results}))
     return 0
 
 

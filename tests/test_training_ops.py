@@ -329,3 +329,54 @@ def test_ivf_deterministic(spark, embeddings):
     import numpy as np
 
     assert np.allclose(a, b)
+
+
+def test_token_shingles_and_exact_dedup(spark):
+    from jsonschema_spark.operators.dedup import (
+        exact_duplicate_groups, token_content_hash, token_shingles,
+    )
+
+    rows = [
+        (1, [1, 2, 3, 4]),
+        (2, [1, 2, 3, 4]),     # exact dup of 1
+        (3, [12, 34]),         # [12,34] must NOT collide with [1,23,4] etc.
+        (4, [1, 23, 4]),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    sh = {r.doc_id: r.s for r in df.select(
+        "doc_id", token_shingles(F.col("tokens"), 3).alias("s")).collect()}
+    assert sh[1] == ["1,2,3", "2,3,4"]
+    assert sh[3] == []  # fewer than n tokens -> empty shingle set
+    groups = exact_duplicate_groups(
+        df, "doc_id", "tokens", fingerprint=token_content_hash(F.col("tokens"))
+    ).collect()
+    assert [(g.n_docs, g.keep_id) for g in groups] == [(2, 1)]
+
+
+def test_token_minhash_matches_exact_pairs(spark):
+    from jsonschema_spark.operators.dedup import (
+        minhash_near_dup, near_dup_pairs_exact, token_shingles,
+    )
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    df = token_neardup_corpus(spark, 600, seed=5)
+    approx = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in minhash_near_dup(
+            df, "doc_id", "tokens", threshold=0.8,
+            elements=F.col("tokens"), shingle_sep=",",
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in near_dup_pairs_exact(
+            df, "doc_id", "tokens", threshold=0.8,
+            shingles=token_shingles(F.col("tokens"), 3),
+        ).collect()
+    }
+    # LSH is verified-exact (no false positives) and at j>=0.8 the banding
+    # miss probability is <=5e-8 per pair -> sets are equal on this corpus
+    assert approx == exact
+    # injected structure: every 41st row near-dups, every 67th exact-dups
+    assert len(exact) >= (600 // 41) + (600 // 67)

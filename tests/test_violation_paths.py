@@ -103,7 +103,25 @@ def test_scalar_checks_report_root_path(spark):
     )
     job = ValidationJob(plan, id_column="id")
     rows = job.violations(job.annotate(df)).collect()
-    assert [(r.id, r.check, r.path) for r in rows] == [(2, "col_v", "")]
+    assert [(r.id, r.check, r.path, r.detail) for r in rows] == [
+        (2, "col_v", "", '{"minimum":0}')
+    ]
+
+
+def test_detail_carries_violated_fragment(spark, docs):
+    """The detail column holds the spec fragment at the failing path —
+    the reference's keyword-bearing error text, statically folded."""
+    plan = compile_table_spec(
+        TableSpec.from_dict({"columns": {"doc": DOC_SPEC}}), docs.schema
+    )
+    job = ValidationJob(plan, id_column="id")
+    by_key = {
+        (r.id, r.path): r.detail
+        for r in job.violations(job.annotate(docs)).collect()
+    }
+    assert by_key[(2, "/name")] == '{"minLength":3,"type":"string"}'
+    assert by_key[(5, "/addr/zip")] == '{"pattern":"^[0-9]{5}$"}'
+    assert by_key[(3, "/n")] == '{"minimum":0}'
 
 
 def test_additional_properties_false_paths(spark):
