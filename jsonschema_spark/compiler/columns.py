@@ -78,14 +78,49 @@ def _json_type_of(dtype: T.DataType) -> str:
     raise LoweringError(f"no JSON type mapping for Spark type {dtype.simpleString()}")
 
 
+class PrecisionWarning(UserWarning):
+    """A numeric bound exceeds Spark's exact range (long / Decimal(38)) and
+    was compiled as a double approximation — the documented ceiling vs the
+    reference's big.Rat arbitrary precision (equal_test.go:45). Emitted at
+    compile time (SURVEY §7), never during execution."""
+
+
+def _approx_float(value: Fraction) -> float:
+    """float(value), saturating to ±inf when the rational overflows a
+    double (e.g. 1e1000 — the reference compares it exactly via big.Rat)."""
+    import math
+
+    try:
+        return float(value)
+    except OverflowError:
+        return math.inf if value > 0 else -math.inf
+
+
+def _warn_precision(value: Fraction) -> None:
+    import warnings
+
+    warnings.warn(
+        f"bound {value} exceeds Decimal(38) exact precision; compiled as the "
+        f"double approximation {_approx_float(value)!r}",
+        PrecisionWarning,
+        stacklevel=4,
+    )
+
+
 def _fraction_literal(value: Fraction) -> Column:
-    """Exact literal when the rational terminates in binary/decimal; floats
-    otherwise (documented precision ceiling vs the reference's big.Rat)."""
+    """Exact literal when the rational fits long / Decimal(38); double
+    approximation otherwise, with a compile-time PrecisionWarning whenever
+    exactness is actually lost (a float-origin fraction round-trips
+    exactly and stays silent)."""
     if value.denominator == 1:
         n = value.numerator
         if -(2**63) <= n < 2**63:
             return F.lit(n)
-        return F.lit(Decimal(n))
+        if len(str(abs(n))) <= 38:
+            return F.lit(Decimal(n))
+        if value != _approx_float(value):
+            _warn_precision(value)
+        return F.lit(_approx_float(value))
     d = value.denominator
     while d % 2 == 0:
         d //= 2
@@ -101,7 +136,9 @@ def _fraction_literal(value: Fraction) -> Column:
         # a wider exact expansion (e.g. binary floats like 0.02) goes float.
         if len(dec.as_tuple().digits) <= 38:
             return F.lit(dec)
-    return F.lit(float(value))
+    if value != _approx_float(value):
+        _warn_precision(value)
+    return F.lit(_approx_float(value))
 
 
 def _scalar_literal(value: Any) -> Column:

@@ -113,6 +113,7 @@ class ValidationJob:
                 ),
             )
 
+        kernel_verdicts = getattr(self.plan, "kernel_verdicts", None) or {}
         for c in checks:
             name = c.removeprefix("chk_")
             named = detail.get(name)
@@ -124,6 +125,26 @@ class ValidationJob:
                     items.append(
                         F.when(~F.coalesce(pred, F.lit(False)), entry(name, path))
                     )
+            elif name in kernel_verdicts and f"_verdict_{name}" in annotated.columns:
+                # kernel checks carry the evaluator's own error location:
+                # path/keyword/message from the materialized verdict struct
+                v = F.col(f"_verdict_{name}")
+                items.append(
+                    F.when(
+                        ~F.col(c),
+                        F.struct(
+                            F.lit(name).alias("check"),
+                            F.coalesce(v.getField("first_path"), F.lit("")).alias(
+                                "path"
+                            ),
+                            F.concat_ws(
+                                ": ",
+                                v.getField("first_keyword"),
+                                v.getField("first_message"),
+                            ).alias("detail"),
+                        ),
+                    )
+                )
             else:
                 items.append(F.when(~F.col(c), entry(name, "")))
         entries = F.filter(F.array(*items), lambda x: x.isNotNull())

@@ -99,17 +99,34 @@ class CompiledPlan:
     # each detailed path (compile-time constant; the reference's keyword-
     # bearing error messages, README.md:41-42)
     detail_specs: dict = field(default_factory=dict)
+    # check name -> verdict STRUCT Column (valid, n_violations, first_path,
+    # first_keyword, first_message) for kernel-backed checks — annotate
+    # materializes the struct once and derives the boolean from it, so
+    # violations() can report the evaluator's own path/keyword/message
+    kernel_verdicts: dict = field(default_factory=dict)
 
     @property
     def check_names(self) -> list:
         return list(self.checks) + list(self.kernel_checks)
 
     def annotate(self, df: DataFrame, prefix: str = "chk_") -> DataFrame:
-        """df + one boolean column per check + `_valid` conjunction."""
+        """df + one boolean column per check + `_valid` conjunction. Kernel
+        checks with a verdict struct land as `_verdict_<name>` + the
+        derived boolean — the kernel runs ONCE for both."""
         out = df
         valid = F.lit(True)
-        for name, pred in {**self.checks, **self.kernel_checks}.items():
+        for name, pred in self.checks.items():
             out = out.withColumn(prefix + name, pred)
+            valid = valid & F.col(prefix + name)
+        for name, pred in self.kernel_checks.items():
+            verdict = self.kernel_verdicts.get(name)
+            if verdict is not None:
+                out = out.withColumn(f"_verdict_{name}", verdict)
+                out = out.withColumn(
+                    prefix + name, F.col(f"_verdict_{name}").getField("valid")
+                )
+            else:
+                out = out.withColumn(prefix + name, pred)
             valid = valid & F.col(prefix + name)
         return out.withColumn("_valid", valid)
 
@@ -158,12 +175,13 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
         checks[f"row_{name}"] = F.coalesce(F.expr(expr), F.lit(False))
         detail_specs[f"row_{name}"] = {"": expr}
 
+    kernel_verdicts: dict = {}
     for col_name, col_spec in spec.json_columns.items():
         if not isinstance(fields.get(col_name), T.StringType):
             raise SpecError(f"json column {col_name!r} must be a string column")
-        kernel_checks[f"json_{col_name}"] = json_validation_kernel(
-            col_spec, F.col(col_name)
-        ).getField("valid")
+        verdict = json_validation_kernel(col_spec, F.col(col_name))
+        kernel_verdicts[f"json_{col_name}"] = verdict
+        kernel_checks[f"json_{col_name}"] = verdict.getField("valid")
 
     for col_name in spec.unique:
         if col_name not in fields:
@@ -183,6 +201,7 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
         drift=dict(spec.drift),
         detail=detail,
         detail_specs=detail_specs,
+        kernel_verdicts=kernel_verdicts,
     )
 
 
