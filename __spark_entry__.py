@@ -580,6 +580,71 @@ def q_token_minhash_near_dup(spark, sf_dir):
     )
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: documents sharing >= 1 word 5-gram with
+    the 'benchmark' subset (doc_id < 10) and the count of distinct shared
+    grams. Hash-prefiltered, exact-string verified — output is exact, so
+    the brute-force SQL twin matches."""
+    from jsonschema_spark.operators.dedup import contaminated_docs
+
+    df = _t(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") < 10)
+    return contaminated_docs(df, "doc_id", "text", bench, n=5)
+
+
+def q_ntok_quantiles(spark, sf_dir):
+    """Exact quantiles of the n_chars distribution (stats-profile
+    building block; exact `percentile`, not the approx sketch, so the SQL
+    twin is quantile_cont)."""
+    df = _t(spark, sf_dir, "documents")
+    qs = F.percentile("n_chars", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.99)]))
+    return df.agg(
+        *[
+            F.round(F.element_at(qs, i + 1), 6).alias(name)
+            for i, name in enumerate(["p25", "p50", "p75", "p99"])
+        ]
+    )
+
+
+def q_packed_stats_validate(spark, sf_dir):
+    """Zone-map (metadata-only) validation pass over the packed layout of
+    the 50k corpus: per-check fail counts computed WITHOUT reading the
+    token payload (sources/packed.py). The oracle recomputes every check
+    from the same packed parquet's metadata columns; stamp-vs-payload
+    consistency is separately proven in tests/test_packed.py."""
+    import os
+
+    from jsonschema_spark.sources.corpus import MAX_TOKENS, VOCAB_SIZE, corpus
+    from jsonschema_spark.sources.packed import (
+        TOKEN_BYTES,
+        _corpus_checks_from,
+        pack_corpus,
+    )
+
+    src = _corpus_oracle_path()
+    if not os.path.isdir(src):
+        corpus(spark, 50_000, seed=42).write.mode("overwrite").parquet(src)
+    packed = pack_corpus(spark, src, src.removesuffix(".parquet") + "_packed.parquet")
+    df = spark.read.parquet(packed)
+    bounds_ok = (
+        (F.col("n_bytes") >= TOKEN_BYTES)
+        & (F.col("tok_min") >= 0)
+        & (F.col("tok_max") <= VOCAB_SIZE - 1)
+    )
+    annotated = _corpus_checks_from(
+        df, bounds_ok, F.col("n_bytes"), F.col("n_bytes").isNotNull(), MAX_TOKENS
+    )
+    checks = [c for c in annotated.columns if c.startswith("chk_")]
+    return annotated.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_valid").cast("long")).alias("n_valid"),
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(f"fail_{c.removeprefix('chk_')}")
+            for c in checks
+        ],
+    )
+
+
 def q_lang_id_counts(spark, sf_dir):
     """Stopword-ratio language ID, aggregated to per-language doc counts."""
     from jsonschema_spark.functions.text import lang_id
@@ -752,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "token_dedup_groups": q_token_dedup_groups,
         "token_minhash_near_dup": q_token_minhash_near_dup,
+        "decontaminate": q_decontaminate,
+        "ntok_quantiles": q_ntok_quantiles,
+        "packed_stats_validate": q_packed_stats_validate,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
         "token_stats": q_token_stats,
@@ -924,6 +992,41 @@ def _corpus_validate_oracle_sql() -> str:
     )
 
 
+def _packed_stats_oracle_sql() -> str:
+    """DuckDB recomputation of the zone-map validation pass from the SAME
+    packed parquet's metadata columns (tok_min/tok_max/n_bytes)."""
+    from jsonschema_spark.sources.corpus import MAX_TOKENS, SOURCES, VOCAB_SIZE
+
+    packed = _corpus_oracle_path().removesuffix(".parquet") + "_packed.parquet"
+    tbl = f"read_parquet('{packed}/*.parquet')"
+    srcs = ", ".join(f"'{s}'" for s in SOURCES)
+    ok = {
+        "col_doc_id": "(doc_id IS NOT NULL AND regexp_matches(doc_id, '^doc-[0-9]{12}$'))",
+        "col_tokens": (
+            "(n_bytes IS NOT NULL AND n_bytes >= 4 AND tok_min >= 0"
+            f" AND tok_max <= {VOCAB_SIZE - 1})"
+        ),
+        "col_n_tok": f"(n_tok IS NOT NULL AND n_tok >= 1 AND n_tok <= {MAX_TOKENS})",
+        "required_doc_id": "(doc_id IS NOT NULL)",
+        "required_tokens": "(n_bytes IS NOT NULL)",
+        "required_n_tok": "(n_tok IS NOT NULL)",
+        "required_source": "(source IS NOT NULL)",
+        "row_len_consistent": (
+            "(n_tok IS NOT NULL AND n_bytes IS NOT NULL AND n_tok * 4 = n_bytes)"
+        ),
+        "ref_source": f"(source IS NULL OR source IN ({srcs}))",
+    }
+    valid = " AND ".join(ok.values())
+    fails = ", ".join(
+        f"count(*) FILTER (WHERE NOT {expr}) AS fail_{name}"
+        for name, expr in ok.items()
+    )
+    return (
+        f"SELECT count(*) AS n_rows, count(*) FILTER (WHERE {valid}) AS n_valid,"
+        f" {fails} FROM {tbl}"
+    )
+
+
 def _stoplist(lang: str) -> str:
     from jsonschema_spark.functions.text import STOPWORDS
 
@@ -1080,6 +1183,25 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY c_mktsegment"
         ),
         "corpus_validate": _corpus_validate_oracle_sql(),
+        "packed_stats_validate": _packed_stats_oracle_sql(),
+        "decontaminate": (
+            "WITH cg AS (SELECT doc_id, list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-4, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||"
+            "        ws[i+3] || ' ' || ws[i+4])) AS gs"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " bg AS (SELECT DISTINCT unnest(gs) AS g FROM cg WHERE doc_id < 10),"
+            " hits AS (SELECT doc_id, unnest(gs) AS g FROM cg)"
+            " SELECT doc_id AS id, count(*) AS n_hits"
+            " FROM hits JOIN bg USING (g) GROUP BY doc_id"
+        ),
+        "ntok_quantiles": (
+            "SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25,"
+            " round(quantile_cont(n_chars, 0.50), 6) AS p50,"
+            " round(quantile_cont(n_chars, 0.75), 6) AS p75,"
+            " round(quantile_cont(n_chars, 0.99), 6) AS p99"
+            " FROM documents"
+        ),
         "tuple_items": (
             "SELECT count(*) FILTER (WHERE p_size >= 10 AND p_retailprice <= 1500)"
             " AS n_pass, count(*) AS n_rows FROM part"

@@ -472,6 +472,71 @@ def minhash_near_dup(
 
 
 # --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+
+def contaminated_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_text_col: str | None = None,
+    n: int = 13,
+    elements: Column | None = None,
+    bench_elements: Column | None = None,
+    shingle_sep: str = " ",
+) -> DataFrame:
+    """(id, n_hits): corpus documents sharing >= 1 word n-gram with a
+    benchmark corpus, with the count of distinct shared n-grams — the
+    training-data decontamination primitive (e.g. drop any document
+    containing a 13-gram from an eval set).
+
+    Scale shape: the corpus side explodes 31-bit rolling-polynomial gram
+    hashes (no strings) and semi-joins the benchmark's distinct gram-hash
+    set — broadcast when the benchmark is small (the common case: eval
+    sets are tiny vs the corpus). The 31-bit space admits chance
+    collisions at corpus scale, so flagged docs are then VERIFIED with
+    exact gram strings (recomputed only for the flagged docs + benchmark —
+    the minhash candidate/verify pattern), making the output exact."""
+    bench_text_col = bench_text_col or text_col
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    if bench_elements is None:
+        bench_elements = words(F.lower(F.col(bench_text_col)))
+
+    bench_hashes = (
+        benchmark.select(F.explode(_shingle_hashes(bench_elements, n)).alias("g"))
+        .distinct()
+    )
+    corpus_hashes = _ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), F.explode(_shingle_hashes(elements, n)).alias("g")
+    )
+    cand_ids = (
+        corpus_hashes.join(bench_hashes, "g", "left_semi").select("id").distinct()
+    )
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(F.array_distinct(_raw_grams(bench_elements, n, shingle_sep))).alias("g")
+        )
+        .distinct()
+    )
+    cand_grams = (
+        df.join(F.broadcast(cand_ids), df[id_col] == cand_ids["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(_raw_grams(elements, n, shingle_sep))).alias("g"),
+        )
+    )
+    return (
+        cand_grams.join(bench_grams, "g", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

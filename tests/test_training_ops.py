@@ -380,3 +380,41 @@ def test_token_minhash_matches_exact_pairs(spark):
     assert approx == exact
     # injected structure: every 41st row near-dups, every 67th exact-dups
     assert len(exact) >= (600 // 41) + (600 // 67)
+
+
+def test_contaminated_docs_exact_semantics(spark):
+    """Decontamination output equals the brute-force Python computation of
+    distinct shared word n-grams (hash prefilter must not change results)."""
+    from jsonschema_spark.operators.dedup import contaminated_docs
+
+    corpus_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "quick brown fox jumps over something else entirely here"),
+        (3, "completely unrelated text with no shared grams at all"),
+        (4, "the quick brown fox jumps over the lazy dog again today"),
+        (5, "tiny doc"),
+    ]
+    bench_rows = [
+        (100, "a benchmark with the quick brown fox jumps inside it"),
+        (101, "jumps over the lazy dog is a classic pangram tail"),
+    ]
+
+    def grams(text, n=5):
+        ws = text.lower().split()
+        return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench_rows))
+    want = {}
+    for i, t in corpus_rows:
+        hits = len(grams(t) & bench_grams)
+        if hits:
+            want[i] = hits
+
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {
+        r.id: r.n_hits
+        for r in contaminated_docs(corpus, "doc_id", "text", bench, n=5).collect()
+    }
+    assert got == want
+    assert want, "fixture must actually contain contamination"
