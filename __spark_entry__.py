@@ -776,6 +776,184 @@ def q_frame_sample_counts(spark, sf_dir):
     )
 
 
+def _minhash_pairs(spark, sf_dir):
+    from jsonschema_spark.operators.dedup import minhash_near_dup
+
+    df = _t(spark, sf_dir, "documents")
+    return minhash_near_dup(df, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_dup_components(spark, sf_dir):
+    """Near-dup clusters: connected components (alternating large-star /
+    small-star, O(log n) rounds) over the exactly-verified minhash pair
+    set — (id, component) with component = min doc_id in the cluster.
+    Oracle: recursive-CTE transitive closure over the exact 3-gram
+    Jaccard pair set."""
+    from jsonschema_spark.operators.components import connected_components
+
+    return connected_components(_minhash_pairs(spark, sf_dir))
+
+
+def q_near_dedup_count(spark, sf_dir):
+    """Keep-one-per-cluster near-dedup: corpus size before/after dropping
+    every doc whose cluster representative (min id) is another doc."""
+    from jsonschema_spark.operators.components import near_dedup_survivors
+
+    df = _t(spark, sf_dir, "documents")
+    kept = near_dedup_survivors(df, "doc_id", _minhash_pairs(spark, sf_dir))
+    return kept.agg(F.count(F.lit(1)).alias("n_kept")).crossJoin(
+        df.agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov statistic on the n_chars distribution,
+    lang='en' docs vs the whole corpus (the same current-vs-baseline split
+    psi_terms uses). Exact: the integer-valued histogram IS the empirical
+    CDF; the windowed cumulative sums run over <= distinct-values rows."""
+    from jsonschema_spark.operators.drift import ks_statistic
+
+    df = _t(spark, sf_dir, "documents")
+    cur = df.filter(F.col("lang") == "en").groupBy(
+        F.col("n_chars").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = df.groupBy(F.col("n_chars").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return ks_statistic(cur, base)
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 5% content-addressed sample: portable md5 hash bucket
+    of doc_id < 5 of 100. Stable under any partitioning / cluster size —
+    unlike df.sample(), whose per-partition RNG changes with file layout."""
+    from jsonschema_spark.operators.sampling import hash_sample
+
+    df = _t(spark, sf_dir, "documents")
+    return hash_sample(df, "doc_id", rate=0.05, buckets=100).select("doc_id")
+
+
+def q_source_cap(spark, sf_dir):
+    """Per-source document cap (mixture rebalancing): keep at most 30 docs
+    per source ordered by doc_id; output per-source kept counts."""
+    from jsonschema_spark.operators.sampling import cap_per_group
+
+    df = _t(spark, sf_dir, "documents")
+    return (
+        cap_per_group(df, "source", k=30, order_col="doc_id")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+def q_repetition_score(spark, sf_dir):
+    """Gopher-style repetition filter signal: per-doc fraction of word
+    3-grams that repeat an earlier 3-gram (1 - distinct/total)."""
+    from jsonschema_spark.functions.text import repetition_ratio
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", F.round(repetition_ratio(F.col("text"), 3), 6).alias("rep_ratio")
+    )
+
+
+def _pii_corpus_path() -> str:
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "pii_corpus_2k_seed9.parquet")
+
+
+def q_pii_scan(spark, sf_dir):
+    """PII pattern scan over a deterministic synthetic corpus with injected
+    emails / SSN-shaped ids / long digit runs (testdata documents contain
+    none — the corpus is materialized once and both engines read the same
+    parquet). Per-pattern totals, all native regexp_count."""
+    import os
+
+    from jsonschema_spark.sources.corpus import pii_corpus
+
+    path = _pii_corpus_path()
+    if not os.path.isdir(path):
+        pii_corpus(spark, 2_000, seed=9).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    email, ssn, digits = PII_PATTERNS
+    return df.agg(
+        F.sum(F.regexp_count("text", F.lit(email))).cast("long").alias("n_email"),
+        F.sum(F.regexp_count("text", F.lit(ssn))).cast("long").alias("n_ssn"),
+        F.sum(F.regexp_count("text", F.lit(digits))).cast("long").alias("n_digit_runs"),
+        F.count(F.when(F.regexp_count("text", F.lit(email)) > 0, 1)).alias("n_email_docs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+PII_PATTERNS = (
+    r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",  # email
+    r"[0-9]{3}-[0-9]{2}-[0-9]{4}",  # SSN-shaped
+    r"[0-9]{9,}",  # long digit run (account-number shape)
+)
+
+
+def _jsonl_path() -> str:
+    """One canonical cache file: the Spark query materializes it on first
+    run (from whichever sf_dir that was) and BOTH engines then read this
+    exact file, so the comparison is always over identical bytes — the
+    ingest semantics under test don't depend on the corpus size."""
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "events_jsonl_oracle.jsonl")
+
+
+def q_jsonl_ingest(spark, sf_dir):
+    """Schema-first JSONL ingest with malformed-line capture: events
+    re-serialized as JSON lines (1 corrupt line injected per 1000), read
+    back with an explicit schema in PERMISSIVE mode; aggregate over the
+    well-formed rows only — which is exactly what the DuckDB oracle's
+    ignore_errors read sees, so corrupt-line handling is oracle-checked by
+    construction. Integer aggregates (no float-order sensitivity)."""
+    import json as _json
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from jsonschema_spark.sources.jsonl import ingest_verdicts, read_jsonl
+
+    path = _jsonl_path()
+    if not os.path.exists(path):
+        tbl = _pq.read_table(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "event_type", "value"],
+        ).to_pylist()
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for i, row in enumerate(tbl):
+                if i % 1000 == 999:
+                    f.write("{this line is not json\n")
+                f.write(_json.dumps(row) + "\n")
+        os.replace(tmp, path)
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    df = ingest_verdicts(read_jsonl(spark, path, schema))
+    # the event_id predicate is redundant (every valid event has one) but
+    # keeps a DATA column referenced even when a downstream .count() prunes
+    # the aggregate outputs — else SPARK-21610 rejects the corrupt-only scan
+    return df.filter(F.col("wellformed") & F.col("event_id").isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_valid"),
+        F.sum("user_id").cast("long").alias("sum_user"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "type_integer": q_type_integer,
@@ -818,6 +996,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dedup_groups": q_token_dedup_groups,
         "token_minhash_near_dup": q_token_minhash_near_dup,
         "decontaminate": q_decontaminate,
+        "dup_components": q_dup_components,
+        "near_dedup_count": q_near_dedup_count,
+        "ks_drift": q_ks_drift,
+        "hash_sample": q_hash_sample,
+        "source_cap": q_source_cap,
+        "repetition_score": q_repetition_score,
+        "pii_scan": q_pii_scan,
+        "jsonl_ingest": q_jsonl_ingest,
         "ntok_quantiles": q_ntok_quantiles,
         "packed_stats_validate": q_packed_stats_validate,
         "lang_id_counts": q_lang_id_counts,
@@ -1194,6 +1380,111 @@ def oracle_sql() -> dict[str, str]:
             " hits AS (SELECT doc_id, unnest(gs) AS g FROM cg)"
             " SELECT doc_id AS id, count(*) AS n_hits"
             " FROM hits JOIN bg USING (g) GROUP BY doc_id"
+        ),
+        "dup_components": (
+            "WITH RECURSIVE sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " pairs AS (SELECT id_a, id_b FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),"
+            " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION ALL SELECT id_b, id_a FROM pairs),"
+            " nodes AS (SELECT DISTINCT src AS id FROM edges),"
+            " reach(id, r) AS ("
+            "  SELECT id, id FROM nodes"
+            "  UNION"
+            "  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id)"
+            " SELECT id, min(r) AS component FROM reach GROUP BY id"
+        ),
+        "near_dedup_count": (
+            "WITH RECURSIVE sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " pairs AS (SELECT id_a, id_b FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),"
+            " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION ALL SELECT id_b, id_a FROM pairs),"
+            " nodes AS (SELECT DISTINCT src AS id FROM edges),"
+            " reach(id, r) AS ("
+            "  SELECT id, id FROM nodes"
+            "  UNION"
+            "  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id),"
+            " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
+            " SELECT (SELECT count(*) FROM documents)"
+            "   - (SELECT count(*) FROM comp WHERE id <> component) AS n_kept,"
+            "  (SELECT count(*) FROM documents) AS n_docs"
+        ),
+        "ks_drift": (
+            "WITH cur AS (SELECT n_chars AS k, count(*) AS c FROM documents"
+            "  WHERE lang = 'en' GROUP BY 1),"
+            " base AS (SELECT n_chars AS k, count(*) AS c FROM documents GROUP BY 1),"
+            " j AS (SELECT coalesce(cur.k, base.k) AS k,"
+            "   coalesce(cur.c, 0) AS cur, coalesce(base.c, 0) AS base"
+            "  FROM cur FULL OUTER JOIN base ON cur.k = base.k),"
+            " t AS (SELECT sum(cur) AS n_cur, sum(base) AS n_base FROM j),"
+            " c AS (SELECT sum(cur) OVER (ORDER BY k) / CAST(n_cur AS DOUBLE) AS cdf_cur,"
+            "   sum(base) OVER (ORDER BY k) / CAST(n_base AS DOUBLE) AS cdf_base"
+            "  FROM j, t)"
+            " SELECT round(max(abs(cdf_cur - cdf_base)), 6) AS ks FROM c"
+        ),
+        "hash_sample": (
+            "SELECT doc_id FROM documents WHERE "
+            + _hex60("CAST(doc_id AS VARCHAR)")
+            + " % 100 < 5"
+        ),
+        "source_cap": (
+            "SELECT source, count(*) AS n_kept FROM ("
+            " SELECT source, row_number() OVER ("
+            "  PARTITION BY source ORDER BY doc_id) AS rn"
+            " FROM documents) WHERE rn <= 30 GROUP BY source"
+        ),
+        "repetition_score": (
+            "SELECT doc_id, round(CASE WHEN len(g) = 0 THEN 0.0"
+            "  ELSE 1.0 - len(list_distinct(g)) / CAST(len(g) AS DOUBLE) END, 6)"
+            "  AS rep_ratio"
+            " FROM (SELECT doc_id, list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents))"
+        ),
+        "pii_scan": (
+            "SELECT CAST(sum(len(regexp_extract_all(text, '"
+            + PII_PATTERNS[0]
+            + "'))) AS BIGINT) AS n_email,"
+            " CAST(sum(len(regexp_extract_all(text, '"
+            + PII_PATTERNS[1]
+            + "'))) AS BIGINT) AS n_ssn,"
+            " CAST(sum(len(regexp_extract_all(text, '"
+            + PII_PATTERNS[2]
+            + "'))) AS BIGINT) AS n_digit_runs,"
+            " count(*) FILTER (WHERE regexp_matches(text, '"
+            + PII_PATTERNS[0]
+            + "')) AS n_email_docs,"
+            " count(*) AS n_docs"
+            " FROM read_parquet('" + _pii_corpus_path() + "/*.parquet')"
+        ),
+        "jsonl_ingest": (
+            "SELECT count(*) AS n_valid,"
+            " CAST(sum(user_id) AS BIGINT) AS sum_user,"
+            " count(DISTINCT event_type) AS n_types"
+            " FROM read_json('" + _jsonl_path() + "',"
+            " format = 'newline_delimited', ignore_errors = true,"
+            " columns = {event_id: 'BIGINT', user_id: 'BIGINT',"
+            "  event_type: 'VARCHAR', value: 'DOUBLE'})"
+            # ignore_errors yields an all-NULL row (not a skip) per corrupt
+            # line; valid events always carry event_id, so this is the
+            # corrupt-row filter on the DuckDB side
+            " WHERE event_id IS NOT NULL"
         ),
         "ntok_quantiles": (
             "SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25,"

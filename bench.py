@@ -95,6 +95,8 @@ def main() -> None:
         "pattern_properties",
         "blob_stats",
         "ann_topk",
+        "dup_components",
+        "repetition_score",
     ]
     qs = entry.queries()
     for name in headline:

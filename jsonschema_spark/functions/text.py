@@ -150,6 +150,33 @@ def quality_score(col: Column) -> Column:
     return let_(words(F.lower(col)), _score)
 
 
+def repetition_ratio(col: Column, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in
+    the same document: ``1 - distinct_ngrams / total_ngrams`` (0 when the
+    document has fewer than n words). The Gopher-style repetition filter
+    (Rae et al. 2021 §A1.1 use exactly this family of duplicate-n-gram
+    fractions) — boilerplate, keyword stuffing and template spam score
+    high, natural prose scores near 0. Pure expression; one pass."""
+
+    def _ratio(ws: Column) -> Column:
+        n_grams = F.size(ws) - F.lit(n - 1)
+        grams = F.transform(
+            index_range(n_grams),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+        return F.when(n_grams < 1, F.lit(0.0)).otherwise(
+            let_(
+                grams,
+                lambda g: F.lit(1.0)
+                - F.size(F.array_distinct(g)).cast("double") / F.size(g),
+            )
+        )
+
+    return let_(words(F.lower(col)), _ratio)
+
+
 def portable_hash60(col: Column) -> Column:
     """Cross-engine deterministic 60-bit hash: the first 15 hex chars of
     md5, as a non-negative bigint. Exists so sketch operators (simhash, IVF

@@ -1,0 +1,153 @@
+"""Connected components over near-duplicate pair sets — the clustering
+stage that turns pairwise dedup output (minhash/simhash/exact pairs) into
+keep-one-per-cluster decisions. Table-scope generalization of the
+reference's per-document accept/reject: where ``uniqueItems``
+(/root/reference/validate.go:320-370) rejects duplicate ELEMENTS inside
+one array, this groups duplicate DOCUMENTS across the corpus so a
+canonical survivor can be chosen per group.
+
+Algorithm: alternating large-star / small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+shuffle-bounded formulation:
+
+- **large-star**: every node connects its LARGER neighbors to the minimum
+  of its neighborhood (including itself).
+- **small-star**: every node connects its smaller-or-equal neighbors (and
+  itself) to the minimum of that set.
+
+Both steps are one window-min pass + one re-emit per round — shuffle
+volume O(|E|) per round, O(log n) rounds to convergence (each round at
+least halves tree heights). No driver-side graph state: the driver loop only
+compares a per-round (count, hash-sum) checksum, so a 10^12-edge pair set
+never leaves the executors. Per-round ``localCheckpoint`` truncates the
+lineage (an iterative plan otherwise doubles per round and overwhelms the
+optimizer) and is released by the ContextCleaner when the result goes out
+of scope, unlike ``persist`` which pins cache entries for the session.
+
+Skew note: at convergence every component is a star centred on its
+minimum id, so that hub's degree equals the component size. The window
+partition on the hub node does concentrate its edges on one reducer per
+round — the inherent hot partition of star contraction — but only as a
+streamed min + row re-emit (no neighbor-set materialization), so a giant
+component costs its size in scanned rows, not driver or executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Undirected pair set -> canonical directed edges (u > v, no self
+    loops, distinct)."""
+    u = F.greatest(F.col(id_a), F.col(id_b))
+    v = F.least(F.col(id_a), F.col(id_b))
+    return (
+        pairs.select(u.alias("u"), v.alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Connect strictly-larger neighbors of every node to its neighborhood
+    minimum. Input/output: directed (u, v) edge lists, u != v.
+
+    The per-node minimum comes from a window aggregate (one shuffle on u,
+    values streamed past each row) instead of groupBy+self-join (two
+    shuffles of the symmetric edge list, no exchange reuse across the join
+    aliases) — and never materializes a neighbor set, so a 10^9-member
+    component's hub costs rows, not one giant in-memory array. Output is
+    NOT deduplicated here; the small-star that always follows dedups, so
+    each round pays one distinct, not two."""
+    from pyspark.sql import Window
+
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = F.least(F.min("v").over(Window.partitionBy("u")), F.col("u"))
+    return (
+        sym.withColumn("m", m)
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Connect smaller neighbors (and the node itself) to the minimum of
+    the smaller-neighborhood. Same window-aggregate shape as large-star."""
+    from pyspark.sql import Window
+
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    with_m = directed.withColumn(
+        "m", F.min("v").over(Window.partitionBy("u"))
+    )
+    out = with_m.select(F.col("v").alias("u"), F.col("m").alias("v")).union(
+        with_m.select(F.col("u"), F.col("m").alias("v"))
+    )
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Resolve an undirected pair set into components.
+
+    Returns ``(id, component)`` for every node that appears in ``pairs``,
+    where ``component`` is the minimum id in the node's component (the
+    conventional canonical representative). Nodes not mentioned in any
+    pair are implicitly their own singleton components — callers join
+    against this assignment with a left join and coalesce.
+    """
+    # lazy checkpoints: the per-round checksum action below materializes
+    # them, so truncating lineage costs no extra job
+    edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
+    prev = None
+    for _ in range(max_iter):
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        # bit_xor: order-insensitive edge-set checksum with no overflow
+        # (ANSI mode makes sum(xxhash64) throw on long overflow)
+        state = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        checksum = (state["n"], state["h"])
+        if checksum == prev:
+            break
+        prev = checksum
+    else:  # pragma: no cover - max_iter is generous for log2(n) rounds
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # at convergence the edge set is a star per component: (member, min)
+    members = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    )
+    return members.union(roots).groupBy("id").agg(
+        F.min("component").alias("component")
+    )
+
+
+def near_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep-one-per-cluster dedup: drop every document whose component
+    representative (minimum id) is a different document; singletons and
+    representatives survive. The assignment table is tiny relative to the
+    corpus (only docs that had a near-dup pair), so the anti-join
+    broadcasts."""
+    assign = connected_components(pairs, id_a, id_b)
+    losers = assign.filter(F.col("id") != F.col("component")).select("id")
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
+    )

@@ -91,6 +91,41 @@ def chi_square(current: DataFrame, baseline: DataFrame, key: str = "bucket",
     return {"statistic": stat, "dof": max(len(rows) - 1, 1), "buckets": len(rows)}
 
 
+def ks_statistic(
+    current: DataFrame, baseline: DataFrame, key: str = "bucket",
+    cnt: str = "cnt", decimals: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic from pre-aggregated value
+    histograms: ``max |CDF_cur(v) - CDF_base(v)|`` over the union of
+    support points. Exact for integer-valued columns (n_tok, n_chars)
+    where the histogram IS the empirical distribution.
+
+    Scale shape: inputs are already aggregated (≤ distinct-values rows),
+    so the cumulative-sum window over a single ordered partition is over
+    bins, never over raw rows — the same O(bins) compare contract as
+    psi/chi_square. Returns one row ``(ks double)``."""
+    from pyspark.sql import Window
+
+    cur = current.select(F.col(key).alias("k"), F.col(cnt).alias("cur"))
+    base = baseline.select(F.col(key).alias("k"), F.col(cnt).alias("base"))
+    joined = cur.join(base, on="k", how="full_outer").select(
+        "k",
+        F.coalesce("cur", F.lit(0)).alias("cur"),
+        F.coalesce("base", F.lit(0)).alias("base"),
+    )
+    totals = joined.agg(
+        F.sum("cur").alias("n_cur"), F.sum("base").alias("n_base")
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    cdfs = joined.crossJoin(F.broadcast(totals)).select(
+        (F.sum("cur").over(w) / F.col("n_cur")).alias("cdf_cur"),
+        (F.sum("base").over(w) / F.col("n_base")).alias("cdf_base"),
+    )
+    return cdfs.agg(
+        F.round(F.max(F.abs(F.col("cdf_cur") - F.col("cdf_base"))), decimals).alias("ks")
+    )
+
+
 def drift_report(current: DataFrame, baseline: DataFrame, key: str = "bucket",
                  cnt: str = "cnt", psi_threshold: float = 0.25,
                  epsilon: float = 1e-6) -> dict:

@@ -1,0 +1,68 @@
+"""Deterministic sampling / rebalancing operators for training-data
+pipelines (new semantics per the north rule — the reference validates
+documents one at a time and has no corpus-subsetting vocabulary;
+SURVEY.md §2.3).
+
+Design constraints at 10^12 rows:
+
+- **Reproducible regardless of partitioning** — every decision is a pure
+  function of row content (a portable hash of the id), never of
+  partition/row position, so re-runs, resumed runs, and different cluster
+  sizes select byte-identical samples. ``df.sample()`` does NOT have this
+  property (seeded per-partition RNG → changes with the file layout),
+  which is why it is not used.
+- **One pass, no shuffle for the flat sample** — ``hash_sample`` is a
+  filter, evaluated in the scan stage (predicate on a hash expression;
+  Parquet row-group pruning obviously can't apply, but no exchange
+  happens either).
+- **One shuffle, bounded per group, for the per-group cap** — the
+  canonical top-k-per-group shape (window row_number), same as the
+  engine's topk_per_group query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from jsonschema_spark.functions.text import portable_hash60
+
+
+def hash_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets) from a portable 60-bit md5
+    hash of the (stringified) column — identical in any SQL engine with
+    md5, so oracle twins reproduce the exact sample."""
+    return F.pmod(portable_hash60(col.cast("string")), F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, buckets: int = 10_000
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows: bucket the id hash
+    into ``buckets`` and keep the first ``round(rate * buckets)`` buckets.
+    Content-addressed → stable across partitioning, resumable, and
+    composable (a 1% sample is a strict subset of a 10% sample)."""
+    keep = int(round(rate * buckets))
+    return df.filter(hash_bucket(F.col(id_col), buckets) < keep)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group (source-rebalancing: a dominant
+    crawl must not swamp the mixture). Order within a group is by
+    ``order_col`` (default: portable hash of the group-ordering is the
+    caller's id column — pass it explicitly), so selection is
+    deterministic. One shuffle on the group key; the window never ranks
+    past k per reducer after AQE skew split."""
+    if order_col is None:
+        raise ValueError("cap_per_group requires an explicit order_col")
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -152,6 +152,47 @@ def token_neardup_corpus(spark: SparkSession, n_rows: int, seed: int = 5) -> Dat
     return base.select(i.alias("doc_id"), tokens.alias("tokens"))
 
 
+PII_EMAIL_MOD, PII_SSN_MOD, PII_DIGITS_MOD = 7, 11, 5
+
+
+def pii_corpus(spark: SparkSession, n_rows: int, seed: int = 9) -> DataFrame:
+    """(doc_id long, text string): filler prose with deterministically
+    injected PII-shaped spans for the pii_scan operator:
+
+    - every 7th row (offset 3): an email ``user<k>@example.com``
+    - every 11th row (offset 5): an SSN-shaped ``ddd-dd-dddd``
+    - every 5th row (offset 2): a 10-digit run (account-number shape)
+
+    The three shapes are regex-disjoint (the digit-run pattern requires
+    >= 9 consecutive digits, which neither the dashed SSN nor the short
+    email-local digits contain), so per-pattern counts have closed forms.
+    Hash-derived -> identical at any parallelism."""
+    base = spark.range(n_rows)
+    i = F.col("id")
+    k = F.pmod(F.xxhash64(i, F.lit(seed)), F.lit(1000))
+    email = F.when(
+        F.pmod(i, PII_EMAIL_MOD) == 3,
+        F.concat(F.lit("reach user"), k.cast("string"), F.lit("@example.com for details")),
+    ).otherwise(F.lit("no contact on file"))
+    ssn = F.when(
+        F.pmod(i, PII_SSN_MOD) == 5,
+        F.concat(
+            F.lit("id "),
+            F.lpad(F.pmod(k, F.lit(900)).cast("string"), 3, "0"), F.lit("-"),
+            F.lpad(F.pmod(k, F.lit(90)).cast("string"), 2, "0"), F.lit("-"),
+            F.lpad(F.pmod(k, F.lit(9000)).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit("record redacted"))
+    digits = F.when(
+        F.pmod(i, PII_DIGITS_MOD) == 2,
+        F.concat(F.lit("acct "), (k + F.lit(9_000_000_000)).cast("string")),
+    ).otherwise(F.lit("acct masked"))
+    text = F.concat_ws(
+        " ", F.lit("the data row mentions"), email, ssn, digits, F.lit("end of note")
+    )
+    return base.select(i.alias("doc_id"), text.alias("text"))
+
+
 def expected_violation_counts(n_rows: int) -> dict:
     """Closed-form counts of injected violations (for test oracles)."""
     return {

@@ -1,0 +1,107 @@
+"""Connected-components clustering over near-dup pair sets.
+
+Ground truth for the randomized case is an in-test union-find — the
+classic sequential algorithm — so the distributed large-star/small-star
+result is checked against an independent implementation, not itself.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.components import (
+    connected_components,
+    near_dedup_survivors,
+)
+
+
+def _assign(spark, pairs):
+    df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    rows = connected_components(df).collect()
+    return {r["id"]: r["component"] for r in rows}
+
+
+def _union_find(pairs):
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical representative = min id per component
+    comp: dict[int, int] = {}
+    roots: dict[int, int] = {}
+    for x in parent:
+        r = find(x)
+        roots[r] = min(roots.get(r, r), x)
+    for x in parent:
+        comp[x] = roots[find(x)]
+    return comp
+
+
+def test_chain_and_island(spark):
+    got = _assign(spark, [(1, 2), (2, 3), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # a 40-node path is the worst case for naive label propagation
+    # (40 rounds); star-contraction must finish in far fewer
+    pairs = [(i, i + 1) for i in range(1, 40)]
+    got = _assign(spark, pairs)
+    assert got == {i: 1 for i in range(1, 41)}
+
+
+def test_duplicate_and_reversed_pairs_are_normalized(spark):
+    got = _assign(spark, [(2, 1), (1, 2), (2, 3), (3, 2)])
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_random_graph_matches_union_find(spark):
+    rng = random.Random(11)
+    nodes = list(range(1, 301))
+    pairs = [
+        (rng.choice(nodes), rng.choice(nodes))
+        for _ in range(220)
+    ]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _assign(spark, pairs) == _union_find(pairs)
+
+
+def test_empty_pairs(spark):
+    df = spark.createDataFrame([], "id_a: long, id_b: long")
+    assert connected_components(df).count() == 0
+
+
+def test_near_dedup_survivors(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 7)], "doc_id: long, text: string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a: long, id_b: long"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in near_dedup_survivors(docs, "doc_id", pairs).collect()
+    )
+    # one survivor (the min id) per cluster, singletons untouched
+    assert kept == [1, 4, 6]
+
+
+def test_survivors_keep_all_columns(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 6)], "doc_id: long, text: string, extra: long"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a: long, id_b: long")
+    out = near_dedup_survivors(docs, "doc_id", pairs)
+    assert out.columns == ["doc_id", "text", "extra"]
+    assert [r["doc_id"] for r in out.collect()] == [1]

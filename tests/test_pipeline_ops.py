@@ -1,0 +1,142 @@
+"""Unit proofs for the round-2 pipeline operators: KS drift, deterministic
+sampling, repetition scoring, PII corpus closed forms, JSONL corrupt-line
+capture."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.functions.text import repetition_ratio
+from jsonschema_spark.operators.drift import ks_statistic
+from jsonschema_spark.operators.sampling import cap_per_group, hash_sample
+from jsonschema_spark.sources.corpus import (
+    PII_DIGITS_MOD,
+    PII_EMAIL_MOD,
+    PII_SSN_MOD,
+    pii_corpus,
+)
+from jsonschema_spark.sources.jsonl import (
+    corrupt_rows,
+    ingest_verdicts,
+    read_jsonl,
+)
+
+
+def _hist(spark, counts):
+    return spark.createDataFrame(
+        [(k, v) for k, v in counts.items()], "bucket: long, cnt: long"
+    )
+
+
+def test_ks_known_value(spark):
+    cur = _hist(spark, {1: 1, 2: 1})
+    base = _hist(spark, {1: 1, 2: 1, 3: 2})
+    # CDFs: cur = .5, 1, 1 ; base = .25, .5, 1 -> max gap 0.5 at k=2
+    assert ks_statistic(cur, base).collect()[0]["ks"] == pytest.approx(0.5)
+
+
+def test_ks_identical_is_zero(spark):
+    h = _hist(spark, {1: 10, 5: 3, 9: 7})
+    assert ks_statistic(h, h).collect()[0]["ks"] == 0.0
+
+
+def test_ks_missing_buckets_on_either_side(spark):
+    cur = _hist(spark, {1: 4})
+    base = _hist(spark, {2: 4})
+    # cur's mass is entirely below base's -> KS = 1
+    assert ks_statistic(cur, base).collect()[0]["ks"] == pytest.approx(1.0)
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    small = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.01).collect()}
+    big = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.10).collect()}
+    assert small <= big  # content-addressed samples nest
+    # rate lands near target (hash uniformity; wide tolerance)
+    assert 0.05 < len(big) / 20_000 < 0.15
+    # identical under a different physical layout
+    again = {
+        r["doc_id"]
+        for r in hash_sample(df.repartition(13), "doc_id", 0.10).collect()
+    }
+    assert again == big
+
+
+def test_cap_per_group(spark):
+    rows = [(f"s{i % 3}", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source: string, doc_id: long")
+    capped = cap_per_group(df, "source", k=5, order_col="doc_id")
+    got = capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+    ).collect()
+    assert {r["source"]: r["n"] for r in got} == {"s0": 5, "s1": 5, "s2": 5}
+    # deterministic: the k SMALLEST doc_ids survive per group
+    assert all(r["mx"] <= 14 for r in got)
+    with pytest.raises(ValueError):
+        cap_per_group(df, "source", k=5)
+
+
+def test_repetition_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 grams, 3 distinct -> 1 - 3/7
+            (2, "all words fully unique here now"),
+            (3, "two words"),           # < n words -> 0
+            (4, ""),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", F.round(repetition_ratio(F.col("text"), 3), 6).alias("r")
+        ).collect()
+    }
+    assert got[1] == pytest.approx(1 - 3 / 7, abs=1e-6)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert got[4] == 0.0
+
+
+def test_pii_corpus_closed_forms(spark):
+    n = 2_000
+    df = pii_corpus(spark, n, seed=9)
+    email_re, ssn_re, digits_re = (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        r"[0-9]{3}-[0-9]{2}-[0-9]{4}",
+        r"[0-9]{9,}",
+    )
+    row = df.agg(
+        F.sum(F.regexp_count("text", F.lit(email_re))).alias("e"),
+        F.sum(F.regexp_count("text", F.lit(ssn_re))).alias("s"),
+        F.sum(F.regexp_count("text", F.lit(digits_re))).alias("d"),
+    ).collect()[0]
+    assert row["e"] == len([i for i in range(n) if i % PII_EMAIL_MOD == 3])
+    assert row["s"] == len([i for i in range(n) if i % PII_SSN_MOD == 5])
+    assert row["d"] == len([i for i in range(n) if i % PII_DIGITS_MOD == 2])
+
+
+def test_jsonl_corrupt_capture(spark, tmp_path):
+    path = os.path.join(tmp_path, "rows.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({"a": 1, "b": "x"}) + "\n")
+        f.write("{broken json here\n")
+        f.write(json.dumps({"a": 2, "b": "y"}) + "\n")
+        f.write("also not json\n")
+    schema = T.StructType(
+        [T.StructField("a", T.LongType()), T.StructField("b", T.StringType())]
+    )
+    df = ingest_verdicts(read_jsonl(spark, path, schema))
+    # SPARK-21610: the count must touch a data column, not just the verdict
+    row = df.agg(
+        F.count(F.when(F.col("wellformed"), F.col("a"))).alias("ok"),
+        F.count(F.when(~F.col("wellformed"), 1)).alias("bad"),
+    ).collect()[0]
+    assert (row["ok"], row["bad"]) == (2, 2)
+    bad = sorted(r["raw_line"] for r in corrupt_rows(spark, path, schema).collect())
+    assert bad == ["also not json", "{broken json here"]
