@@ -67,7 +67,9 @@ def main() -> None:
 
     # warm-up pass (JIT + parquet footer caches), then best-of-N steady state
     corpus_validation_pass(spark, corpus_path)
-    repeat = int(os.environ.get("BENCH_REPEAT", "3"))
+    # 4 timed passes: the shared host shows 5-8% CPU steal with bursts that
+    # stretch a 10s pass to 50s — best-of-4 rides out one bad window
+    repeat = int(os.environ.get("BENCH_REPEAT", "4"))
     corpus_sec = float("inf")
     for _ in range(repeat):
         t0 = time.time()

@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions for the headline queries — the
+properties that decide 100 TB behavior, pinned so a refactor can't
+silently regress them:
+
+- filters reach the parquet scan (PushedFilters), unused columns are
+  pruned (ReadSchema)
+- small dimensions broadcast (BroadcastHashJoin, never SortMergeJoin)
+- top-k uses TakeOrderedAndProject (no full sort of the corpus)
+- deterministic sampling is a scan-stage filter (zero exchanges)
+- the validation hot path contains no row-at-a-time Python
+  (BatchEvalPython); only Arrow-batched kernels (ArrowEvalPython) appear
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    plan = _plan(entry_mod.queries()["tpch_q1"](spark, SF_DIR))
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # projection pruning: the scan schema must not drag unused wide columns
+    read = plan.split("ReadSchema")[1][:400]
+    assert "l_comment" not in read and "l_shipinstruct" not in read
+
+
+def test_join_agg_broadcasts_dim(spark):
+    plan = _plan(entry_mod.queries()["join_agg"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_orphans_broadcast_no_fact_shuffle(spark):
+    plan = _plan(entry_mod.queries()["orphans"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan
+
+
+def test_embedding_topk_no_full_sort(spark):
+    plan = _plan(entry_mod.queries()["embedding_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hash_sample_is_scan_stage_filter(spark):
+    plan = _plan(entry_mod.queries()["hash_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan  # pure filter: no shuffle anywhere
+
+
+def test_validation_hot_path_has_no_row_python(spark):
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+    from jsonschema_spark.plans.job import ValidationJob
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan_c = compile_table_spec(TableSpec.from_dict(entry_mod.DOCS_SPEC), df.schema)
+    annotated = ValidationJob(plan_c, id_column="doc_id").annotate(df)
+    plan = _plan(annotated)
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python forbidden
+
+
+def test_repetition_score_single_projection(spark):
+    # pure per-row expression: one scan, no exchange, no python
+    plan = _plan(entry_mod.queries()["repetition_score"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_band_join_is_bucket_equijoin(spark):
+    from jsonschema_spark.operators.dedup import minhash_candidates
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(minhash_candidates(df, "doc_id", "text"))
+    # candidates come from an equi-join on (band, h) buckets - never a
+    # cartesian/broadcast-nested-loop over doc pairs
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
