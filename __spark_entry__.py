@@ -823,6 +823,31 @@ def q_ks_drift(spark, sf_dir):
     return ks_statistic(cur, base)
 
 
+def q_chi2_drift(spark, sf_dir):
+    """Per-bucket Pearson chi-square contributions, English subset vs the
+    whole corpus over the same 12-bucket n_chars histogram psi_terms uses —
+    chi-square as oracle-checkable DataFrame ops, not driver math."""
+    from jsonschema_spark.operators.stats import histogram
+    from jsonschema_spark.operators.drift import chi_square_terms
+
+    df = _t(spark, sf_dir, "documents")
+    current = histogram(df.filter(F.col("lang") == "en"), "n_chars", 12, 0, 600)
+    baseline = histogram(df, "n_chars", 12, 0, 600)
+    return chi_square_terms(current, baseline)
+
+
+def q_token_entropy(spark, sf_dir):
+    """Unigram-diversity quality signal: per-doc Shannon entropy (nats) of
+    the word distribution; sorted-order fold for cross-engine float
+    parity."""
+    from jsonschema_spark.functions.text import token_entropy
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", F.round(token_entropy(F.col("text")), 6).alias("entropy")
+    )
+
+
 def q_hash_sample(spark, sf_dir):
     """Deterministic 5% content-addressed sample: portable md5 hash bucket
     of doc_id < 5 of 100. Stable under any partitioning / cluster size —
@@ -999,6 +1024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "near_dedup_count": q_near_dedup_count,
         "ks_drift": q_ks_drift,
+        "chi2_drift": q_chi2_drift,
+        "token_entropy": q_token_entropy,
         "hash_sample": q_hash_sample,
         "source_cap": q_source_cap,
         "repetition_score": q_repetition_score,
@@ -1436,6 +1463,26 @@ def oracle_sql() -> dict[str, str]:
             "   sum(base) OVER (ORDER BY k) / CAST(n_base AS DOUBLE) AS cdf_base"
             "  FROM j, t)"
             " SELECT round(max(abs(cdf_cur - cdf_base)), 6) AS ks FROM c"
+        ),
+        "chi2_drift": (
+            "WITH hist AS (SELECT CASE WHEN n_chars < 0 THEN -1 WHEN n_chars >= 600 THEN 12"
+            "   ELSE CAST(floor(n_chars / 50.0) AS INT) END AS bucket,"
+            "   count(*) AS cnt_all,"
+            "   count(*) FILTER (WHERE lang = 'en') AS cnt_en"
+            "  FROM documents GROUP BY 1),"
+            " tot AS (SELECT sum(cnt_en) AS n_cur, sum(cnt_all) AS n_base FROM hist)"
+            " SELECT bucket, round(pow(cnt_en - e, 2) / e, 6) AS chi2_term FROM ("
+            "  SELECT bucket, cnt_en,"
+            "   CAST(n_cur AS DOUBLE) * cnt_all / n_base AS e"
+            "  FROM hist, tot WHERE cnt_all > 0)"
+        ),
+        "token_entropy": (
+            "SELECT doc_id, round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE"
+            "  -list_sum(list_transform(list_sort(list_distinct(ws)),"
+            "    w -> (len(list_filter(ws, x -> x = w)) / CAST(len(ws) AS DOUBLE))"
+            "      * ln(len(list_filter(ws, x -> x = w)) / CAST(len(ws) AS DOUBLE))))"
+            "  END, 6) AS entropy"
+            f" FROM (SELECT doc_id, {_WS} AS ws FROM documents)"
         ),
         "hash_sample": (
             "SELECT doc_id FROM documents WHERE "

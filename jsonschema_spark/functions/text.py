@@ -177,6 +177,33 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
     return let_(words(F.lower(col)), _ratio)
 
 
+def token_entropy(col: Column) -> Column:
+    """Shannon entropy (nats) of the within-document word distribution:
+    ``-sum_w p_w ln p_w`` — the unigram-diversity quality signal (low
+    entropy = repetitive/templated text, complements repetition_ratio's
+    n-gram view). Pure expression, O(words x distinct) per row.
+
+    The distinct-word fold iterates in SORTED order so the float
+    accumulation order is identical in the DuckDB oracle twin (distinct
+    preserves first-occurrence order otherwise, which differs across
+    engines)."""
+
+    def _entropy(ws: Column) -> Column:
+        n = F.size(ws).cast("double")
+        acc = F.aggregate(
+            F.array_sort(F.array_distinct(ws)),
+            F.lit(0.0),
+            lambda a, w: a
+            - let_(
+                F.size(F.filter(ws, lambda x: x == w)) / n,
+                lambda p: p * F.log(p),
+            ),
+        )
+        return F.when(F.size(ws) == 0, F.lit(0.0)).otherwise(acc)
+
+    return let_(words(F.lower(col)), _entropy)
+
+
 def portable_hash60(col: Column) -> Column:
     """Cross-engine deterministic 60-bit hash: the first 15 hex chars of
     md5, as a non-negative bigint. Exists so sketch operators (simhash, IVF

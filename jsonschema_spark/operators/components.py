@@ -95,6 +95,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Resolve an undirected pair set into components.
 
@@ -103,12 +104,16 @@ def connected_components(
     conventional canonical representative). Nodes not mentioned in any
     pair are implicitly their own singleton components — callers join
     against this assignment with a left join and coalesce.
+
+    Pass a dict as ``stats`` to receive ``{"rounds": k}`` — rounds are the
+    inherently sequential part of the algorithm (graph diameter bound), so
+    per-round wall time is the number that must scale with executors.
     """
     # lazy checkpoints: the per-round checksum action below materializes
     # them, so truncating lineage costs no extra job
     edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
     prev = None
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         # bit_xor: order-insensitive edge-set checksum with no overflow
         # (ANSI mode makes sum(xxhash64) throw on long overflow)
@@ -118,6 +123,8 @@ def connected_components(
         ).collect()[0]
         checksum = (state["n"], state["h"])
         if checksum == prev:
+            if stats is not None:
+                stats["rounds"] = rounds
             break
         prev = checksum
     else:  # pragma: no cover - max_iter is generous for log2(n) rounds

@@ -91,6 +91,40 @@ def chi_square(current: DataFrame, baseline: DataFrame, key: str = "bucket",
     return {"statistic": stat, "dof": max(len(rows) - 1, 1), "buckets": len(rows)}
 
 
+def chi_square_terms(
+    current: DataFrame, baseline: DataFrame, key: str = "bucket",
+    cnt: str = "cnt", decimals: int = 6,
+) -> DataFrame:
+    """Per-bucket Pearson chi-square contribution as DataFrame ops (the
+    oracle-checkable twin of :func:`chi_square`): ``(key, chi2_term)``
+    with term = (observed - expected)^2 / expected, expected = n_cur *
+    (base / n_base); buckets absent from the baseline are skipped (no
+    defined expectation). Inputs are pre-aggregated histograms — O(bins)."""
+    cur = current.select(F.col(key).alias("k"), F.col(cnt).alias("cur"))
+    base = baseline.select(F.col(key).alias("k"), F.col(cnt).alias("base"))
+    joined = cur.join(base, on="k", how="full_outer").select(
+        "k",
+        F.coalesce("cur", F.lit(0)).alias("cur"),
+        F.coalesce("base", F.lit(0)).alias("base"),
+    )
+    totals = joined.agg(
+        F.sum("cur").alias("n_cur"), F.sum("base").alias("n_base")
+    )
+    # cast before multiplying: long * long would overflow at 10^12-row
+    # histograms (and the double form is what the oracle SQL mirrors)
+    expected = F.col("n_cur").cast("double") * F.col("base") / F.col("n_base")
+    return (
+        joined.crossJoin(F.broadcast(totals))
+        .filter(F.col("base") > 0)
+        .select(
+            F.col("k").alias(key),
+            F.round(
+                F.pow(F.col("cur") - expected, F.lit(2)) / expected, decimals
+            ).alias("chi2_term"),
+        )
+    )
+
+
 def ks_statistic(
     current: DataFrame, baseline: DataFrame, key: str = "bucket",
     cnt: str = "cnt", decimals: int = 6,

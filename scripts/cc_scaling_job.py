@@ -67,8 +67,10 @@ def main() -> int:
     path = materialize(spark, args.rows, args.cache_dir)
     edges = spark.read.parquet(path)
 
+    stats: dict = {}
+
     def one_pass() -> int:
-        return connected_components(edges).count()
+        return connected_components(edges, stats=stats).count()
 
     n_assigned = one_pass()  # warm-up
     best = float("inf")
@@ -83,6 +85,10 @@ def main() -> int:
                 "job": "connected_components",
                 "rows": args.rows,
                 "n_assigned": int(n_assigned),
+                "rounds": stats.get("rounds"),
+                "sec_per_round": round(best / stats["rounds"], 3)
+                if stats.get("rounds")
+                else None,
                 "wall_sec": round(best, 3),
                 "edges_per_sec": round(args.rows / best, 1),
                 # scaling.py computes efficiency from tokens_per_sec;
