@@ -979,6 +979,46 @@ def q_jsonl_ingest(spark, sf_dir):
     )
 
 
+def q_source_violation_rates(spark, sf_dir):
+    """Per-source violation rate with Wilson 95% bounds (the acceptance
+    gate for per-source quality: one threshold on wilson_hi works across
+    sources of very different sizes). Violation here: n_chars > 450."""
+    from jsonschema_spark.operators.checks import wilson_rates
+
+    df = _t(spark, sf_dir, "documents")
+    return wilson_rates(df, "source", F.col("n_chars") > 450)
+
+
+def q_ntok_iqr_outliers(spark, sf_dir):
+    """Per-source Tukey-fence outlier summary on the n_chars length
+    distribution: exact per-group quartiles (one shuffle), bounds
+    broadcast back for the flagging pass."""
+    from jsonschema_spark.operators.checks import iqr_outlier_counts
+
+    df = _t(spark, sf_dir, "documents")
+    return iqr_outlier_counts(df, "n_chars", "source")
+
+
+def q_monotonic_check(spark, sf_dir):
+    """Sequence-regression check: within each user's event stream (total
+    order = event_id), count adjacent pairs where `value` decreases.
+    One window shuffle on user_id; lag state is one value per key."""
+    from jsonschema_spark.operators.checks import monotonic_violations
+
+    df = _t(spark, sf_dir, "events")
+    return monotonic_violations(df, "user_id", "event_id", "value")
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Embedding-distribution drift: cosine + L2 between the mean vector
+    of the label<5 slice and the full corpus (posexplode + partial avg —
+    dim x partitions shuffle rows, never raw vectors)."""
+    from jsonschema_spark.operators.drift import embedding_mean_drift
+
+    df = _t(spark, sf_dir, "embeddings")
+    return embedding_mean_drift(df.filter(F.col("label") < 5), df)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "type_integer": q_type_integer,
@@ -1044,6 +1084,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "blob_stats": q_blob_stats,
         "frame_sample_counts": q_frame_sample_counts,
+        "source_violation_rates": q_source_violation_rates,
+        "ntok_iqr_outliers": q_ntok_iqr_outliers,
+        "monotonic_check": q_monotonic_check,
+        "embedding_drift": q_embedding_drift,
     }
 
 
@@ -1700,5 +1744,58 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(floor((floor(strlen(text) / 16) + 3) / 4)"
             "  AS BIGINT) AS n_frames"
             " FROM documents WHERE strlen(text) >= 16"
+        ),
+        "source_violation_rates": (
+            "WITH agg AS (SELECT source, count(*) AS n,"
+            "   CAST(count(*) FILTER (WHERE n_chars > 450) AS BIGINT) AS fails"
+            "  FROM documents GROUP BY source),"
+            " w AS (SELECT source, n, fails,"
+            "   fails / CAST(n AS DOUBLE) AS p,"
+            "   1.96 * 1.96 AS z2, CAST(n AS DOUBLE) AS nd FROM agg)"
+            " SELECT source, n, fails, round(p, 6) AS rate,"
+            "  round(greatest((p + z2 / (2 * nd)) / (1 + z2 / nd)"
+            "   - 1.96 * sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd))"
+            "     / (1 + z2 / nd), 0.0), 6) AS wilson_lo,"
+            "  round(least((p + z2 / (2 * nd)) / (1 + z2 / nd)"
+            "   + 1.96 * sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd))"
+            "     / (1 + z2 / nd), 1.0), 6) AS wilson_hi"
+            " FROM w"
+        ),
+        "ntok_iqr_outliers": (
+            "WITH b AS (SELECT source,"
+            "   quantile_cont(n_chars, 0.25) AS q1,"
+            "   quantile_cont(n_chars, 0.75) AS q3"
+            "  FROM documents GROUP BY source),"
+            " f AS (SELECT source, q1, q3,"
+            "   q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi FROM b)"
+            " SELECT d.source, round(f.q1, 6) AS q1, round(f.q3, 6) AS q3,"
+            "  round(f.lo, 6) AS lo, round(f.hi, 6) AS hi,"
+            "  count(*) AS n,"
+            "  CAST(count(*) FILTER (WHERE CAST(d.n_chars AS DOUBLE) < f.lo"
+            "    OR CAST(d.n_chars AS DOUBLE) > f.hi) AS BIGINT) AS n_outliers"
+            " FROM documents d JOIN f ON d.source = f.source"
+            " GROUP BY d.source, f.q1, f.q3, f.lo, f.hi"
+        ),
+        "monotonic_check": (
+            "SELECT count(*) FILTER (WHERE pv IS NOT NULL) AS n_pairs,"
+            "  CAST(coalesce(sum(CASE WHEN value < pv THEN 1 ELSE 0 END), 0)"
+            "   AS BIGINT) AS n_violations"
+            " FROM (SELECT value, lag(value) OVER ("
+            "   PARTITION BY user_id ORDER BY event_id) AS pv FROM events)"
+        ),
+        "embedding_drift": (
+            "WITH cur AS (SELECT dim, avg(v) AS mc FROM ("
+            "   SELECT generate_subscripts(embedding, 1) AS dim,"
+            "    CAST(unnest(embedding) AS DOUBLE) AS v"
+            "   FROM embeddings WHERE label < 5) GROUP BY dim),"
+            " base AS (SELECT dim, avg(v) AS mb FROM ("
+            "   SELECT generate_subscripts(embedding, 1) AS dim,"
+            "    CAST(unnest(embedding) AS DOUBLE) AS v"
+            "   FROM embeddings) GROUP BY dim),"
+            " s AS (SELECT sum(mc * mb) AS dot, sum(mc * mc) AS nc,"
+            "   sum(mb * mb) AS nb, sum(pow(mc - mb, 2)) AS sq"
+            "  FROM cur JOIN base USING (dim))"
+            " SELECT round(dot / (sqrt(nc) * sqrt(nb)), 6) AS mean_cosine,"
+            "  round(sqrt(sq), 6) AS l2_shift FROM s"
         ),
     }

@@ -1,0 +1,165 @@
+"""Table-level acceptance checks beyond plain counts: per-group violation
+rates with Wilson confidence bounds, IQR outlier detection, and per-key
+monotonicity validation (new semantics per the north rule — the reference
+validates single documents, SURVEY.md §2.3 extends to table scale).
+
+Scale shapes:
+- ``wilson_rates``: one groupBy on a low-cardinality group column →
+  map-side partial aggregation; the Wilson arithmetic runs on ≤ groups
+  rows. No skew exposure (a hot group still reduces to one row per
+  partition before the shuffle).
+- ``iqr_bounds`` / ``iqr_outlier_counts``: exact per-group percentiles
+  (one shuffle on the group key), then the per-row flagging joins the
+  ≤ groups bounds table back with an explicit broadcast — the big table
+  is never shuffled for the flagging pass.
+- ``monotonic_violations``: one window shuffle partitioned by the entity
+  key; state per key is a single lag value, so skew is bounded by the
+  largest single entity (same contract as any sessionization pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def wilson_rates(
+    df: DataFrame,
+    group_col: str,
+    fail_col: Column,
+    z: float = 1.96,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group failure rate with the Wilson score interval
+    ``(group, n, fails, rate, wilson_lo, wilson_hi)``.
+
+    The Wilson interval is the right acceptance gate for violation rates
+    at very different group sizes: a 2/10 group gets a wide bound while a
+    2000/10^7 group gets a tight one, so one threshold on ``wilson_hi``
+    works across sources (a raw rate threshold would flap on small
+    sources). All arithmetic is native Column expressions over the
+    already-aggregated per-group row.
+    """
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(fail_col.cast("long")).alias("fails"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("fails") / n
+    z2 = F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("n"),
+        F.col("fails"),
+        F.round(p, decimals).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), decimals).alias("wilson_lo"),
+        F.round(F.least(center + half, F.lit(1.0)), decimals).alias("wilson_hi"),
+    )
+
+
+def iqr_bounds(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 1.5,
+) -> DataFrame:
+    """Exact per-group Tukey fences ``(group, q1, q3, lo, hi)`` with
+    ``lo = q1 - k*IQR``, ``hi = q3 + k*IQR``. Uses exact interpolated
+    ``percentile`` (one shuffle on the group key) so the DuckDB
+    ``quantile_cont`` twin matches bit-for-bit."""
+    qs = F.percentile(value_col, F.array(F.lit(0.25), F.lit(0.75)))
+    agg = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.element_at(qs, 1).alias("q1"), F.element_at(qs, 2).alias("q3")
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "q1",
+        "q3",
+        (F.col("q1") - F.lit(float(k)) * iqr).alias("lo"),
+        (F.col("q3") + F.lit(float(k)) * iqr).alias("hi"),
+    )
+
+
+def iqr_outlier_counts(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: float = 1.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group outlier summary ``(group, q1, q3, lo, hi, n, n_outliers)``.
+
+    The bounds table (≤ groups rows) is broadcast back onto the raw table,
+    so the second pass is a scan + broadcast hash join — the raw rows are
+    shuffled exactly once (for the percentile), never for the flagging.
+    """
+    bounds = iqr_bounds(df, value_col, group_col, k)
+    v = F.col(value_col).cast("double")
+    out = (F.col("v") < F.col("lo")) | (F.col("v") > F.col("hi"))
+    return (
+        df.select(F.col(group_col), v.alias("v"))
+        .join(F.broadcast(bounds), on=group_col)
+        .groupBy(group_col)
+        .agg(
+            F.round(F.first("q1"), decimals).alias("q1"),
+            F.round(F.first("q3"), decimals).alias("q3"),
+            F.round(F.first("lo"), decimals).alias("lo"),
+            F.round(F.first("hi"), decimals).alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+        )
+    )
+
+
+def iqr_outlier_rows(
+    df: DataFrame, value_col: str, group_col: str, k: float = 1.5
+) -> DataFrame:
+    """The flagged raw rows themselves (original columns + ``lo``/``hi``),
+    for routing to a violations sink. Same broadcast-join shape as
+    :func:`iqr_outlier_counts`."""
+    bounds = iqr_bounds(df, value_col, group_col, k)
+    v = F.col(value_col).cast("double")
+    return (
+        df.join(F.broadcast(bounds), on=group_col)
+        .filter((v < F.col("lo")) | (v > F.col("hi")))
+        .drop("q1", "q3")
+    )
+
+
+def monotonic_violations(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    value_col: str,
+    strict: bool = False,
+) -> DataFrame:
+    """Count ordering violations of ``value_col`` within each ``part_col``
+    partition when rows are ordered by ``order_col`` (e.g. "event
+    timestamps never decrease per user", "offsets strictly increase per
+    shard"). Returns one row ``(n_pairs, n_violations)``.
+
+    One window shuffle partitioned by the entity key; the lag state is a
+    single value per key. ``order_col`` must be a total order within the
+    partition (a unique sequence id) or the lag pairing is nondeterministic.
+    """
+    w = Window.partitionBy(part_col).orderBy(order_col)
+    prev = F.lag(F.col(value_col)).over(w)
+    bad = (
+        (F.col(value_col) <= prev) if strict else (F.col(value_col) < prev)
+    )
+    pairs = df.select(
+        prev.isNotNull().cast("long").alias("is_pair"),
+        F.coalesce(bad.cast("long"), F.lit(0)).alias("is_bad"),
+    )
+    return pairs.agg(
+        F.sum("is_pair").alias("n_pairs"),
+        F.sum("is_bad").alias("n_violations"),
+    )

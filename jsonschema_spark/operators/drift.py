@@ -160,6 +160,47 @@ def ks_statistic(
     )
 
 
+def embedding_mean_drift(
+    current: DataFrame,
+    baseline: DataFrame,
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-distribution drift between two corpus slices via their
+    per-dimension mean vectors: one row ``(mean_cosine, l2_shift)`` where
+    ``mean_cosine`` is the cosine similarity of the two mean vectors and
+    ``l2_shift`` their euclidean distance. A cosine well below 1.0 (or a
+    large l2) flags that the embedding distribution moved — the cheap
+    first-line drift check before anything cluster-based.
+
+    Scale shape: per-dimension means via ``posexplode`` + partial avg —
+    the shuffle carries dim × partitions pre-aggregated rows, never raw
+    vectors. The final compare joins two dim-row tables. Floats are cast
+    to double before multiplying (cross-engine parity contract).
+    """
+
+    def dim_means(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.posexplode(vec_col).alias("dim", "v"))
+            .groupBy("dim")
+            .agg(F.avg(F.col("v").cast("double")).alias(name))
+        )
+
+    joined = dim_means(current, "mc").join(dim_means(baseline, "mb"), on="dim")
+    sums = joined.agg(
+        F.sum(F.col("mc") * F.col("mb")).alias("dot"),
+        F.sum(F.col("mc") * F.col("mc")).alias("nc"),
+        F.sum(F.col("mb") * F.col("mb")).alias("nb"),
+        F.sum(F.pow(F.col("mc") - F.col("mb"), F.lit(2))).alias("sq"),
+    )
+    return sums.select(
+        F.round(
+            F.col("dot") / (F.sqrt("nc") * F.sqrt("nb")), decimals
+        ).alias("mean_cosine"),
+        F.round(F.sqrt("sq"), decimals).alias("l2_shift"),
+    )
+
+
 def drift_report(current: DataFrame, baseline: DataFrame, key: str = "bucket",
                  cnt: str = "cnt", psi_threshold: float = 0.25,
                  epsilon: float = 1e-6) -> dict:

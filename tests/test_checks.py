@@ -1,0 +1,136 @@
+"""Unit tests for table-level acceptance checks (operators/checks.py) and
+embedding-mean drift (operators/drift.py::embedding_mean_drift), pinned
+against closed-form NumPy/SciPy-free references computed inline."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_spark.operators.checks import (
+    iqr_bounds,
+    iqr_outlier_counts,
+    iqr_outlier_rows,
+    monotonic_violations,
+    wilson_rates,
+)
+from jsonschema_spark.operators.drift import embedding_mean_drift
+
+
+def _wilson(fails: int, n: int, z: float = 1.96) -> tuple[float, float]:
+    p = fails / n
+    z2 = z * z
+    denom = 1 + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / denom
+    return max(center - half, 0.0), min(center + half, 1.0)
+
+
+class TestWilsonRates:
+    def test_matches_closed_form(self, spark):
+        rows = [("a", True)] * 2 + [("a", False)] * 8 + [("b", True)] * 20 + [
+            ("b", False)
+        ] * 980
+        df = spark.createDataFrame(rows, "grp string, fail boolean")
+        out = {
+            r["grp"]: r
+            for r in wilson_rates(df, "grp", F.col("fail")).collect()
+        }
+        lo_a, hi_a = _wilson(2, 10)
+        lo_b, hi_b = _wilson(20, 1000)
+        assert out["a"]["n"] == 10 and out["a"]["fails"] == 2
+        assert out["a"]["rate"] == pytest.approx(0.2)
+        assert out["a"]["wilson_lo"] == pytest.approx(lo_a, abs=1e-6)
+        assert out["a"]["wilson_hi"] == pytest.approx(hi_a, abs=1e-6)
+        assert out["b"]["wilson_lo"] == pytest.approx(lo_b, abs=1e-6)
+        assert out["b"]["wilson_hi"] == pytest.approx(hi_b, abs=1e-6)
+        # the point of Wilson: the small group's interval is much wider
+        assert (hi_a - lo_a) > 5 * (hi_b - lo_b)
+
+    def test_zero_and_full_failure_groups(self, spark):
+        rows = [("clean", False)] * 5 + [("dirty", True)] * 5
+        df = spark.createDataFrame(rows, "grp string, fail boolean")
+        out = {
+            r["grp"]: r
+            for r in wilson_rates(df, "grp", F.col("fail")).collect()
+        }
+        assert out["clean"]["rate"] == 0.0
+        assert out["clean"]["wilson_lo"] == 0.0
+        assert out["clean"]["wilson_hi"] > 0.0  # never certain from n=5
+        assert out["dirty"]["rate"] == 1.0
+        assert out["dirty"]["wilson_hi"] == 1.0
+        assert out["dirty"]["wilson_lo"] < 1.0
+
+
+class TestIqrOutliers:
+    def test_bounds_match_numpy_interpolation(self, spark):
+        vals = [10, 20, 30, 40, 50, 60, 70, 80, 1000]
+        df = spark.createDataFrame(
+            [("g", v) for v in vals], "grp string, v long"
+        )
+        b = iqr_bounds(df, "v", "grp").collect()[0]
+        # linear interpolation quartiles of the 9 sorted values
+        assert b["q1"] == pytest.approx(30.0)
+        assert b["q3"] == pytest.approx(70.0)
+        assert b["lo"] == pytest.approx(30.0 - 1.5 * 40.0)
+        assert b["hi"] == pytest.approx(70.0 + 1.5 * 40.0)
+        counts = iqr_outlier_counts(df, "v", "grp").collect()[0]
+        assert counts["n"] == 9
+        assert counts["n_outliers"] == 1  # only 1000 > 130
+        out_rows = iqr_outlier_rows(df, "v", "grp").collect()
+        assert [r["v"] for r in out_rows] == [1000]
+
+    def test_per_group_independence(self, spark):
+        rows = [("a", v) for v in range(1, 12)] + [("b", v) for v in (5, 6, 7, 500)]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        out = {r["grp"]: r for r in iqr_outlier_counts(df, "v", "grp").collect()}
+        assert out["a"]["n_outliers"] == 0
+        assert out["b"]["n_outliers"] == 1
+
+
+class TestMonotonicViolations:
+    def test_counts_regressions_per_key(self, spark):
+        rows = [
+            # key u1 ordered by seq: 1,3,2,5 -> one regression (3->2)
+            ("u1", 1, 1.0), ("u1", 2, 3.0), ("u1", 3, 2.0), ("u1", 4, 5.0),
+            # key u2: monotone
+            ("u2", 1, 1.0), ("u2", 2, 1.0), ("u2", 3, 9.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, seq long, v double")
+        out = monotonic_violations(df, "k", "seq", "v").collect()[0]
+        assert out["n_pairs"] == 5
+        assert out["n_violations"] == 1
+        strict = monotonic_violations(df, "k", "seq", "v", strict=True).collect()[0]
+        assert strict["n_violations"] == 2  # the u2 plateau now counts
+
+    def test_single_row_keys_produce_no_pairs(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 1.0), ("b", 1, 2.0)], "k string, seq long, v double"
+        )
+        out = monotonic_violations(df, "k", "seq", "v").collect()[0]
+        assert out["n_pairs"] == 0
+        assert out["n_violations"] == 0
+
+
+class TestEmbeddingMeanDrift:
+    def test_identical_slices_have_cosine_one(self, spark):
+        df = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0, 2.0]) for i in range(30)],
+            "id long, embedding array<float>",
+        )
+        out = embedding_mean_drift(df, df).collect()[0]
+        assert out["mean_cosine"] == pytest.approx(1.0)
+        assert out["l2_shift"] == pytest.approx(0.0)
+
+    def test_known_shift(self, spark):
+        cur = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.0])], "id long, embedding array<float>"
+        )
+        base = spark.createDataFrame(
+            [(0, [0.0, 2.0]), (1, [0.0, 2.0])], "id long, embedding array<float>"
+        )
+        out = embedding_mean_drift(cur, base).collect()[0]
+        assert out["mean_cosine"] == pytest.approx(0.0)  # orthogonal means
+        assert out["l2_shift"] == pytest.approx(math.sqrt(1 + 4))
