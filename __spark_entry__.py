@@ -1019,6 +1019,47 @@ def q_embedding_drift(spark, sf_dir):
     return embedding_mean_drift(df.filter(F.col("label") < 5), df)
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smoothed idf, deterministic
+    term-asc tie-break): the canonical explode -> tf agg -> df agg ->
+    join-back -> window-top-k plan."""
+    from jsonschema_spark.operators.relevance import tfidf_top_terms
+
+    df = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(df, "doc_id", "text", k=3)
+
+
+def q_source_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between per-source token
+    distributions over the global top-200 vocabulary — which sources are
+    most unlike each other (the mixture-design companion to drift)."""
+    from jsonschema_spark.operators.relevance import pairwise_js_divergence
+
+    df = _t(spark, sf_dir, "documents")
+    return pairwise_js_divergence(df, "source", "text", top_v=200)
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic A-ES weighted sample: 50 documents drawn with
+    probability proportional to n_chars via content-addressed keys
+    u^(1/w) — byte-identical selection in any engine / partitioning."""
+    from jsonschema_spark.operators.sampling import weighted_sample
+
+    df = _t(spark, sf_dir, "documents")
+    return weighted_sample(df, "doc_id", "n_chars", k=50)
+
+
+def q_windowed_drift(spark, sf_dir):
+    """Time-sliced drift: per-day PSI of the events value histogram vs
+    the whole-range baseline — which day's distribution shifted. One
+    (window, bucket) aggregation of the raw rows; baseline re-aggregated
+    from that small table."""
+    from jsonschema_spark.operators.drift import windowed_psi
+
+    df = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    return windowed_psi(df, "ts", "value", "1 day", bins=10, lo=0.0, hi=200.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "type_integer": q_type_integer,
@@ -1088,6 +1129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_iqr_outliers": q_ntok_iqr_outliers,
         "monotonic_check": q_monotonic_check,
         "embedding_drift": q_embedding_drift,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "source_divergence": q_source_divergence,
+        "weighted_sample": q_weighted_sample,
+        "windowed_drift": q_windowed_drift,
     }
 
 
@@ -1797,5 +1842,82 @@ def oracle_sql() -> dict[str, str]:
             "  FROM cur JOIN base USING (dim))"
             " SELECT round(dot / (sqrt(nc) * sqrt(nb)), 6) AS mean_cosine,"
             "  round(sqrt(sq), 6) AS l2_shift FROM s"
+        ),
+        "tfidf_top_terms": (
+            f"WITH toks AS (SELECT doc_id, unnest({_WS}) AS term FROM documents),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),"
+            " dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),"
+            " n AS (SELECT count(*) AS n_docs FROM documents),"
+            " scored AS (SELECT doc_id, term, tf, doc_freq,"
+            "   tf * ln((1.0 + n_docs) / (1.0 + doc_freq)) AS s"
+            "  FROM tf JOIN dfreq USING (term) CROSS JOIN n),"
+            " ranked AS (SELECT doc_id, term, tf, doc_freq, s,"
+            "   row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, term)"
+            "    AS rnk FROM scored)"
+            " SELECT doc_id, term, tf, doc_freq, round(s, 6) AS tfidf,"
+            "  CAST(rnk AS BIGINT) AS rank FROM ranked WHERE rnk <= 3"
+        ),
+        "source_divergence": (
+            f"WITH toks AS (SELECT source AS grp, unnest({_WS}) AS term"
+            "   FROM documents),"
+            " counts AS (SELECT grp, term, count(*) AS cnt FROM toks"
+            "   GROUP BY 1, 2),"
+            " top_terms AS (SELECT term FROM ("
+            "   SELECT term, sum(cnt) AS total FROM counts GROUP BY 1)"
+            "  ORDER BY total DESC, term LIMIT 200),"
+            " sup AS (SELECT c.grp, c.term, c.cnt FROM counts c"
+            "   JOIN top_terms USING (term)),"
+            " grid AS (SELECT g.grp, t.term, coalesce(s.cnt, 0) AS cnt"
+            "  FROM (SELECT DISTINCT source AS grp FROM documents) g"
+            "  CROSS JOIN top_terms t"
+            "  LEFT JOIN sup s ON s.grp = g.grp AND s.term = t.term),"
+            " gtot AS (SELECT grp, sum(cnt) AS g_total FROM grid GROUP BY 1),"
+            " dist AS (SELECT grid.grp, grid.term,"
+            "   grid.cnt / CAST(g_total AS DOUBLE) AS p"
+            "  FROM grid JOIN gtot USING (grp)),"
+            " pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b,"
+            "   a.p AS pa, b.p AS pb"
+            "  FROM dist a JOIN dist b ON a.term = b.term AND a.grp < b.grp)"
+            " SELECT grp_a, grp_b, round("
+            "  0.5 * sum(CASE WHEN pa > 0"
+            "    THEN pa * ln(pa / ((pa + pb) / 2.0)) ELSE 0 END)"
+            "  + 0.5 * sum(CASE WHEN pb > 0"
+            "    THEN pb * ln(pb / ((pa + pb) / 2.0)) ELSE 0 END), 6) AS jsd"
+            " FROM pairs GROUP BY 1, 2"
+        ),
+        "weighted_sample": (
+            " SELECT doc_id, n_chars, round(k, 6) AS sample_key FROM ("
+            "  SELECT doc_id, n_chars,"
+            "   pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
+            "     1, 15)) AS BIGINT) + 1) / 1152921504606846976.0,"
+            "    1.0 / CAST(n_chars AS DOUBLE)) AS k"
+            "  FROM documents)"
+            " ORDER BY k DESC, doc_id LIMIT 50"
+        ),
+        "windowed_drift": (
+            "WITH c AS (SELECT"
+            "   strftime(time_bucket(INTERVAL '1 day', ts),"
+            "    '%Y-%m-%d %H:%M:%S') AS ws,"
+            "   CASE WHEN value < 0 THEN -1 WHEN value >= 200 THEN 10"
+            "    ELSE CAST(floor(value / 20.0) AS INT) END AS bucket,"
+            "   count(*) AS cnt"
+            "  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),"
+            " base AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS base"
+            "   FROM c GROUP BY 1),"
+            " nb AS (SELECT CAST(sum(base) AS BIGINT) AS n_base FROM base),"
+            " wt AS (SELECT ws, CAST(sum(cnt) AS BIGINT) AS n_cur"
+            "   FROM c GROUP BY 1),"
+            " grid AS (SELECT w.ws, b.bucket, coalesce(c.cnt, 0) AS cur"
+            "  FROM (SELECT DISTINCT ws FROM c) w"
+            "  CROSS JOIN (SELECT bucket FROM base) b"
+            "  LEFT JOIN c ON c.ws = w.ws AND c.bucket = b.bucket),"
+            " j AS (SELECT g.ws, wt.n_cur,"
+            "   greatest(g.cur / CAST(wt.n_cur AS DOUBLE), 1e-6) AS p,"
+            "   greatest(b.base / CAST(nb.n_base AS DOUBLE), 1e-6) AS q"
+            "  FROM grid g JOIN base b USING (bucket)"
+            "  JOIN wt ON wt.ws = g.ws CROSS JOIN nb)"
+            " SELECT ws AS window_start, CAST(any_value(n_cur) AS BIGINT) AS n,"
+            "  round(sum((p - q) * ln(p / q)), 6) AS psi"
+            " FROM j GROUP BY 1"
         ),
     }

@@ -201,6 +201,77 @@ def embedding_mean_drift(
     )
 
 
+def windowed_psi(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    window: str = "1 day",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 200.0,
+    epsilon: float = 1e-6,
+    decimals: int = 6,
+) -> DataFrame:
+    """Time-sliced drift: PSI of each tumbling window's value histogram
+    against the whole-input histogram, one row ``(window_start, n, psi)``
+    per window. This is the batch twin of the streaming drift monitor —
+    it answers "which day's data shifted" instead of a single global
+    verdict.
+
+    Scale shape: raw rows are aggregated ONCE into (window, bucket)
+    counts (map-side combine; ≤ windows·(bins+2) rows survive the
+    shuffle); the global baseline is re-aggregated from that small table
+    — the raw input is never scanned twice. The per-window compare runs
+    on a dense (window × bucket) grid built by cross-joining the two
+    aggregate key sets, so a bucket missing from one window still
+    contributes its epsilon-floored PSI term exactly as in
+    :func:`psi_terms`.
+    """
+    width = (hi - lo) / bins
+    bucket = (
+        F.when(F.col(value_col).isNull(), F.lit(None))
+        .when(F.col(value_col) < lo, F.lit(-1))
+        .when(F.col(value_col) >= hi, F.lit(bins))
+        .otherwise(F.floor((F.col(value_col) - lo) / width).cast("int"))
+    )
+    counts = (
+        df.select(
+            F.window(F.col(ts_col), window).alias("w"), bucket.alias("bucket")
+        )
+        .groupBy(F.col("w.start").alias("ws"), "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)  # reused 4× below; windows·bins rows
+    )
+    base = counts.groupBy("bucket").agg(F.sum("cnt").alias("base"))
+    n_base = base.agg(F.sum("base").alias("n_base"))
+    wtot = counts.groupBy("ws").agg(F.sum("cnt").alias("n_cur"))
+    grid = (
+        counts.select("ws").distinct()
+        .crossJoin(F.broadcast(base.select("bucket")))
+        .join(counts, on=["ws", "bucket"], how="left")
+        .select("ws", "bucket", F.coalesce("cnt", F.lit(0)).alias("cur"))
+    )
+    joined = (
+        grid.join(F.broadcast(base), on="bucket")
+        .join(F.broadcast(wtot), on="ws")
+        .crossJoin(F.broadcast(n_base))
+    )
+    p = F.greatest(F.col("cur") / F.col("n_cur"), F.lit(epsilon))
+    q = F.greatest(F.col("base") / F.col("n_base"), F.lit(epsilon))
+    return (
+        joined.select(
+            "ws", F.col("n_cur"), ((p - q) * F.log(p / q)).alias("t")
+        )
+        .groupBy("ws")
+        .agg(F.first("n_cur").alias("n"), F.sum("t").alias("psi_raw"))
+        .select(
+            F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            F.round("psi_raw", decimals).alias("psi"),
+        )
+    )
+
+
 def drift_report(current: DataFrame, baseline: DataFrame, key: str = "bucket",
                  cnt: str = "cnt", psi_threshold: float = 0.25,
                  epsilon: float = 1e-6) -> dict:

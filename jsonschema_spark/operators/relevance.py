@@ -1,0 +1,145 @@
+"""Corpus-relevance operators: per-document TF-IDF top terms and pairwise
+source divergence over token distributions (new semantics per the north
+rule — the reference validates single documents and has no corpus-level
+vocabulary; SURVEY.md §2.3 extends validation to table scale, and these
+are the standard "what characterizes this document / how different are
+these sources" diagnostics a training-data pipeline runs next to drift).
+
+Scale shapes:
+
+- ``tfidf_top_terms``: the canonical four-stage TF-IDF plan — explode
+  (no shuffle) → groupBy (doc, term) with map-side combine → groupBy term
+  for document frequencies (vocab-sized) → join scores back on term →
+  window top-k per doc. The document count joins in as a broadcast 1-row
+  aggregate, never a driver round-trip inside the plan.
+- ``pairwise_js_divergence``: restricts to the global top-V vocabulary
+  first (the word_freq shape: vocab-sized agg + TakeOrdered), so the
+  dense (group × term) distribution grid is ≤ groups·V rows; the
+  pairwise compare is a self-join of that tiny grid. The grid is
+  localCheckpoint'd before the self-join — Spark does not reuse
+  exchanges across self-join aliases (CLAUDE.md rule #4), and without
+  it the full corpus tokenization would run once per side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from jsonschema_spark.functions.text import words
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF:
+    ``tfidf = tf * ln((1 + N) / (1 + df))`` with N = total documents and
+    df = documents containing the term. Returns
+    ``(id, term, tf, doc_freq, tfidf, rank)``; ties break toward the
+    lexicographically smaller term so the ranking is deterministic and
+    reproducible in any engine (the oracle mirrors the tie-break).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_s",
+            F.col("tf").cast("double")
+            * F.log(
+                (F.lit(1.0) + F.col("n_docs"))
+                / (F.lit(1.0) + F.col("doc_freq"))
+            ),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("_s"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            "term",
+            "tf",
+            "doc_freq",
+            F.round("_s", decimals).alias("tfidf"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def pairwise_js_divergence(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    top_v: int = 200,
+    decimals: int = 6,
+) -> DataFrame:
+    """Jensen–Shannon divergence between every pair of groups' token
+    distributions, restricted to the global top-``top_v`` terms (so the
+    support is shared and the compare is O(groups² · V) over aggregated
+    rows, never over raw text). Returns ``(grp_a, grp_b, jsd)`` for
+    ``grp_a < grp_b``; jsd ∈ [0, ln 2], 0 = identical mixtures.
+
+    Distributions are normalized over the shared top-V support; a term a
+    group never uses contributes p = 0 (the 0·ln 0 = 0 convention — JS is
+    finite without epsilon flooring, unlike KL/PSI).
+    """
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    counts = toks.groupBy("grp", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    top_terms = (
+        counts.groupBy("term")
+        .agg(F.sum("cnt").alias("total"))
+        .orderBy(F.desc("total"), F.asc("term"))
+        .limit(top_v)
+        .select("term")
+    )
+    on_support = counts.join(F.broadcast(top_terms), on="term")
+    # dense (group × term) grid so absent terms appear with p = 0 on both
+    # sides of every pair (an inner self-join on sparse counts would drop
+    # the asymmetric terms that carry most of the divergence)
+    groups = df.select(F.col(group_col).alias("grp")).distinct()
+    grid = (
+        groups.crossJoin(F.broadcast(top_terms))
+        .join(on_support, on=["grp", "term"], how="left")
+        .select("grp", "term", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+    )
+    gtot = grid.groupBy("grp").agg(F.sum("cnt").alias("g_total"))
+    dist = (
+        grid.join(F.broadcast(gtot), on="grp")
+        .select(
+            "grp", "term",
+            (F.col("cnt") / F.col("g_total").cast("double")).alias("p"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    a, b = dist.alias("a"), dist.alias("b")
+    pa, pb = F.col("a.p"), F.col("b.p")
+    m = (pa + pb) / F.lit(2.0)
+    term_a = F.when(pa > 0, pa * F.log(pa / m)).otherwise(F.lit(0.0))
+    term_b = F.when(pb > 0, pb * F.log(pb / m)).otherwise(F.lit(0.0))
+    return (
+        a.join(b, F.col("a.term") == F.col("b.term"))
+        .filter(F.col("a.grp") < F.col("b.grp"))
+        .groupBy(
+            F.col("a.grp").alias("grp_a"), F.col("b.grp").alias("grp_b")
+        )
+        .agg(
+            F.round(
+                F.lit(0.5) * F.sum(term_a) + F.lit(0.5) * F.sum(term_b),
+                decimals,
+            ).alias("jsd")
+        )
+    )

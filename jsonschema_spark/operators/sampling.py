@@ -46,6 +46,46 @@ def hash_sample(
     return df.filter(hash_bucket(F.col(id_col), buckets) < keep)
 
 
+_2P60 = float(1 << 60)
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    decimals: int = 6,
+) -> DataFrame:
+    """Deterministic weighted sample without replacement (Efraimidis–
+    Spirakis A-ES): each row gets key ``u^(1/w)`` where ``u ∈ (0, 1]`` is
+    the portable hash of the id and ``w`` its weight; the ``k`` largest
+    keys are the sample. Inclusion probability is proportional to weight,
+    and — because u is content-addressed, not RNG — the selection is
+    byte-identical across partitionings, re-runs, and engines (the oracle
+    replays the same md5-derived u).
+
+    Scale shape: one projection + global top-k, which Spark executes as
+    TakeOrderedAndProject (per-partition heaps, no full sort, no shuffle
+    of non-winners). Ties break by id for determinism.
+    """
+    u = (portable_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast(
+        "double"
+    ) / F.lit(_2P60)
+    key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            key.alias("_key"),
+        )
+        .orderBy(F.desc("_key"), F.asc(id_col))
+        .limit(k)
+        .select(
+            id_col, weight_col, F.round("_key", decimals).alias("sample_key")
+        )
+    )
+
+
 def cap_per_group(
     df: DataFrame,
     group_col: str,

@@ -71,6 +71,29 @@ def test_repetition_score_single_projection(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_weighted_sample_no_full_sort(spark):
+    plan = _plan(entry_mod.queries()["weighted_sample"](spark, SF_DIR))
+    # global top-k by key must be per-partition heaps, not a corpus sort
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tfidf_broadcasts_doc_count(spark):
+    plan = _plan(entry_mod.queries()["tfidf_top_terms"](spark, SF_DIR))
+    # the 1-row N aggregate joins in as a broadcast, and no pair of
+    # corpus-sized tables meets in a nested-loop
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_iqr_outliers_broadcast_bounds(spark):
+    plan = _plan(entry_mod.queries()["ntok_iqr_outliers"](spark, SF_DIR))
+    # bounds table joins back via broadcast — the raw table is never
+    # sort-merge-shuffled for the flagging pass
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_minhash_band_join_is_bucket_equijoin(spark):
     from jsonschema_spark.operators.dedup import minhash_candidates
 

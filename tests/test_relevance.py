@@ -1,0 +1,151 @@
+"""Unit tests for corpus-relevance operators (operators/relevance.py),
+A-ES weighted sampling (operators/sampling.py::weighted_sample) and
+time-sliced drift (operators/drift.py::windowed_psi), pinned against
+closed-form references computed inline in pure Python."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+
+from jsonschema_spark.operators.drift import windowed_psi
+from jsonschema_spark.operators.relevance import (
+    pairwise_js_divergence,
+    tfidf_top_terms,
+)
+from jsonschema_spark.operators.sampling import weighted_sample
+
+
+class TestTfidfTopTerms:
+    def test_matches_closed_form(self, spark):
+        docs = [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry date"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+        n = 3
+        dfreq = {"apple": 1, "banana": 2, "cherry": 2, "date": 1}
+
+        def idf(t):
+            return math.log((1.0 + n) / (1.0 + dfreq[t]))
+
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # doc 1: apple tf=2 (rare) beats banana tf=1
+        assert [r["term"] for r in by_doc[1]] == ["apple", "banana"]
+        assert by_doc[1][0]["tfidf"] == pytest.approx(2 * idf("apple"), abs=1e-6)
+        # doc 2: banana/cherry tie on tfidf -> term-asc tie-break
+        assert [r["term"] for r in by_doc[2]] == ["banana", "cherry"]
+        # doc 3: cherry tf=3 then date (rarer idf beats common cherry? no:
+        # 3*ln(4/3)=0.863 > 1*ln(2)=0.693)
+        assert [r["term"] for r in by_doc[3]] == ["cherry", "date"]
+        assert all(r["rank"] in (1, 2) for r in out)
+
+    def test_k_bounds_rows_per_doc(self, spark):
+        df = spark.createDataFrame(
+            [(i, "a b c d e f g") for i in range(5)], "doc_id long, text string"
+        )
+        out = tfidf_top_terms(df, "doc_id", "text", k=3).collect()
+        assert len(out) == 15
+
+
+class TestPairwiseJsDivergence:
+    def test_identical_groups_zero(self, spark):
+        rows = [("a", "x y z"), ("b", "x y z"), ("a", "x x"), ("b", "x x")]
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = pairwise_js_divergence(df, "source", "text").collect()
+        assert len(out) == 1
+        assert out[0]["jsd"] == pytest.approx(0.0)
+
+    def test_disjoint_groups_ln2(self, spark):
+        rows = [("a", "x x y"), ("b", "p q q")]
+        df = spark.createDataFrame(rows, "source string, text string")
+        out = pairwise_js_divergence(df, "source", "text").collect()[0]
+        assert out["grp_a"] == "a" and out["grp_b"] == "b"
+        assert out["jsd"] == pytest.approx(math.log(2.0), abs=1e-6)
+
+    def test_pair_count(self, spark):
+        rows = [(g, "w") for g in "abcd"]
+        df = spark.createDataFrame(rows, "source string, text string")
+        assert pairwise_js_divergence(df, "source", "text").count() == 6
+
+
+def _aes_key(doc_id: int, weight: int) -> float:
+    h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+    u = (h + 1) / float(1 << 60)
+    return u ** (1.0 / weight)
+
+
+class TestWeightedSample:
+    def test_matches_python_replay_and_partitioning_invariant(self, spark):
+        rows = [(i, 10 + (i * 37) % 400) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        expect = {
+            i for i, _ in sorted(
+                rows, key=lambda r: (-_aes_key(r[0], r[1]), r[0])
+            )[:40]
+        }
+        got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "n_chars", 40).collect()}
+        assert got == expect
+        got13 = {
+            r["doc_id"]
+            for r in weighted_sample(
+                df.repartition(13), "doc_id", "n_chars", 40
+            ).collect()
+        }
+        assert got13 == expect
+
+    def test_weight_bias(self, spark):
+        # one heavy group vs one light group: heavy ids must dominate
+        rows = [(i, 1000) for i in range(100)] + [
+            (i, 1) for i in range(100, 200)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+        got = [r["doc_id"] for r in weighted_sample(df, "doc_id", "n_chars", 50).collect()]
+        heavy = sum(1 for i in got if i < 100)
+        assert heavy >= 45  # w=1000 vs w=1 → light ids need u ~ 1 - 1e-3
+
+
+class TestWindowedPsi:
+    def test_shifted_day_flagged(self, spark):
+        import datetime as dt
+
+        day1 = dt.datetime(2024, 1, 1, 6)
+        day2 = dt.datetime(2024, 1, 2, 6)
+        rows = [(day1, float(5 + (i % 10))) for i in range(200)] + [
+            (day2, float(150 + (i % 10))) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = {
+            r["window_start"]: r
+            for r in windowed_psi(df, "ts", "value", "1 day", 10, 0.0, 200.0).collect()
+        }
+        assert set(out) == {"2024-01-01 00:00:00", "2024-01-02 00:00:00"}
+        assert all(r["n"] == 200 for r in out.values())
+        # each day occupies one bucket; baseline is 50/50 → per-day PSI is
+        # symmetric and large: (1-0.5)ln(2) + (eps-0.5)ln(eps/0.5) × 1 bucket
+        p_hit, q_hit = 1.0, 0.5
+        eps = 1e-6
+        expected = (p_hit - q_hit) * math.log(p_hit / q_hit) + (
+            eps - q_hit
+        ) * math.log(eps / q_hit)
+        for r in out.values():
+            assert r["psi"] == pytest.approx(expected, abs=1e-6)
+
+    def test_uniform_days_no_drift(self, spark):
+        import datetime as dt
+
+        rows = [
+            (dt.datetime(2024, 1, 1 + d, 3), float(v))
+            for d in range(3)
+            for v in (10, 50, 90, 130, 170) * 20
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        out = windowed_psi(df, "ts", "value", "1 day", 10, 0.0, 200.0).collect()
+        assert len(out) == 3
+        assert all(r["psi"] == pytest.approx(0.0, abs=1e-9) for r in out)
