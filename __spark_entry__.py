@@ -1019,6 +1019,18 @@ def q_embedding_drift(spark, sf_dir):
     return embedding_mean_drift(df.filter(F.col("label") < 5), df)
 
 
+def q_sequence_packing(spark, sf_dir):
+    """Greedy sequence packing of documents into 2000-char training
+    windows across 8 hash-routed streams — per-pack summary (fill
+    ratio, oversize flag). The assignment is a pure function of row
+    content, so the DuckDB recursive-CTE oracle replays the walk
+    exactly."""
+    from jsonschema_spark.operators.packing import pack_summary
+
+    df = _t(spark, sf_dir, "documents")
+    return pack_summary(df, "doc_id", "n_chars", budget=2000, streams=8)
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document (smoothed idf, deterministic
     term-asc tie-break): the canonical explode -> tf agg -> df agg ->
@@ -1129,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntok_iqr_outliers": q_ntok_iqr_outliers,
         "monotonic_check": q_monotonic_check,
         "embedding_drift": q_embedding_drift,
+        "sequence_packing": q_sequence_packing,
         "tfidf_top_terms": q_tfidf_top_terms,
         "source_divergence": q_source_divergence,
         "weighted_sample": q_weighted_sample,
@@ -1842,6 +1855,33 @@ def oracle_sql() -> dict[str, str]:
             "  FROM cur JOIN base USING (dim))"
             " SELECT round(dot / (sqrt(nc) * sqrt(nb)), 6) AS mean_cosine,"
             "  round(sqrt(sq), 6) AS l2_shift FROM s"
+        ),
+        "sequence_packing": (
+            "WITH RECURSIVE ordered AS ("
+            "  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS n_tok,"
+            f"   CAST({_hex60('CAST(doc_id AS VARCHAR)')} % 8 AS INT) AS stream,"
+            f"   {_hex60('CAST(doc_id AS VARCHAR)')} AS h,"
+            "   row_number() OVER ("
+            f"    PARTITION BY ({_hex60('CAST(doc_id AS VARCHAR)')} % 8)"
+            f"    ORDER BY {_hex60('CAST(doc_id AS VARCHAR)')}, doc_id) AS rn"
+            "  FROM documents),"
+            " walk AS ("
+            "  SELECT stream, rn, id, n_tok, n_tok AS acc,"
+            "    CAST(0 AS BIGINT) AS pack_id"
+            "   FROM ordered WHERE rn = 1"
+            "  UNION ALL"
+            "  SELECT o.stream, o.rn, o.id, o.n_tok,"
+            "    CASE WHEN w.acc + o.n_tok <= 2000 THEN w.acc + o.n_tok"
+            "     ELSE o.n_tok END,"
+            "    CASE WHEN w.acc + o.n_tok <= 2000 THEN w.pack_id"
+            "     ELSE w.pack_id + 1 END"
+            "   FROM walk w JOIN ordered o"
+            "    ON o.stream = w.stream AND o.rn = w.rn + 1)"
+            " SELECT stream, pack_id, count(*) AS n_docs,"
+            "  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,"
+            "  round(least(sum(n_tok) / 2000.0, 1.0), 6) AS fill_ratio,"
+            "  sum(n_tok) > 2000 AS oversize"
+            " FROM walk GROUP BY 1, 2"
         ),
         "tfidf_top_terms": (
             f"WITH toks AS (SELECT doc_id, unnest({_WS}) AS term FROM documents),"

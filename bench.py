@@ -99,6 +99,11 @@ def main() -> None:
         "ann_topk",
         "dup_components",
         "repetition_score",
+        "decontaminate",
+        "tfidf_top_terms",
+        "source_divergence",
+        "weighted_sample",
+        "windowed_drift",
     ]
     qs = entry.queries()
     for name in headline:

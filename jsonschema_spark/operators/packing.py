@@ -1,0 +1,159 @@
+"""Sequence packing: assign documents to fixed token-budget training
+windows (new semantics per the north rule — the reference validates
+single documents; a training-data pipeline must also *assemble* them
+into context-window-sized packs, and the pack assignment is itself a
+checkable table property).
+
+Semantics (deterministic, engine-replayable): documents are first
+routed to one of ``streams`` independent pack streams by a portable
+content hash of the id, then each stream is walked in (hash, id) order
+with the classic greedy rule — if the running total plus the next doc
+fits the budget, append; otherwise start a new pack. A document larger
+than the budget occupies its own (oversize) pack. Because both the
+routing and the walk order are pure functions of row content, the
+assignment is byte-identical across partitionings, re-runs, and engines
+— a recursive-CTE oracle replays it exactly.
+
+Scale shape: ONE shuffle (groupBy stream); the greedy walk runs per
+stream inside an Arrow-batched ``applyInPandas`` kernel whose state is a
+single running total — O(rows/streams) memory per task. Pick ``streams``
+so a stream's rows fit an executor (10^12 docs / 2^20 streams ≈ 10^6
+rows ≈ tens of MB of (id, n_tok) pairs). The walk is inherently
+sequential per stream (data-dependent reset — no closed form), which is
+exactly why the stream fan-out exists: parallelism comes from streams,
+not from vectorizing the recurrence. Cross-stream packing quality is
+unaffected in expectation (hash routing is uniform), and fill ratio
+concentrates fast for budget >> median doc length.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_spark.functions.text import portable_hash60
+
+
+def pack_assignments(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    budget: int,
+    streams: int = 8,
+) -> DataFrame:
+    """Per-document pack assignment
+    ``(id, n_tok, stream, pack_id, pack_pos)``: ``pack_id`` counts packs
+    within the stream from 0 in walk order, ``pack_pos`` the document's
+    position within its pack. Global pack identity is (stream, pack_id).
+    """
+    routed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(tok_col).cast("long").alias("n_tok"),
+        F.pmod(
+            portable_hash60(F.col(id_col).cast("string")), F.lit(streams)
+        ).cast("int").alias("stream"),
+        portable_hash60(F.col(id_col).cast("string")).alias("_h"),
+    )
+    id_field = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_field),
+            T.StructField("n_tok", T.LongType()),
+            T.StructField("stream", T.IntegerType()),
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_pos", T.LongType()),
+        ]
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", "id"], kind="mergesort")
+        toks = pdf["n_tok"].to_numpy()
+        pack_ids = [0] * len(toks)
+        pack_pos = [0] * len(toks)
+        acc = 0
+        pack = 0
+        pos = 0
+        for i, n in enumerate(toks):
+            if i == 0:
+                acc, pos = int(n), 0
+            elif acc + int(n) <= budget:
+                acc += int(n)
+                pos += 1
+            else:
+                acc, pos = int(n), 0
+                pack += 1
+            pack_ids[i] = pack
+            pack_pos[i] = pos
+        out = pdf[["id", "n_tok", "stream"]].copy()
+        out["pack_id"] = pack_ids
+        out["pack_pos"] = pack_pos
+        return out
+
+    return routed.groupBy("stream").applyInPandas(walk, schema=out_schema)
+
+
+def pack_summary(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    budget: int,
+    streams: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-pack summary ``(stream, pack_id, n_docs, pack_tokens,
+    fill_ratio, oversize)`` — the table the packing acceptance gate reads
+    (fill_ratio distribution, oversize count). Aggregating the
+    assignment table is one more tiny shuffle on (stream, pack_id)."""
+    a = pack_assignments(df, id_col, tok_col, budget, streams)
+    return (
+        a.groupBy("stream", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("pack_tokens"),
+        )
+        .select(
+            "stream",
+            "pack_id",
+            "n_docs",
+            "pack_tokens",
+            F.round(
+                F.least(
+                    F.col("pack_tokens") / F.lit(float(budget)), F.lit(1.0)
+                ),
+                decimals,
+            ).alias("fill_ratio"),
+            (F.col("pack_tokens") > budget).alias("oversize"),
+        )
+    )
+
+
+def packing_efficiency(
+    df: DataFrame,
+    id_col: str,
+    tok_col: str,
+    budget: int,
+    streams: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row packing quality report ``(n_docs, n_packs, total_tokens,
+    n_oversize, fill_ratio)`` where fill_ratio counts only non-oversize
+    packs (oversize packs are single docs the budget cannot host)."""
+    s = pack_summary(df, id_col, tok_col, budget, streams)
+    regular = F.when(~F.col("oversize"), F.col("pack_tokens"))
+    return s.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        F.sum(F.col("oversize").cast("long")).alias("n_oversize"),
+        F.round(
+            F.sum(regular)
+            / (
+                F.lit(float(budget))
+                * F.sum((~F.col("oversize")).cast("long"))
+            ),
+            decimals,
+        ).alias("fill_ratio"),
+    )

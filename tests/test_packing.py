@@ -1,0 +1,85 @@
+"""Unit tests for greedy sequence packing (operators/packing.py), pinned
+against a pure-Python replay of the deterministic walk."""
+
+from __future__ import annotations
+
+import hashlib
+
+from jsonschema_spark.operators.packing import (
+    pack_assignments,
+    pack_summary,
+    packing_efficiency,
+)
+
+
+def _h60(doc_id) -> int:
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+
+def _replay(rows, budget, streams):
+    """rows = [(id, n_tok)] → {id: (stream, pack_id, pack_pos)}."""
+    out = {}
+    for s in range(streams):
+        stream_rows = sorted(
+            (r for r in rows if _h60(r[0]) % streams == s),
+            key=lambda r: (_h60(r[0]), r[0]),
+        )
+        acc, pack, pos = 0, 0, 0
+        for i, (doc, n) in enumerate(stream_rows):
+            if i == 0:
+                acc, pos = n, 0
+            elif acc + n <= budget:
+                acc, pos = acc + n, pos + 1
+            else:
+                acc, pack, pos = n, pack + 1, 0
+            out[doc] = (s, pack, pos)
+    return out
+
+
+def test_assignments_match_python_replay(spark):
+    rows = [(i, 50 + (i * 131) % 900) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r["id"]: (r["stream"], r["pack_id"], r["pack_pos"])
+        for r in pack_assignments(df, "doc_id", "n_chars", 2000, 8).collect()
+    }
+    assert got == _replay(rows, 2000, 8)
+
+
+def test_partitioning_invariance(spark):
+    rows = [(i, 100 + i % 300) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    a = sorted(
+        tuple(r)
+        for r in pack_assignments(df, "doc_id", "n_chars", 1000, 4).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pack_assignments(
+            df.repartition(13), "doc_id", "n_chars", 1000, 4
+        ).collect()
+    )
+    assert a == b
+
+
+def test_budget_respected_and_oversize_isolated(spark):
+    rows = [(1, 500), (2, 800), (3, 5000), (4, 300), (5, 900), (6, 700)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    packs = pack_summary(df, "doc_id", "n_chars", 1000, 2).collect()
+    for p in packs:
+        if p["oversize"]:
+            assert p["n_docs"] == 1  # an oversize doc never shares a pack
+        else:
+            assert p["pack_tokens"] <= 1000
+    assert sum(p["n_docs"] for p in packs) == 6
+
+
+def test_efficiency_report(spark):
+    rows = [(i, 400) for i in range(20)]  # 5 docs fill a 2000 budget exactly
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    rep = packing_efficiency(df, "doc_id", "n_chars", 2000, 1).collect()[0]
+    assert rep["n_docs"] == 20
+    assert rep["n_packs"] == 4
+    assert rep["total_tokens"] == 8000
+    assert rep["n_oversize"] == 0
+    assert rep["fill_ratio"] == 1.0
