@@ -41,7 +41,7 @@ from jsonschema_spark.functions.text import (
     words,
 )
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
+def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Guard against under-partitioned inputs (a single parquet file would
     serialize the per-row shingle/signature work onto one core). Only
     repartitions when the scan has fewer partitions than the cluster's
@@ -163,7 +163,7 @@ def near_dup_pairs_exact(
     pre-tokenized sequences)."""
     if shingles is None:
         shingles = word_shingles(F.col(text_col), n)
-    sh = _ensure_parallelism(df).select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles.alias("sh")
     )
     a = sh.alias("a")
@@ -404,7 +404,7 @@ def minhash_candidates(
     if elements is None:
         elements = words(F.lower(F.col(text_col)))
     exploded = _band_rows(
-        _ensure_parallelism(df), id_col, elements, n, num_hashes, bands
+        ensure_parallelism(df), id_col, elements, n, num_hashes, bands
     ).localCheckpoint(eager=False)
     a = exploded.alias("a")
     b = exploded.alias("b")
@@ -440,7 +440,7 @@ def minhash_near_dup(
     shingle strings — the full-corpus string pipeline never runs (it was
     half the wall of a 500k-doc pass before; candidates are typically <1%
     of docs)."""
-    df = _ensure_parallelism(df)
+    df = ensure_parallelism(df)
     if elements is None:
         elements = words(F.lower(F.col(text_col)))
     cands = minhash_candidates(
@@ -509,7 +509,7 @@ def contaminated_docs(
         benchmark.select(F.explode(_shingle_hashes(bench_elements, n)).alias("g"))
         .distinct()
     )
-    corpus_hashes = _ensure_parallelism(df).select(
+    corpus_hashes = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), F.explode(_shingle_hashes(elements, n)).alias("g")
     )
     cand_ids = (
@@ -522,8 +522,9 @@ def contaminated_docs(
         )
         .distinct()
     )
+    corpus = ensure_parallelism(df)
     cand_grams = (
-        df.join(F.broadcast(cand_ids), df[id_col] == cand_ids["id"], "left_semi")
+        corpus.join(F.broadcast(cand_ids), corpus[id_col] == cand_ids["id"], "left_semi")
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(_raw_grams(elements, n, shingle_sep))).alias("g"),
@@ -599,7 +600,7 @@ def simhash_near_dup(
     Pigeonhole blocking: distance <= 3 implies at least one of the four
     16-bit chunks is byte-identical, so candidates = pairs sharing any
     (chunk_idx, chunk_value) bucket; verification is native bit_count."""
-    sh = _ensure_parallelism(df).select(
+    sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col), portable).alias("sim")
     )
     chunks = sh.select(

@@ -7,6 +7,11 @@ these sources" diagnostics a training-data pipeline runs next to drift).
 
 Scale shapes:
 
+Both operators guard the tokenize/explode stage with
+``ensure_parallelism`` — a single-file parquet input would otherwise
+serialize the whole tokenization onto one core (real corpora with
+thousands of files never pay the extra shuffle).
+
 - ``tfidf_top_terms``: the canonical four-stage TF-IDF plan — explode
   (no shuffle) → groupBy (doc, term) with map-side combine → groupBy term
   for document frequencies (vocab-sized) → join scores back on term →
@@ -27,6 +32,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from jsonschema_spark.functions.text import words
+from jsonschema_spark.operators.dedup import ensure_parallelism
 
 
 def tfidf_top_terms(
@@ -43,7 +49,7 @@ def tfidf_top_terms(
     lexicographically smaller term so the ranking is deterministic and
     reproducible in any engine (the oracle mirrors the tie-break).
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
     )
@@ -94,7 +100,7 @@ def pairwise_js_divergence(
     group never uses contributes p = 0 (the 0·ln 0 = 0 convention — JS is
     finite without epsilon flooring, unlike KL/PSI).
     """
-    toks = df.select(
+    toks = ensure_parallelism(df).select(
         F.col(group_col).alias("grp"),
         F.explode(words(F.lower(F.col(text_col)))).alias("term"),
     )
