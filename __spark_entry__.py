@@ -889,6 +889,71 @@ def _pii_corpus_path() -> str:
     return os.path.join(cache, "pii_corpus_2k_seed9.parquet")
 
 
+def _line_corpus_path() -> str:
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "line_corpus_1k_seed7.parquet")
+
+
+def _line_corpus(spark):
+    import os
+
+    from jsonschema_spark.sources.corpus import line_corpus
+
+    path = _line_corpus_path()
+    if not os.path.isdir(path):
+        line_corpus(spark, 1_000, seed=7).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_boilerplate_lines(spark, sf_dir):
+    """Line-level boilerplate detection (C4/CCNet-style cleaning): lines
+    occurring in >= 100 distinct documents of a 1k multi-line corpus with
+    three injected boilerplate lines (doc frequencies ~334/200/143 by
+    construction; content lines are unique per doc). distinct-(doc, line)
+    then map-side-combined count — no hot reducer key."""
+    from jsonschema_spark.operators.cleaning import boilerplate_lines
+
+    return boilerplate_lines(_line_corpus(spark), "doc_id", "text", min_docs=100)
+
+
+def q_boilerplate_strip(spark, sf_dir):
+    """Boilerplate removal: every document rebuilt without its boilerplate
+    lines (order preserved; broadcast anti-join on the line set). Returns
+    the per-doc surviving line count and an md5 fingerprint of the
+    rebuilt text so the oracle compares full content compactly."""
+    from jsonschema_spark.operators.cleaning import strip_boilerplate
+
+    out = strip_boilerplate(_line_corpus(spark), "doc_id", "text", min_docs=100)
+    return out.select(
+        "id", "n_kept", F.md5("text_clean").alias("clean_fp")
+    )
+
+
+def _zipf_corpus_path() -> str:
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "zipf_corpus_2k_seed11.parquet")
+
+
+def q_rare_token_rate(spark, sf_dir):
+    """Rare-token (OOV-ish) rate per document over a Zipf-skewed token
+    corpus: fraction of tokens whose global frequency is < 5. The
+    vocabulary-bounded frequency table broadcasts; the only shuffles are
+    the two map-side-combined aggs."""
+    import os
+
+    from jsonschema_spark.operators.stats import rare_token_rate
+    from jsonschema_spark.sources.corpus import zipf_token_corpus
+
+    path = _zipf_corpus_path()
+    if not os.path.isdir(path):
+        zipf_token_corpus(spark, 2_000, seed=11).write.mode("overwrite").parquet(path)
+    return rare_token_rate(spark.read.parquet(path), "doc_id", "tokens", min_count=5)
+
+
 def q_pii_scan(spark, sf_dir):
     """PII pattern scan over a deterministic synthetic corpus with injected
     emails / SSN-shaped ids / long digit runs (testdata documents contain
@@ -1123,6 +1188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": q_source_cap,
         "repetition_score": q_repetition_score,
         "pii_scan": q_pii_scan,
+        "boilerplate_lines": q_boilerplate_lines,
+        "boilerplate_strip": q_boilerplate_strip,
+        "rare_token_rate": q_rare_token_rate,
         "jsonl_ingest": q_jsonl_ingest,
         "ntok_quantiles": q_ntok_quantiles,
         "packed_stats_validate": q_packed_stats_validate,
@@ -1621,6 +1689,35 @@ def oracle_sql() -> dict[str, str]:
             + "')) AS n_email_docs,"
             " count(*) AS n_docs"
             " FROM read_parquet('" + _pii_corpus_path() + "/*.parquet')"
+        ),
+        "boilerplate_lines": (
+            "SELECT line, count(*) AS n_docs FROM ("
+            " SELECT DISTINCT doc_id, unnest(string_split(text, chr(10))) AS line"
+            f" FROM read_parquet('{_line_corpus_path()}/*.parquet'))"
+            " GROUP BY line HAVING count(*) >= 100"
+        ),
+        "boilerplate_strip": (
+            "WITH docs AS (SELECT doc_id, string_split(text, chr(10)) AS ls"
+            f" FROM read_parquet('{_line_corpus_path()}/*.parquet')),"
+            " pairs AS (SELECT DISTINCT doc_id, unnest(ls) AS line FROM docs),"
+            " bp AS (SELECT coalesce(list(line), []) AS bpl FROM ("
+            "  SELECT line FROM pairs GROUP BY line HAVING count(*) >= 100)),"
+            " clean AS (SELECT doc_id,"
+            "  list_filter(ls, x -> NOT list_contains(bpl, x)) AS kept"
+            "  FROM docs, bp)"
+            " SELECT doc_id AS id, CAST(len(kept) AS BIGINT) AS n_kept,"
+            "  md5(array_to_string(kept, chr(10))) AS clean_fp FROM clean"
+        ),
+        "rare_token_rate": (
+            "WITH t AS (SELECT doc_id, unnest(tokens) AS tok"
+            f" FROM read_parquet('{_zipf_corpus_path()}/*.parquet')),"
+            " f AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok),"
+            " d AS (SELECT t.doc_id, count(*) AS n_tok,"
+            "  sum(CASE WHEN f.cnt < 5 THEN 1 ELSE 0 END) AS n_rare"
+            "  FROM t JOIN f USING (tok) GROUP BY t.doc_id)"
+            " SELECT doc_id AS id, CAST(n_tok AS BIGINT) AS n_tok,"
+            "  CAST(n_rare AS BIGINT) AS n_rare,"
+            "  round(n_rare / CAST(n_tok AS DOUBLE), 6) AS rare_rate FROM d"
         ),
         "jsonl_ingest": (
             "SELECT count(*) AS n_valid,"

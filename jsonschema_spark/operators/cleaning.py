@@ -1,0 +1,91 @@
+"""Line-level corpus cleaning: boilerplate detection and removal (the
+C4/CCNet-style pipeline stage — lines that repeat across many documents
+are navigation chrome, license footers, cookie banners; they carry no
+training signal and distort n-gram statistics). New semantics per the
+north rule: the reference validates one document at a time
+(/root/reference/validate.go) and has no cross-document frequency notion;
+SURVEY.md §2.3 extends validation to table scale, and "line appears in
+>= N documents" is exactly a table-scope frequency constraint.
+
+Scale shapes (design target 10^12 docs):
+
+- ``line_doc_frequency``: split -> explode (no shuffle) -> distinct on
+  (doc, line) -> count per line. The distinct's key is the (doc, line)
+  pair — uniform by construction, no hot key — and the per-line count is
+  a map-side-combined agg, so a boilerplate line in 10^10 docs costs its
+  row count streamed through combiners, never one giant reducer group.
+- ``strip_boilerplate``: the boilerplate table (lines above the
+  threshold) is tiny relative to the corpus — the join against it is a
+  broadcast (AQE picks it up; an explicit hint would pin it) left-anti
+  on the exploded lines, and the per-document rebuild is one groupBy
+  with a sorted collect_list bounded by document size. The line split is
+  recomputed on the probe side rather than cached: caching doc x lines
+  rows at 10^12 scale costs more than re-running a split over the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def doc_lines(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, line): one row per (document, line position)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+
+
+def line_doc_frequency(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(line, n_docs): number of DISTINCT documents each line occurs in
+    (a line repeated within one document counts once)."""
+    return (
+        doc_lines(df, id_col, text_col)
+        .select("id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def boilerplate_lines(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int
+) -> DataFrame:
+    """(line, n_docs): lines occurring in >= ``min_docs`` distinct
+    documents — the boilerplate set."""
+    return line_doc_frequency(df, id_col, text_col).filter(
+        F.col("n_docs") >= min_docs
+    )
+
+
+def strip_boilerplate(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int
+) -> DataFrame:
+    """(id, n_kept, text_clean): every document with its boilerplate lines
+    removed (order of surviving lines preserved). Documents whose every
+    line was boilerplate survive with ``n_kept = 0`` and empty text —
+    dropping them is the caller's policy decision, not the operator's."""
+    bp = boilerplate_lines(df, id_col, text_col, min_docs).select("line")
+    kept = doc_lines(df, id_col, text_col).join(
+        F.broadcast(bp), on="line", how="left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return (
+        ids.join(rebuilt, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )

@@ -142,3 +142,48 @@ def ntok_quantiles(df: DataFrame, column: str = "n_tok") -> DataFrame:
         F.col("q")[2].alias("p99"),
         "min", "max", "mean",
     )
+
+
+def rare_token_rate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_count: int = 5,
+    decimals: int = 6,
+) -> DataFrame:
+    """(id, n_tok, n_rare, rare_rate): fraction of each document's tokens
+    whose GLOBAL corpus frequency is below ``min_count`` — the OOV /
+    rare-token quality signal (a document dominated by tokens the corpus
+    barely uses is noise, OCR garbage, or another language; a tokenizer
+    mismatch shows up here before anything else).
+
+    Scale shape: the frequency table is bounded by the vocabulary (BPE
+    vocabularies are 10^4-10^5 ids regardless of corpus size), so it
+    BROADCASTS — the exploded token stream joins it map-side with no
+    shuffle, and the only shuffles are the two map-side-combined aggs
+    (token frequencies; per-doc re-agg). For open vocabularies the same
+    plan holds with the broadcast replaced by a shuffle join on the token
+    key (uniform by construction). Documents with empty token arrays get
+    ``n_tok = 0`` and a null rate."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.col(tokens_col)).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = (
+        toks.join(F.broadcast(freq), on="tok")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum((F.col("cnt") < min_count).cast("long")).alias("n_rare"),
+        )
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, on="id", how="left").select(
+        "id",
+        F.coalesce("n_tok", F.lit(0)).alias("n_tok"),
+        F.coalesce("n_rare", F.lit(0)).alias("n_rare"),
+        F.when(
+            F.coalesce("n_tok", F.lit(0)) > 0,
+            F.round(F.col("n_rare") / F.col("n_tok"), decimals),
+        ).alias("rare_rate"),
+    )
