@@ -592,6 +592,27 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(df, "doc_id", "text", bench, n=5)
 
 
+def q_token_decontaminate(spark, sf_dir):
+    """Decontamination WITHOUT detokenizing (the payload axis is
+    pre-tokenized sequences): corpus docs sharing >= 1 token 5-gram with a
+    'benchmark' subset of the token corpus, plus the distinct shared-gram
+    count. Benchmark = the injected exact-dup rows (doc_id % 67 == 66), so
+    every dup SOURCE doc is genuinely contaminated and the check is
+    non-vacuous. Same hash-prefilter + exact verify as the text variant,
+    over comma-joined token-id grams."""
+    from jsonschema_spark.operators.dedup import contaminated_docs
+
+    df = _token_corpus(spark)
+    is_bench = F.pmod(F.col("doc_id"), F.lit(67)) == 66
+    bench = df.filter(is_bench)
+    return contaminated_docs(
+        df.filter(~is_bench), "doc_id", "tokens", bench,
+        bench_text_col="tokens", n=5,
+        elements=F.col("tokens"), bench_elements=F.col("tokens"),
+        shingle_sep=",",
+    )
+
+
 def q_ntok_quantiles(spark, sf_dir):
     """Exact quantiles of the n_chars distribution (stats-profile
     building block; exact `percentile`, not the approx sketch, so the SQL
@@ -1179,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dedup_groups": q_token_dedup_groups,
         "token_minhash_near_dup": q_token_minhash_near_dup,
         "decontaminate": q_decontaminate,
+        "token_decontaminate": q_token_decontaminate,
         "dup_components": q_dup_components,
         "near_dedup_count": q_near_dedup_count,
         "ks_drift": q_ks_drift,
@@ -1575,6 +1597,20 @@ def oracle_sql() -> dict[str, str]:
             f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
             " bg AS (SELECT DISTINCT unnest(gs) AS g FROM cg WHERE doc_id < 10),"
             " hits AS (SELECT doc_id, unnest(gs) AS g FROM cg)"
+            " SELECT doc_id AS id, count(*) AS n_hits"
+            " FROM hits JOIN bg USING (g) GROUP BY doc_id"
+        ),
+        "token_decontaminate": (
+            "WITH cg AS (SELECT doc_id, list_distinct(list_transform("
+            "   generate_series(1, greatest(len(tokens)-4, 0)),"
+            "   i -> CAST(tokens[i] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+1] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+2] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+3] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+4] AS VARCHAR))) AS gs"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " bg AS (SELECT DISTINCT unnest(gs) AS g FROM cg WHERE doc_id % 67 = 66),"
+            " hits AS (SELECT doc_id, unnest(gs) AS g FROM cg WHERE doc_id % 67 <> 66)"
             " SELECT doc_id AS id, count(*) AS n_hits"
             " FROM hits JOIN bg USING (g) GROUP BY doc_id"
         ),
