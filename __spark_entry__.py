@@ -580,6 +580,35 @@ def q_token_minhash_near_dup(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion exact dedup: the token corpus split at
+    doc_id 736 into a 'seen' snapshot (fingerprints of docs < 736) and an
+    incoming batch (docs >= 736). The boundary sits ON an injected exact-dup
+    row (736 copies 735), so the batch exercises BOTH drop paths
+    non-vacuously: one snapshot hit (736) and three within-batch dups
+    (803/870/937 copy their in-batch predecessors). Returns the surviving
+    (doc_id, fingerprint) rows — exactly what gets appended to the snapshot
+    for the next batch (checkpoint/resume semantics of the north rule,
+    applied to dedup state)."""
+    from jsonschema_spark.operators.dedup import (
+        incremental_new_docs,
+        token_content_hash,
+    )
+
+    df = _token_corpus(spark)
+    fp = token_content_hash(F.col("tokens"))
+    seen = (
+        df.filter(F.col("doc_id") < 736)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+    )
+    out = incremental_new_docs(
+        df.filter(F.col("doc_id") >= 736), "doc_id", "tokens", seen,
+        fingerprint=fp,
+    )
+    return out.select("doc_id", "fingerprint")
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: documents sharing >= 1 word 5-gram with
     the 'benchmark' subset (doc_id < 10) and the count of distinct shared
@@ -813,6 +842,18 @@ def q_dup_components(spark, sf_dir):
     from jsonschema_spark.operators.components import connected_components
 
     return connected_components(_minhash_pairs(spark, sf_dir))
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Contamination-safe train/holdout split: every near-dup cluster is
+    assigned atomically via its representative's portable hash bucket, so
+    no near-dup pair straddles the boundary. Oracle: the same recursive-CTE
+    closure as dup_components, left-joined to the corpus with the identical
+    md5 bucket arithmetic."""
+    from jsonschema_spark.operators.components import leakage_safe_split
+
+    df = _t(spark, sf_dir, "documents")
+    return leakage_safe_split(df, "doc_id", _minhash_pairs(spark, sf_dir))
 
 
 def q_near_dedup_count(spark, sf_dir):
@@ -1201,7 +1242,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_minhash_near_dup": q_token_minhash_near_dup,
         "decontaminate": q_decontaminate,
         "token_decontaminate": q_token_decontaminate,
+        "incremental_dedup": q_incremental_dedup,
         "dup_components": q_dup_components,
+        "leakage_safe_split": q_leakage_safe_split,
         "near_dedup_count": q_near_dedup_count,
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
@@ -1657,6 +1700,32 @@ def oracle_sql() -> dict[str, str]:
             "   - (SELECT count(*) FROM comp WHERE id <> component) AS n_kept,"
             "  (SELECT count(*) FROM documents) AS n_docs"
         ),
+        "leakage_safe_split": (
+            "WITH RECURSIVE sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " pairs AS (SELECT id_a, id_b FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),"
+            " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION ALL SELECT id_b, id_a FROM pairs),"
+            " nodes AS (SELECT DISTINCT src AS id FROM edges),"
+            " reach(id, r) AS ("
+            "  SELECT id, id FROM nodes"
+            "  UNION"
+            "  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id),"
+            " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
+            " SELECT d.doc_id AS id,"
+            "  coalesce(c.component, d.doc_id) AS representative,"
+            "  CASE WHEN "
+            + _hex60("CAST(coalesce(c.component, d.doc_id) AS VARCHAR)")
+            + "   % 10 < 8 THEN 'train' ELSE 'holdout' END AS split"
+            " FROM documents d LEFT JOIN comp c ON d.doc_id = c.id"
+        ),
         "ks_drift": (
             "WITH cur AS (SELECT n_chars AS k, count(*) AS c FROM documents"
             "  WHERE lang = 'en' GROUP BY 1),"
@@ -1846,6 +1915,13 @@ def oracle_sql() -> dict[str, str]:
             " count(*) AS n_docs, min(doc_id) AS keep_id"
             f" FROM read_parquet('{_token_corpus_path()}/*.parquet')"
             " GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "incremental_dedup": (
+            "WITH fp AS (SELECT doc_id, md5(array_to_string(tokens, ',')) AS fingerprint"
+            f" FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " fresh AS (SELECT * FROM fp WHERE doc_id >= 736 AND fingerprint NOT IN"
+            "  (SELECT fingerprint FROM fp WHERE doc_id < 736))"
+            " SELECT min(doc_id) AS doc_id, fingerprint FROM fresh GROUP BY fingerprint"
         ),
         "token_minhash_near_dup": (
             "WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("

@@ -141,6 +141,44 @@ def connected_components(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    buckets: int = 10,
+    train_buckets: int = 8,
+) -> DataFrame:
+    """(id, representative, split): train/holdout assignment that cannot
+    leak near-duplicates across the boundary. The unit of assignment is the
+    near-dup component — every member inherits its representative's (the
+    component's min id's) hash bucket, so a near-dup pair lands in one
+    split by construction; unpaired docs are their own representative.
+    Content-addressed (portable md5 bucket, no RNG): the split is stable
+    across reruns, partitionings, and engines, and growing the corpus
+    never reassigns an existing component.
+
+    Scale shape: the component table only holds docs that had a near-dup
+    pair (≲1% of a deduped-ingest corpus) → broadcast left join; the
+    corpus itself is never shuffled, and the bucket expression stays in
+    the scan-stage projection."""
+    from jsonschema_spark.operators.sampling import hash_bucket
+
+    assign = connected_components(pairs, id_a, id_b)
+    joined = df.select(F.col(id_col).alias("id")).join(
+        F.broadcast(assign), "id", "left"
+    )
+    rep = F.coalesce(F.col("component"), F.col("id"))
+    return joined.select(
+        "id",
+        rep.alias("representative"),
+        F.when(hash_bucket(rep, buckets) < train_buckets, F.lit("train"))
+        .otherwise(F.lit("holdout"))
+        .alias("split"),
+    )
+
+
 def near_dedup_survivors(
     df: DataFrame,
     id_col: str,

@@ -106,6 +106,38 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).drop("_fp")
 
 
+def incremental_new_docs(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    seen_fingerprints: DataFrame,
+    fingerprint: Column | None = None,
+) -> DataFrame:
+    """Continuous-ingestion dedup (the resume/checkpoint form of
+    ``dedup_exact``): rows of an incoming ``batch`` whose content hash is
+    (a) absent from the ``seen_fingerprints`` snapshot — one column named
+    ``fingerprint`` — and (b) first within the batch itself (keep-first on
+    min id). Returns the surviving rows plus their ``fingerprint`` column,
+    so the caller appends exactly that projection back to the snapshot
+    table and the next batch resumes from it.
+
+    Scale shape: one anti-join on the uniform md5 key — both sides hash
+    partition evenly (no salting needed), and against a huge snapshot
+    Spark's runtime bloom-filter join pushdown + AQE prune the batch side
+    without a hand-built sketch; the within-batch keep-first is the same
+    two-phase groupBy as ``dedup_exact``. Nothing is collected to the
+    driver, so the snapshot can hold 10^12 fingerprints.
+    """
+    if fingerprint is None:
+        fingerprint = content_hash(F.col(text_col))
+    fp = batch.withColumn("fingerprint", fingerprint)
+    fresh = fp.join(
+        seen_fingerprints.select("fingerprint"), on="fingerprint", how="left_anti"
+    )
+    keep = fresh.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return fresh.join(keep, on=["fingerprint", id_col], how="left_semi")
+
+
 # --------------------------------------------------------------------------
 # n-gram Jaccard
 # --------------------------------------------------------------------------

@@ -105,3 +105,33 @@ def test_survivors_keep_all_columns(spark):
     out = near_dedup_survivors(docs, "doc_id", pairs)
     assert out.columns == ["doc_id", "text", "extra"]
     assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_leakage_safe_split_invariants(spark):
+    """No near-dup pair straddles the split; every doc is assigned exactly
+    once; unpaired docs are their own representative; the assignment is
+    deterministic (re-run equality)."""
+    from jsonschema_spark.operators.components import leakage_safe_split
+
+    random.seed(13)
+    nodes = list(range(200))
+    pairs = [
+        (a, b)
+        for a, b in (sorted(random.sample(nodes, 2)) for _ in range(60))
+    ]
+    docs = spark.range(300).select(F.col("id").alias("doc_id"))
+    pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+    out = leakage_safe_split(docs, "doc_id", pdf).collect()
+    assert len(out) == 300
+    assign = {r["id"]: (r["representative"], r["split"]) for r in out}
+    assert len(assign) == 300
+    comp = _union_find(pairs)
+    for a, b in pairs:
+        assert assign[a][1] == assign[b][1], (a, b)
+        assert assign[a][0] == assign[b][0] == comp[a]
+    for i in range(200, 300):  # never mentioned in a pair
+        assert assign[i][0] == i
+    splits = {s for _, s in assign.values()}
+    assert splits == {"train", "holdout"}
+    again = leakage_safe_split(docs, "doc_id", pdf).collect()
+    assert {r["id"]: (r["representative"], r["split"]) for r in again} == assign

@@ -382,6 +382,35 @@ def test_token_minhash_matches_exact_pairs(spark):
     assert len(exact) >= (600 // 41) + (600 // 67)
 
 
+def test_incremental_dedup_closed_form(spark):
+    """Snapshot split at an injected exact-dup row: batch = ids >= 736 of
+    the 1000-row token corpus. Drops are fully determined by the corpus
+    construction (dups at id % 67 == 66): 736 copies 735 (snapshot hit);
+    803/870/937 copy in-batch predecessors (within-batch keep-first), so
+    264 batch rows -> 260 survivors and none of the four dup ids survive."""
+    from jsonschema_spark.operators.dedup import (
+        incremental_new_docs, token_content_hash,
+    )
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    df = token_neardup_corpus(spark, 1000, seed=5)
+    fp = token_content_hash(F.col("tokens"))
+    seen = df.filter(F.col("doc_id") < 736).select(fp.alias("fingerprint")).distinct()
+    out = incremental_new_docs(
+        df.filter(F.col("doc_id") >= 736), "doc_id", "tokens", seen, fingerprint=fp
+    )
+    ids = {r.doc_id for r in out.select("doc_id").collect()}
+    assert len(ids) == 260
+    assert ids == set(range(736, 1000)) - {736, 803, 870, 937}
+    # idempotence: appending the survivors' fingerprints to the snapshot
+    # and replaying the same batch yields nothing new (resume semantics)
+    seen2 = seen.union(out.select("fingerprint")).distinct()
+    replay = incremental_new_docs(
+        df.filter(F.col("doc_id") >= 736), "doc_id", "tokens", seen2, fingerprint=fp
+    )
+    assert replay.count() == 0
+
+
 def test_contaminated_docs_exact_semantics(spark):
     """Decontamination output equals the brute-force Python computation of
     distinct shared word n-grams (hash prefilter must not change results)."""
