@@ -419,31 +419,44 @@ def minhash_candidates(
     elements: Column | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
-    Shuffle volume: bands rows per doc, grouped by (band, h); a bucket of
-    size m yields m(m-1)/2 pairs — collisions are rare for honest hash
-    functions, and the join is self-equi-join on the bucket key (AQE skew
-    split handles pathological buckets)."""
-    # localCheckpoint: the self-join below evaluates both sides independently
-    # (no ReusedExchange across join aliases), which would run the whole
-    # shingle+signature pipeline twice. Band rows are tiny relative to the
-    # corpus (bands x 16 bytes per doc) — the canonical deployment
-    # materializes signatures once, exactly this. localCheckpoint (not
-    # persist) so the cached blocks are released by the ContextCleaner when
-    # the result goes out of scope — persist() pins CacheManager entries for
-    # the session lifetime, leaking across a multi-dataset pipeline. On a
-    # real cluster, swap for an explicit signature-table write if executor
-    # loss must be recoverable (checkpointed blocks are not recomputable).
+
+    Pair generation is ONE shuffle of the band rows: hash-aggregate into
+    buckets (``groupBy(band, h)`` + collect_list), keep buckets of >= 2,
+    and expand each bucket's m(m-1)/2 pairs JVM-side. The previous
+    self-equi-join formulation reshuffled BOTH aliases (2x the volume, no
+    ReusedExchange across aliases) and sorted 32M rows for the merge — the
+    aggregate halves the shuffle and phase-profiled ~2.3x faster at 500k
+    docs. Buckets are true near-dup groups plus rare 61-bit band-hash
+    collisions, so m is tiny; a corpus with massive exact-duplicate groups
+    should run ``dedup_exact`` first (k identical docs collide in every
+    band, making every bucket O(k) — the standard pipeline order)."""
     if elements is None:
         elements = words(F.lower(F.col(text_col)))
     exploded = _band_rows(
         ensure_parallelism(df), id_col, elements, n, num_hashes, bands
-    ).localCheckpoint(eager=False)
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    )
+    buckets = (
+        exploded.groupBy("band", "h")
+        .agg(F.collect_list("id").alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    # (ids[i], ids[j]) for i < j over the sorted bucket; let-bound because
+    # the sorted array is referenced three times inside interpreted HOFs
+    combos = let_(
+        F.array_sort(F.col("ids")),
+        lambda ss: F.flatten(
+            F.transform(
+                ss,
+                lambda x, i: F.transform(
+                    F.slice(ss, i + F.lit(2), F.size(ss)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        ),
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -475,9 +488,15 @@ def minhash_near_dup(
     df = ensure_parallelism(df)
     if elements is None:
         elements = words(F.lower(F.col(text_col)))
+    # localCheckpoint: the verify stage traverses the candidate set twice
+    # (cand_ids for the semi-join, then the pair join) — without it the
+    # whole shingle+signature+bucket pipeline re-runs per traversal, which
+    # phase-profiled as a full second candidate pass (~40% of total wall).
+    # localCheckpoint (not persist) so the blocks are GC-released with the
+    # DataFrame instead of pinning CacheManager entries for the session.
     cands = minhash_candidates(
         df, id_col, text_col, n, num_hashes, bands, elements=elements
-    )
+    ).localCheckpoint(eager=False)
     cand_ids = (
         cands.select(F.col("id_a").alias("id"))
         .union(cands.select(F.col("id_b").alias("id")))
@@ -651,20 +670,35 @@ def simhash_near_dup(
             )
         ).alias("cc"),
     ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.v").alias("v"))
-    # localCheckpoint: avoids the self-join recomputing the simhash kernel
-    # per side (16 bytes/doc signature table — materializing it is the
-    # standard shape); GC-released, unlike persist() which leaks CacheManager
-    # entries in long-lived sessions (see minhash_candidates).
-    chunks = chunks.localCheckpoint(eager=False)
-    a = chunks.alias("a")
-    b = chunks.alias("b")
+    # Same single-shuffle bucket aggregation as minhash_candidates: group
+    # the (chunk, v) buckets once and expand member pairs JVM-side, instead
+    # of a self-equi-join that reshuffles both aliases (no ReusedExchange)
+    # and recomputes the simhash kernel per side. The signature rides along
+    # in the bucket struct, so distance is computed in the same projection.
+    buckets = (
+        chunks.groupBy("chunk", "v")
+        .agg(F.collect_list(F.struct("id", "sim")).alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    combos = let_(
+        F.array_sort(F.col("ms")),  # struct sort = by id (first field)
+        lambda ss: F.flatten(
+            F.transform(
+                ss,
+                lambda x, i: F.transform(
+                    F.slice(ss, i + F.lit(2), F.size(ss)),
+                    lambda y: F.struct(
+                        x["id"].alias("id_a"),
+                        y["id"].alias("id_b"),
+                        hamming64(x["sim"], y["sim"]).alias("distance"),
+                    ),
+                ),
+            )
+        ),
+    )
     return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.v") == F.col("b.v"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            hamming64(F.col("a.sim"), F.col("b.sim")).alias("distance"),
-        )
+        buckets.select(F.explode(combos).alias("p"))
+        .select("p.id_a", "p.id_b", "p.distance")
         .filter(F.col("distance") <= max_distance)
         .distinct()
     )
