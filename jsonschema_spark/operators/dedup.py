@@ -420,43 +420,58 @@ def minhash_candidates(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
 
-    Pair generation is ONE shuffle of the band rows: hash-aggregate into
-    buckets (``groupBy(band, h)`` + collect_list), keep buckets of >= 2,
-    and expand each bucket's m(m-1)/2 pairs JVM-side. The previous
-    self-equi-join formulation reshuffled BOTH aliases (2x the volume, no
-    ReusedExchange across aliases) and sorted 32M rows for the merge — the
-    aggregate halves the shuffle and phase-profiled ~2.3x faster at 500k
-    docs. Buckets are true near-dup groups plus rare 61-bit band-hash
-    collisions, so m is tiny; a corpus with massive exact-duplicate groups
-    should run ``dedup_exact`` first (k identical docs collide in every
-    band, making every bucket O(k) — the standard pipeline order)."""
+    Heavy-key semi-join formulation: the band rows are NEVER reshuffled in
+    the common case. First aggregate only the narrow (band, h) keys to
+    per-bucket counts (map-side partial combine; no ids in the shuffle),
+    filter to collision buckets (count >= 2 — a vanishing fraction for an
+    honest 61-bit band hash), then join that tiny key set back onto the
+    band rows: AQE broadcasts it, so the filter runs map-side in the scan
+    stage, and only the surviving collision rows (~2 per near-dup pair)
+    enter the final self-equi-join. Same shape as the referential check's
+    broadcast anti-join — the fact side stays put, the key set moves.
+
+    Why not the alternatives (both measured at 500k docs / 16M band rows,
+    interleaved best-of-N on the same host): a full self-equi-join
+    reshuffles BOTH aliases with ids (no ReusedExchange across aliases) and
+    sorts 32M rows; a groupBy+collect_list bucket aggregation halves that
+    on paper but 99.9% of keys are singletons, so ObjectHashAggregate falls
+    back to sort-based with one array allocation per key plus an
+    interpreted-HOF pair expansion, ~1.5x slower than even the join.
+    simhash_near_dup keeps its aggregate form: its 4x16-bit bucket space is
+    dense (~8 members/bucket), where collect_list is the right tool."""
+    # localCheckpoint: the count pass and the semi-join below traverse the
+    # band rows independently, which would run the whole shingle+signature
+    # pipeline twice. Band rows are tiny relative to the corpus (bands x 16
+    # bytes per doc) — the canonical deployment materializes signatures
+    # once, exactly this. localCheckpoint (not persist) so the cached
+    # blocks are released by the ContextCleaner when the result goes out of
+    # scope — persist() pins CacheManager entries for the session lifetime,
+    # leaking across a multi-dataset pipeline. On a real cluster, swap for
+    # an explicit signature-table write if executor loss must be
+    # recoverable (checkpointed blocks are not recomputable).
     if elements is None:
         elements = words(F.lower(F.col(text_col)))
     exploded = _band_rows(
         ensure_parallelism(df), id_col, elements, n, num_hashes, bands
-    )
-    buckets = (
+    ).localCheckpoint(eager=False)
+    hot = (
         exploded.groupBy("band", "h")
-        .agg(F.collect_list("id").alias("ids"))
-        .filter(F.size("ids") > 1)
+        .agg(F.count(F.lit(1)).alias("m"))
+        .filter(F.col("m") > 1)
+        .select("band", "h")
     )
-    # (ids[i], ids[j]) for i < j over the sorted bucket; let-bound because
-    # the sorted array is referenced three times inside interpreted HOFs
-    combos = let_(
-        F.array_sort(F.col("ids")),
-        lambda ss: F.flatten(
-            F.transform(
-                ss,
-                lambda x, i: F.transform(
-                    F.slice(ss, i + F.lit(2), F.size(ss)),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
-        ),
-    )
+    # AQE broadcasts `hot` when small (the normal case); if a pathological
+    # corpus makes it large, this degrades to one shuffle join on (band, h)
+    # whose output partitioning the self-join then reuses — never worse
+    # than the two-sided self-join it replaces. Run dedup_exact first so
+    # massive exact-duplicate groups don't inflate every bucket.
+    colliding = exploded.join(hot, ["band", "h"]).localCheckpoint(eager=False)
+    a = colliding.alias("a")
+    b = colliding.alias("b")
     return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b")
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 
