@@ -419,55 +419,44 @@ def minhash_candidates(
     elements: Column | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing >= 1 LSH band bucket.
+    Shuffle volume: bands rows per doc, grouped by (band, h); a bucket of
+    size m yields m(m-1)/2 pairs — collisions are rare for honest hash
+    functions, and the join is self-equi-join on the bucket key (AQE skew
+    split handles pathological buckets).
 
-    Heavy-key semi-join formulation: the band rows are NEVER reshuffled in
-    the common case. First aggregate only the narrow (band, h) keys to
-    per-bucket counts (map-side partial combine; no ids in the shuffle),
-    filter to collision buckets (count >= 2 — a vanishing fraction for an
-    honest 61-bit band hash), then join that tiny key set back onto the
-    band rows: AQE broadcasts it, so the filter runs map-side in the scan
-    stage, and only the surviving collision rows (~2 per near-dup pair)
-    enter the final self-equi-join. Same shape as the referential check's
-    broadcast anti-join — the fact side stays put, the key set moves.
-
-    Why not the alternatives (both measured at 500k docs / 16M band rows,
-    interleaved best-of-N on the same host): a full self-equi-join
-    reshuffles BOTH aliases with ids (no ReusedExchange across aliases) and
-    sorts 32M rows; a groupBy+collect_list bucket aggregation halves that
-    on paper but 99.9% of keys are singletons, so ObjectHashAggregate falls
-    back to sort-based with one array allocation per key plus an
-    interpreted-HOF pair expansion, ~1.5x slower than even the join.
-    simhash_near_dup keeps its aggregate form: its 4x16-bit bucket space is
-    dense (~8 members/bucket), where collect_list is the right tool."""
-    # localCheckpoint: the count pass and the semi-join below traverse the
-    # band rows independently, which would run the whole shingle+signature
-    # pipeline twice. Band rows are tiny relative to the corpus (bands x 16
-    # bytes per doc) — the canonical deployment materializes signatures
-    # once, exactly this. localCheckpoint (not persist) so the cached
-    # blocks are released by the ContextCleaner when the result goes out of
-    # scope — persist() pins CacheManager entries for the session lifetime,
-    # leaking across a multi-dataset pipeline. On a real cluster, swap for
-    # an explicit signature-table write if executor loss must be
-    # recoverable (checkpointed blocks are not recomputable).
+    Formulation note (measured at 50k and 500k docs, interleaved best-of-N
+    — full tables in BASELINE.md): three candidate-pair formulations were
+    A/B'd. (1) groupBy(band, h) + collect_list bucket aggregation halves
+    the shuffle on paper, but 99.9% of keys are singletons —
+    ObjectHashAggregate falls back to sort-based with one array allocation
+    per key plus interpreted-HOF pair expansion, ~1.6x slower than this
+    join at 500k docs (simhash_near_dup keeps the aggregate form: its
+    4x16-bit bucket space is dense, ~8 members/bucket, where collect_list
+    is right). (2) A heavy-key semi-join (narrow (band, h) count agg ->
+    broadcast collision keys back -> tiny self-join) ties this join at
+    500k docs and avoids reshuffling the band rows — but its broadcast
+    barrier plus two extra checkpoint jobs are pure fixed cost, 4x slower
+    at 50k docs, and at 10^12-doc scale the collision key-set no longer
+    broadcasts, degrading it to this join with an extra aggregation pass.
+    The plain self-join is within noise of best at every measured size and
+    has no pathological regime."""
+    # localCheckpoint: the self-join below evaluates both sides independently
+    # (no ReusedExchange across join aliases), which would run the whole
+    # shingle+signature pipeline twice. Band rows are tiny relative to the
+    # corpus (bands x 16 bytes per doc) — the canonical deployment
+    # materializes signatures once, exactly this. localCheckpoint (not
+    # persist) so the cached blocks are released by the ContextCleaner when
+    # the result goes out of scope — persist() pins CacheManager entries for
+    # the session lifetime, leaking across a multi-dataset pipeline. On a
+    # real cluster, swap for an explicit signature-table write if executor
+    # loss must be recoverable (checkpointed blocks are not recomputable).
     if elements is None:
         elements = words(F.lower(F.col(text_col)))
     exploded = _band_rows(
         ensure_parallelism(df), id_col, elements, n, num_hashes, bands
     ).localCheckpoint(eager=False)
-    hot = (
-        exploded.groupBy("band", "h")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .filter(F.col("m") > 1)
-        .select("band", "h")
-    )
-    # AQE broadcasts `hot` when small (the normal case); if a pathological
-    # corpus makes it large, this degrades to one shuffle join on (band, h)
-    # whose output partitioning the self-join then reuses — never worse
-    # than the two-sided self-join it replaces. Run dedup_exact first so
-    # massive exact-duplicate groups don't inflate every bucket.
-    colliding = exploded.join(hot, ["band", "h"]).localCheckpoint(eager=False)
-    a = colliding.alias("a")
-    b = colliding.alias("b")
+    a = exploded.alias("a")
+    b = exploded.alias("b")
     return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.h") == F.col("b.h"))
                & (F.col("a.id") < F.col("b.id")))
