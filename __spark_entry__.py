@@ -1178,6 +1178,23 @@ def q_source_divergence(spark, sf_dir):
     return pairwise_js_divergence(df, "source", "text", top_v=200)
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance selection (Xie et al. 2023): the 20 raw-pool
+    documents whose hashed-unigram distribution is most like the 'src0'
+    target exemplars — weight = sum over tokens of the Laplace-smoothed
+    target/raw bucket log-likelihood ratio. Deterministic
+    (weight desc, doc_id) order; portable md5 bucket hash, so the DuckDB
+    oracle reproduces every score."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.relevance import dsir_select
+
+    df = _t(spark, sf_dir, "documents")
+    return dsir_select(
+        df, F.col("source") == "src0", k=20, buckets=1024, smoothing=1.0
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic A-ES weighted sample: 50 documents drawn with
     probability proportional to n_chars via content-addressed keys
@@ -1277,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_packing": q_sequence_packing,
         "tfidf_top_terms": q_tfidf_top_terms,
         "source_divergence": q_source_divergence,
+        "dsir_select": q_dsir_select,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
     }
@@ -2105,6 +2123,29 @@ def oracle_sql() -> dict[str, str]:
             "    AS rnk FROM scored)"
             " SELECT doc_id, term, tf, doc_freq, round(s, 6) AS tfidf,"
             "  CAST(rnk AS BIGINT) AS rank FROM ranked WHERE rnk <= 3"
+        ),
+        "dsir_select": (
+            f"WITH toks AS (SELECT doc_id, source = 'src0' AS is_t,"
+            f"   unnest({_WS}) AS term FROM documents),"
+            " bucketed AS (SELECT doc_id, is_t,"
+            "   CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 1024"
+            "    AS bucket FROM toks),"
+            " models AS (SELECT bucket,"
+            "   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS t_cnt,"
+            "   sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS r_cnt"
+            "  FROM bucketed GROUP BY bucket),"
+            " totals AS (SELECT sum(t_cnt) AS t_tot, sum(r_cnt) AS r_tot"
+            "  FROM models),"
+            " ratios AS (SELECT bucket,"
+            "   ln((t_cnt + 1.0) / (t_tot + 1.0 * 1024))"
+            "   - ln((r_cnt + 1.0) / (r_tot + 1.0 * 1024)) AS log_ratio"
+            "  FROM models CROSS JOIN totals),"
+            " weights AS (SELECT doc_id, count(*) AS n_tok,"
+            "   round(sum(log_ratio), 6) AS weight"
+            "  FROM bucketed JOIN ratios USING (bucket)"
+            "  WHERE NOT is_t GROUP BY doc_id)"
+            " SELECT doc_id, n_tok, weight FROM weights"
+            " ORDER BY weight DESC, doc_id ASC LIMIT 20"
         ),
         "source_divergence": (
             f"WITH toks AS (SELECT source AS grp, unnest({_WS}) AS term"

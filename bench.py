@@ -102,6 +102,7 @@ def main() -> None:
         "decontaminate",
         "tfidf_top_terms",
         "source_divergence",
+        "dsir_select",
         "weighted_sample",
         "windowed_drift",
     ]

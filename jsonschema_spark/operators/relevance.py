@@ -28,10 +28,10 @@ thousands of files never pay the extra shuffle).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from jsonschema_spark.functions.text import words
+from jsonschema_spark.functions.text import portable_hash60, words
 from jsonschema_spark.operators.dedup import ensure_parallelism
 
 
@@ -149,3 +149,90 @@ def pairwise_js_divergence(
             ).alias("jsd")
         )
     )
+
+
+def dsir_weights(
+    df: DataFrame,
+    is_target: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023)
+    over hashed unigram features: score every NON-target document by how
+    target-like its token distribution is,
+    ``weight = sum_tokens ln p_target(bucket) / p_raw(bucket)`` with
+    Laplace-``smoothing`` bucket models estimated from the corpus itself
+    (``is_target`` marks the in-domain exemplar rows; everything else is
+    the raw pool being scored). Returns ``(id, n_tok, weight)`` for raw
+    docs. New semantics per the north rule: the reference validates one
+    document at a time and has no notion of corpus-level selection.
+
+    Scale shape: explode (no shuffle) → ONE map-side-combined groupBy over
+    ≤ ``buckets`` keys for both bucket models in the same pass (conditional
+    sums) → totals join back as a broadcast 1-row aggregate (never a driver
+    round-trip) → bucket log-ratios broadcast onto the token rows
+    (map-side) → groupBy(id), whose partial aggregation collapses each
+    doc's tokens within its own partition (explode preserves locality), so
+    the only full shuffle moves ~1 row per document. Buckets use
+    ``portable_hash60`` so an external SQL engine reproduces the scores
+    bit-for-bit.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        is_target.alias("is_t"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    bucketed = toks.select(
+        "id", "is_t", F.pmod(portable_hash60(F.col("term")), F.lit(buckets)).alias("bucket")
+    )
+    models = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("t_cnt"),
+        F.sum(F.when(F.col("is_t"), 0).otherwise(1)).alias("r_cnt"),
+    )
+    totals = models.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    s, b = F.lit(float(smoothing)), F.lit(float(buckets))
+    ratios = (
+        models.crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("t_cnt") + s) / (F.col("t_tot") + s * b))
+                - F.log((F.col("r_cnt") + s) / (F.col("r_tot") + s * b))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        bucketed.filter(~F.col("is_t"))
+        .join(F.broadcast(ratios), on="bucket")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(F.sum("log_ratio"), decimals).alias("weight"),
+        )
+        .select(F.col("id").alias(id_col), "n_tok", "weight")
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    is_target: Column,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-``k`` most target-like raw documents by DSIR weight
+    (deterministic ``(weight desc, id asc)`` order so any engine
+    reproduces the selection). orderBy+limit lowers to
+    TakeOrderedAndProject — per-partition heaps, no global sort."""
+    w = dsir_weights(
+        df, is_target, id_col, text_col, buckets, smoothing, decimals
+    )
+    return w.orderBy(F.desc("weight"), F.asc(id_col)).limit(k)

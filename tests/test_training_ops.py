@@ -447,3 +447,42 @@ def test_contaminated_docs_exact_semantics(spark):
     }
     assert got == want
     assert want, "fixture must actually contain contamination"
+
+
+def test_dsir_weights_rank_target_like_docs(spark):
+    """DSIR importance weights must rank raw docs that share the target's
+    vocabulary above raw docs drawn from a different vocabulary, and must
+    never score target exemplars themselves."""
+    from jsonschema_spark.operators.relevance import dsir_select, dsir_weights
+
+    target_text = "alpha beta gamma delta alpha beta gamma delta"
+    rows = [(i, target_text, "target") for i in range(10)]
+    # raw pool: 5 target-like, 5 from a disjoint vocabulary
+    rows += [(100 + i, "alpha beta gamma delta epsilon", "raw") for i in range(5)]
+    rows += [(200 + i, "omega psi chi phi upsilon", "raw") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "kind"])
+
+    w = dsir_weights(
+        df, F.col("kind") == "target", buckets=256, smoothing=1.0
+    ).collect()
+    assert len(w) == 10  # only raw docs scored
+    by_id = {r.doc_id: r.weight for r in w}
+    assert all(by_id[100 + i] > by_id[200 + j] for i in range(5) for j in range(5))
+    assert all(r.n_tok == 5 for r in w)
+
+    top5 = dsir_select(df, F.col("kind") == "target", k=5, buckets=256)
+    assert sorted(r.doc_id for r in top5.collect()) == [100, 101, 102, 103, 104]
+
+
+def test_dsir_weights_smoothing_keeps_unseen_buckets_finite(spark):
+    """A raw doc whose tokens never appear in the target corpus must get a
+    finite (negative) weight via Laplace smoothing, not -inf."""
+    import math
+
+    from jsonschema_spark.operators.relevance import dsir_weights
+
+    rows = [(0, "alpha alpha beta", "target"), (1, "zeta eta theta", "raw")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "kind"])
+    w = dsir_weights(df, F.col("kind") == "target", buckets=64).collect()
+    assert len(w) == 1
+    assert math.isfinite(w[0].weight) and w[0].weight < 0
