@@ -1195,6 +1195,19 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_source_mix(spark, sf_dir):
+    """Deterministic source re-mixing: the exact membership of a
+    50/30/20 src0/src1/src2 mixture at the largest total the corpus can
+    supply — every keep/drop decision is a pure function of md5(doc_id),
+    so the DuckDB oracle reproduces the identical sample."""
+    from jsonschema_spark.operators.sampling import mix_to_proportions
+
+    df = _t(spark, sf_dir, "documents")
+    return mix_to_proportions(
+        df, "source", "doc_id", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic A-ES weighted sample: 50 documents drawn with
     probability proportional to n_chars via content-addressed keys
@@ -1295,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "source_divergence": q_source_divergence,
         "dsir_select": q_dsir_select,
+        "source_mix": q_source_mix,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
     }
@@ -2146,6 +2160,22 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE NOT is_t GROUP BY doc_id)"
             " SELECT doc_id, n_tok, weight FROM weights"
             " ORDER BY weight DESC, doc_id ASC LIMIT 20"
+        ),
+        "source_mix": (
+            "WITH counts AS (SELECT source, count(*) AS cnt FROM documents"
+            "   GROUP BY source),"
+            " props AS (SELECT * FROM (VALUES"
+            "   ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),"
+            "   ('src2', CAST(0.2 AS DOUBLE))) AS t(source, p)),"
+            " joined AS (SELECT c.source, c.cnt, p.p"
+            "   FROM counts c JOIN props p USING (source)),"
+            " cap AS (SELECT min(floor(cnt / p)) AS total FROM joined),"
+            " thr AS (SELECT source,"
+            "   round(least(CAST(1.0 AS DOUBLE), total * p / cnt) * 10000)"
+            "    AS keep FROM joined CROSS JOIN cap)"
+            " SELECT d.doc_id, d.source FROM documents d JOIN thr USING (source)"
+            " WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)),"
+            "   1, 15)) AS BIGINT) % 10000 < keep"
         ),
         "source_divergence": (
             f"WITH toks AS (SELECT source AS grp, unnest({_WS}) AS term"

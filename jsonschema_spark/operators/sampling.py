@@ -106,3 +106,61 @@ def cap_per_group(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def mix_to_proportions(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    proportions: dict[str, float],
+    total: int | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Re-mix a corpus to target group proportions (the training-data
+    "source mixing" step: crawl 50%, code 30%, reference 20%) by keeping a
+    deterministic hash sample of each group sized to ``total * p_g``.
+    ``total=None`` uses the largest total the corpus can supply at those
+    proportions, ``min_g floor(count_g / p_g)``. Groups absent from
+    ``proportions`` are dropped. Sampling is bucket-quantized (resolution
+    ``1/buckets``), so achieved counts are approximate — but exactly
+    reproducible: every decision is content-addressed (portable md5 of the
+    id), identical across partitionings, re-runs, and engines.
+
+    Scale shape: per-group counts are one map-side-combined aggregation
+    (≤ groups rows); the target-size arithmetic joins the proportion
+    literals and the 1-row total back as broadcasts; the final filter is a
+    broadcast semi-join of (group → keep-threshold) onto the corpus — the
+    corpus itself is never shuffled.
+    """
+    spark = df.sparkSession
+    props = spark.createDataFrame(
+        [(g, float(p)) for g, p in sorted(proportions.items())],
+        [group_col, "_p"],
+    )
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .join(F.broadcast(props), on=group_col)
+    )
+    if total is None:
+        cap = counts.agg(
+            F.min(F.floor(F.col("_cnt") / F.col("_p"))).alias("_total")
+        )
+        counts = counts.crossJoin(F.broadcast(cap))
+    else:
+        counts = counts.withColumn("_total", F.lit(int(total)))
+    thresholds = counts.select(
+        group_col,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("_total") * F.col("_p") / F.col("_cnt"),
+            )
+            * buckets
+        ).alias("_keep"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), on=group_col)
+        .filter(hash_bucket(F.col(id_col), buckets) < F.col("_keep"))
+        .drop("_keep")
+    )

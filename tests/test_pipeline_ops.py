@@ -140,3 +140,44 @@ def test_jsonl_corrupt_capture(spark, tmp_path):
     assert (row["ok"], row["bad"]) == (2, 2)
     bad = sorted(r["raw_line"] for r in corrupt_rows(spark, path, schema).collect())
     assert bad == ["also not json", "{broken json here"]
+
+
+def test_mix_to_proportions(spark):
+    """Re-mixing to 50/30/20 must (a) be exactly reproducible across
+    partitionings, (b) achieve each group's target rate within bucket
+    sampling tolerance at n=2000/group, (c) drop groups absent from the
+    proportion spec, and (d) honor an explicit total."""
+    from jsonschema_spark.operators.sampling import mix_to_proportions
+
+    rows = [(g * 10_000 + i, f"g{g}") for g in range(4) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    props = {"g0": 0.5, "g1": 0.3, "g2": 0.2}
+
+    picked = mix_to_proportions(df, "source", "doc_id", props)
+    got = {r.source: r.cnt for r in
+           picked.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # max achievable total = min(2000/0.5, 2000/0.3, 2000/0.2) = 4000
+    assert "g3" not in got
+    assert got["g0"] == 2000  # rate 1.0 keeps the whole limiting group
+    assert abs(got["g1"] - 1200) < 150  # 4000 * 0.3, hash-sampling tolerance
+    assert abs(got["g2"] - 800) < 120
+
+    ids_a = sorted(r.doc_id for r in picked.collect())
+    ids_b = sorted(
+        r.doc_id
+        for r in mix_to_proportions(
+            df.repartition(17), "source", "doc_id", props
+        ).collect()
+    )
+    assert ids_a == ids_b  # content-addressed, layout-independent
+
+    small = mix_to_proportions(df, "source", "doc_id", props, total=1000)
+    got_small = {r.source: r.cnt for r in
+                 small.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert abs(got_small["g0"] - 500) < 90
+    assert abs(got_small["g1"] - 300) < 70
+    assert abs(got_small["g2"] - 200) < 60
+    # the explicit-total sample nests inside the max-total sample per group
+    assert set(r.doc_id for r in small.collect()) <= set(ids_a) | {
+        r.doc_id for r in picked.collect()
+    }
