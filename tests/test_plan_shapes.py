@@ -103,3 +103,23 @@ def test_minhash_band_join_is_bucket_equijoin(spark):
     # cartesian/broadcast-nested-loop over doc pairs
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dsir_select_shape(spark):
+    plan = _plan(entry_mod.queries()["dsir_select"](spark, SF_DIR))
+    # top-k by weight: per-partition heaps, never a corpus sort
+    assert "TakeOrderedAndProject" in plan
+    # bucket log-ratios and totals join in as broadcasts; the token rows
+    # must never be sort-merge-joined
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # pure-expression pipeline: no Python anywhere
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_source_mix_broadcasts_thresholds(spark):
+    plan = _plan(entry_mod.queries()["source_mix"](spark, SF_DIR))
+    # the corpus side of the threshold join must stay in place
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
