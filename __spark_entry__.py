@@ -1195,6 +1195,19 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_shared_ngram_pairs(spark, sf_dir):
+    """Within-corpus repeated-text pairs: documents sharing >= 1 exact
+    13-word gram, with the count of distinct shared grams (the fixed-n
+    form of substring dedup a la Lee et al. 2022 — a shared run of >= 13
+    words always contains a shared 13-gram). Gram-hash prefilter + exact
+    string verification, so the output is exact and the O(n^2) step only
+    ever sees colliding positions."""
+    from jsonschema_spark.operators.dedup import shared_ngram_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    return shared_ngram_pairs(df, "doc_id", "text", n=13)
+
+
 def q_source_mix(spark, sf_dir):
     """Deterministic source re-mixing: the exact membership of a
     50/30/20 src0/src1/src2 mixture at the largest total the corpus can
@@ -1309,6 +1322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_divergence": q_source_divergence,
         "dsir_select": q_dsir_select,
         "source_mix": q_source_mix,
+        "shared_ngram_pairs": q_shared_ngram_pairs,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
     }
@@ -2160,6 +2174,16 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE NOT is_t GROUP BY doc_id)"
             " SELECT doc_id, n_tok, weight FROM weights"
             " ORDER BY weight DESC, doc_id ASC LIMIT 20"
+        ),
+        "shared_ngram_pairs": (
+            "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-12, 0)),"
+            "   i -> array_to_string(ws[i:i+12], ' '))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents))"
+            " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "  CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared"
+            " FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            " WHERE len(list_intersect(a.g, b.g)) >= 1"
         ),
         "source_mix": (
             "WITH counts AS (SELECT source, count(*) AS cnt FROM documents"

@@ -706,3 +706,87 @@ def simhash_near_dup(
         .filter(F.col("distance") <= max_distance)
         .distinct()
     )
+
+
+def shared_ngram_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
+) -> DataFrame:
+    """(id_a, id_b, n_shared): document pairs sharing >= 1 exact word
+    n-gram, with the count of distinct shared grams — the within-corpus
+    repeated-text detector (the fixed-n form of substring dedup a la Lee
+    et al. 2022: any shared run of >= n tokens contains a shared n-gram,
+    so every pair with a long common span surfaces; the reference has no
+    corpus-level notion — per SURVEY.md §2.3 this extends validation to
+    table scale). Pass ``elements`` to run it on pre-tokenized int arrays
+    without detokenizing (token ids cast to string), as
+    ``token_decontaminate`` does.
+
+    Scale shape: per-doc-distinct 31-bit rolling gram hashes explode once
+    and are localCheckpointed; "hot" grams (present in >= 2 distinct docs)
+    come from a map-side-combined ``min(id) != max(id)`` aggregate — no
+    distinct-count, no shuffle of ids beyond the gram key; only colliding
+    positions (~2 rows per truly shared gram) reach the pair self-join, so
+    the quadratic step never sees the corpus. 31-bit chance collisions are
+    then removed by recomputing EXACT gram strings for candidate docs only
+    (the decontamination verify pattern), making the output exact."""
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    pos = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(_shingle_hashes(elements, n))).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        pos.groupBy("g")
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("g")
+    )
+    # AQE broadcasts `hot` when small (the honest-corpus case); a corpus
+    # dominated by exact duplicates should run dedup_exact first, as with
+    # minhash banding
+    colliding = pos.join(hot, "g").localCheckpoint(eager=False)
+    a, b = colliding.alias("a"), colliding.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    corpus = ensure_parallelism(df)
+    grams = (
+        corpus.join(
+            F.broadcast(cand_ids), corpus[id_col] == cand_ids["id"], "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(_raw_grams(elements, n, shingle_sep))
+            ).alias("gram"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ga, gb = grams.alias("ga"), grams.alias("gb")
+    return (
+        cand.join(ga, F.col("id_a") == F.col("ga.id"))
+        .join(
+            gb,
+            (F.col("id_b") == F.col("gb.id"))
+            & (F.col("ga.gram") == F.col("gb.gram")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -486,3 +486,50 @@ def test_dsir_weights_smoothing_keeps_unseen_buckets_finite(spark):
     w = dsir_weights(df, F.col("kind") == "target", buckets=64).collect()
     assert len(w) == 1
     assert math.isfinite(w[0].weight) and w[0].weight < 0
+
+
+def test_shared_ngram_pairs_exact(spark):
+    """Pairs sharing an exact n-token run must surface with the right
+    shared-gram count; disjoint docs must not pair; the gram-hash
+    prefilter must not create false positives."""
+    from jsonschema_spark.operators.dedup import shared_ngram_pairs
+
+    run = " ".join(f"w{i}" for i in range(10))  # 10-word shared run
+    rows = [
+        (1, run + " tail one two"),
+        (2, "head zero " + run),
+        (3, "completely different words nothing shared here at all ok"),
+        (4, run + " tail one two"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in shared_ngram_pairs(df, "doc_id", "text", n=5).collect()
+    }
+    # a shared 10-word run contains 10-5+1 = 6 distinct 5-grams
+    assert got[(1, 2)] == 6 and got[(2, 4)] == 6
+    # docs 1 and 4 are identical: 13 words -> 9 grams
+    assert got[(1, 4)] == 9
+    assert not any(3 in p for p in got)
+
+
+def test_shared_ngram_pairs_token_arrays(spark):
+    """The pre-tokenized form (elements = int token ids) must detect the
+    same shared runs without detokenizing."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.dedup import shared_ngram_pairs
+
+    rows = [
+        (1, list(range(100, 110)) + [7, 8]),
+        (2, [55] + list(range(100, 110))),
+        (3, [9, 9, 9, 9, 9, 9, 9, 9]),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "tokens"])
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in shared_ngram_pairs(
+            df, "doc_id", "tokens", n=5, elements=F.col("tokens"), shingle_sep=","
+        ).collect()
+    }
+    assert got == {(1, 2): 6}
