@@ -103,6 +103,8 @@ def main() -> None:
         "tfidf_top_terms",
         "source_divergence",
         "dsir_select",
+        "source_mix",
+        "shared_ngram_pairs",
         "weighted_sample",
         "windowed_drift",
     ]
