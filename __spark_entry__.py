@@ -1195,6 +1195,17 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_diverse_sample(spark, sf_dir):
+    """Embedding-space diversity sample: at most 2 vectors per
+    hyperplane-LSH bucket (8 seeded planes), survivors = smallest md5
+    hashes of the id within each bucket — exact membership reproduced by
+    the DuckDB oracle replaying the plane literals."""
+    from jsonschema_spark.operators.similarity import diverse_sample
+
+    df = _t(spark, sf_dir, "embeddings")
+    return diverse_sample(df, "embedding", "vec_id", m=2, n_planes=8, seed=13)
+
+
 def q_shared_ngram_pairs(spark, sf_dir):
     """Within-corpus repeated-text pairs: documents sharing >= 1 exact
     13-word gram, with the count of distinct shared grams (the fixed-n
@@ -1323,6 +1334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "source_mix": q_source_mix,
         "shared_ngram_pairs": q_shared_ngram_pairs,
+        "diverse_sample": q_diverse_sample,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
     }
@@ -1395,6 +1407,33 @@ def _ann_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 13, k: int = 1
         " WHERE bucket = qbucket"
         "  OR bit_count(xor(CAST(bucket AS BIGINT), CAST(qbucket AS BIGINT))) = 1"
         f" ORDER BY score DESC, vec_id LIMIT {k}"
+    )
+
+
+def _diverse_sample_oracle_sql(
+    dim: int = 64, n_planes: int = 8, seed: int = 13, m: int = 2
+) -> str:
+    """DuckDB replay of the LSH diversity sample: same seeded plane
+    literals as _ann_oracle_sql, per-bucket row_number over the portable
+    md5 id hash."""
+    from jsonschema_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    terms = [
+        f"(CASE WHEN list_dot_product(v, {_vec_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    bucket = "(" + " + ".join(terms) + ")"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        "   FROM embeddings),"
+        f" b AS (SELECT vec_id, CAST({bucket} AS BIGINT) AS bucket FROM e),"
+        " r AS (SELECT vec_id, bucket, row_number() OVER ("
+        "   PARTITION BY bucket ORDER BY"
+        "   CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))"
+        "    AS BIGINT)) AS rn FROM b)"
+        f" SELECT vec_id, bucket FROM r WHERE rn <= {m}"
     )
 
 
@@ -1986,6 +2025,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": _ann_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
+        "diverse_sample": _diverse_sample_oracle_sql(),
         "lang_id_counts": (
             "WITH r AS (SELECT"
             f"  len(list_filter(ws, w -> list_contains({_stoplist('de')}, w))) / CAST(len(ws) AS DOUBLE) AS r_de,"

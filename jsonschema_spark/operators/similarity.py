@@ -296,3 +296,37 @@ def _pair_cosine(va: Column, vb: Column) -> Column:
 def _dim_of(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(vec_col).alias("d")).first()
     return int(row.d)
+
+
+def diverse_sample(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    m: int = 2,
+    n_planes: int = 8,
+    seed: int = 13,
+) -> DataFrame:
+    """Embedding-space diversity sample: at most ``m`` vectors per
+    hyperplane-LSH bucket, so a sample spreads across semantic space
+    instead of following the corpus's cluster mass (the "pick varied
+    examples" primitive for eval-set construction and data curation).
+    Returns ``(id, bucket)``. Deterministic: within a bucket, survivors
+    are the ``m`` smallest portable md5 hashes of the id (content
+    addressed — identical across partitionings, re-runs, and engines, so
+    the DuckDB oracle reproduces the exact membership).
+
+    Scale shape: the bucket int is a pure per-row expression evaluated in
+    the scan stage (sign bits of ``n_planes`` seeded dot products —
+    literals shipped with the plan, nothing trained); the per-bucket cap
+    is the canonical top-k-per-group window, one shuffle on the bucket
+    key, never ranking past ``m`` per reducer after AQE skew split."""
+    from jsonschema_spark.functions.text import portable_hash60
+    from jsonschema_spark.operators.sampling import cap_per_group
+
+    planes = hyperplanes(_dim_of(df, vec_col), n_planes, seed)
+    bucketed = df.select(
+        F.col(id_col),
+        lsh_bucket(F.col(vec_col), planes).cast("long").alias("bucket"),
+        portable_hash60(F.col(id_col).cast("string")).alias("_h"),
+    )
+    return cap_per_group(bucketed, "bucket", m, order_col="_h").drop("_h")

@@ -533,3 +533,35 @@ def test_shared_ngram_pairs_token_arrays(spark):
         ).collect()
     }
     assert got == {(1, 2): 6}
+
+
+def test_diverse_sample_caps_buckets_and_is_deterministic(spark):
+    """A tight cluster of near-identical vectors lands in one LSH bucket
+    and must be capped at m survivors; the selection must be identical
+    under a different partitioning."""
+    import numpy as np
+
+    from jsonschema_spark.operators.similarity import diverse_sample
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal(16)
+    rows = [(i, (base + 0.001 * rng.standard_normal(16)).tolist()) for i in range(50)]
+    rows += [(100 + i, rng.standard_normal(16).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    picked = diverse_sample(df, "embedding", "vec_id", m=3, n_planes=6)
+    rows_a = sorted((r.vec_id, r.bucket) for r in picked.collect())
+    per_bucket = {}
+    for _, b in rows_a:
+        per_bucket[b] = per_bucket.get(b, 0) + 1
+    assert max(per_bucket.values()) <= 3
+    # the 50-vector cluster must NOT contribute 50 survivors
+    assert sum(1 for v, _ in rows_a if v < 100) <= 3 * 2  # cluster spans <= 2 buckets
+
+    rows_b = sorted(
+        (r.vec_id, r.bucket)
+        for r in diverse_sample(
+            df.repartition(13), "embedding", "vec_id", m=3, n_planes=6
+        ).collect()
+    )
+    assert rows_a == rows_b
