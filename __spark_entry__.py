@@ -1195,6 +1195,17 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty: the fraction of each doc's distinct
+    5-grams that no other document contains (cross-doc complement of the
+    within-doc repetition score). Gram identity = portable md5 hash, which
+    the DuckDB oracle replays, so scores agree bit-for-bit."""
+    from jsonschema_spark.operators.dedup import ngram_novelty
+
+    df = _t(spark, sf_dir, "documents")
+    return ngram_novelty(df, "doc_id", "text", n=5)
+
+
 def q_diverse_sample(spark, sf_dir):
     """Embedding-space diversity sample: at most 2 vectors per
     hyperplane-LSH bucket (8 seeded planes), survivors = smallest md5
@@ -1335,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "shared_ngram_pairs": q_shared_ngram_pairs,
         "diverse_sample": q_diverse_sample,
+        "ngram_novelty": q_ngram_novelty,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
     }
@@ -2214,6 +2226,26 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE NOT is_t GROUP BY doc_id)"
             " SELECT doc_id, n_tok, weight FROM weights"
             " ORDER BY weight DESC, doc_id ASC LIMIT 20"
+        ),
+        "ngram_novelty": (
+            "WITH g AS (SELECT doc_id, list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-4, 0)),"
+            "   i -> CAST(concat('0x', substr(md5(array_to_string(ws[i:i+4],"
+            "     ' ')), 1, 15)) AS BIGINT))) AS gs"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " pos AS (SELECT doc_id, unnest(gs) AS gh FROM g),"
+            " hot AS (SELECT gh FROM pos GROUP BY gh"
+            "   HAVING min(doc_id) <> max(doc_id)),"
+            " agg AS (SELECT p.doc_id, count(*) AS n_grams,"
+            "   count(h.gh) AS n_shared"
+            "  FROM pos p LEFT JOIN hot h USING (gh) GROUP BY p.doc_id)"
+            " SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,"
+            "  coalesce(a.n_shared, 0) AS n_shared,"
+            "  round(CASE WHEN coalesce(a.n_grams, 0) = 0"
+            "   THEN CAST(1.0 AS DOUBLE)"
+            "   ELSE CAST(1.0 AS DOUBLE) - a.n_shared / CAST(a.n_grams AS DOUBLE)"
+            "   END, 6) AS novelty"
+            " FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "shared_ngram_pairs": (
             "WITH sh AS (SELECT doc_id, list_distinct(list_transform("

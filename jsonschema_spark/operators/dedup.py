@@ -790,3 +790,74 @@ def shared_ngram_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
+    decimals: int = 6,
+) -> DataFrame:
+    """(id, n_grams, n_shared, novelty): per-document fraction of its
+    distinct word n-grams that appear in NO other document — the
+    cross-document complement of the within-document ``repetition_ratio``
+    (a low-novelty doc is mostly text that exists elsewhere in the corpus:
+    boilerplate, templates, near-dup fragments). ``novelty = 1 -
+    n_shared / n_grams``; docs shorter than ``n`` tokens have no grams and
+    report novelty 1.0.
+
+    Scale shape: per-doc-distinct grams are keyed by ``portable_hash60``
+    of the exact gram string (the oracle replays the same md5-derived
+    hash, so cross-engine parity is bit-exact and no verification pass is
+    needed); gram doc-frequency uses the same map-side-combined
+    ``min(id) != max(id)`` aggregate as ``shared_ngram_pairs`` — no
+    distinct-count, no id list per gram; the shared-gram set joins back
+    onto the per-doc gram rows (AQE broadcasts it when small) and one
+    groupBy(id) — collapsed per partition by explode locality — emits the
+    per-doc counts."""
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    pos = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(
+                        _raw_grams(elements, n, shingle_sep),
+                        lambda g: portable_hash60(g),
+                    )
+                )
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        pos.filter(F.col("g").isNotNull())
+        .groupBy("g")
+        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
+        .filter(F.col("_lo") != F.col("_hi"))
+        .select("g", F.lit(1).alias("_shared"))
+    )
+    return (
+        pos.join(hot, on="g", how="left")
+        .groupBy("id")
+        .agg(
+            F.count("g").alias("n_grams"),
+            F.count("_shared").alias("n_shared"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.when(F.col("n_grams") == 0, F.lit(1.0)).otherwise(
+                    F.lit(1.0) - F.col("n_shared") / F.col("n_grams").cast("double")
+                ),
+                decimals,
+            ).alias("novelty"),
+        )
+    )

@@ -565,3 +565,23 @@ def test_diverse_sample_caps_buckets_and_is_deterministic(spark):
         ).collect()
     )
     assert rows_a == rows_b
+
+
+def test_ngram_novelty(spark):
+    """Duplicated text scores novelty 0, unique text 1, and a doc shorter
+    than n grams reports 0 grams with novelty 1.0."""
+    from jsonschema_spark.operators.dedup import ngram_novelty
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, shared),
+        (2, shared),
+        (3, "completely fresh words nobody else uses in this corpus"),
+        (4, "tiny doc"),  # < n tokens -> no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in ngram_novelty(df, "doc_id", "text", n=5).collect()}
+    assert got[1].novelty == 0.0 and got[1].n_grams == 4 and got[1].n_shared == 4
+    assert got[2].novelty == 0.0
+    assert got[3].novelty == 1.0 and got[3].n_shared == 0
+    assert got[4].n_grams == 0 and got[4].novelty == 1.0
