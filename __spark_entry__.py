@@ -1195,6 +1195,50 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_infer_spec(spark, sf_dir):
+    """Spec inference surfaced as profile rows: one row per documents
+    column with the inferred JSON type, numeric-or-length bounds,
+    required flag, and enum (when exact cardinality <= 20). The engine
+    computes this in ONE aggregation pass (plans/infer.py); the oracle
+    recomputes the identical profile in SQL. The approximate (HLL)
+    uniqueness nomination is deliberately excluded — it is not
+    SQL-reproducible and the salted uniqueness check proves it instead."""
+    from pyspark.sql import types as T
+
+    from jsonschema_spark.plans.infer import infer_table_spec
+
+    df = _t(spark, sf_dir, "documents")
+    spec = infer_table_spec(df)
+    rows = []
+    for col in df.columns:
+        c = spec["columns"][col]
+        if c["type"] in ("integer", "number"):
+            lo, hi = float(c["minimum"]), float(c["maximum"])
+        else:
+            lo, hi = float(c["minLength"]), float(c["maxLength"])
+        rows.append(
+            (
+                col,
+                c["type"],
+                lo,
+                hi,
+                col in spec["required"],
+                ",".join(c["enum"]) if "enum" in c else None,
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("col", T.StringType()),
+            T.StructField("jtype", T.StringType()),
+            T.StructField("lo", T.DoubleType()),
+            T.StructField("hi", T.DoubleType()),
+            T.StructField("is_required", T.BooleanType()),
+            T.StructField("enum_vals", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def q_ngram_novelty(spark, sf_dir):
     """Per-document n-gram novelty: the fraction of each doc's distinct
     5-grams that no other document contains (cross-doc complement of the
@@ -1347,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shared_ngram_pairs": q_shared_ngram_pairs,
         "diverse_sample": q_diverse_sample,
         "ngram_novelty": q_ngram_novelty,
+        "infer_spec": q_infer_spec,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
     }
@@ -2226,6 +2271,36 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE NOT is_t GROUP BY doc_id)"
             " SELECT doc_id, n_tok, weight FROM weights"
             " ORDER BY weight DESC, doc_id ASC LIMIT 20"
+        ),
+        "infer_spec": (
+            "WITH prof AS ("
+            " SELECT 'doc_id' AS col, 'integer' AS jtype,"
+            "  CAST(min(doc_id) AS DOUBLE) AS lo, CAST(max(doc_id) AS DOUBLE) AS hi,"
+            "  count(*) FILTER (WHERE doc_id IS NULL) = 0 AS is_required,"
+            "  CAST(NULL AS VARCHAR) AS enum_vals FROM documents"
+            " UNION ALL SELECT 'text', 'string',"
+            "  CAST(min(strlen(text)) AS DOUBLE), CAST(max(strlen(text)) AS DOUBLE),"
+            "  count(*) FILTER (WHERE text IS NULL) = 0,"
+            "  CASE WHEN count(DISTINCT text) <= 20"
+            "   THEN array_to_string(list_sort(list(DISTINCT text)), ',') END"
+            "  FROM documents"
+            " UNION ALL SELECT 'lang', 'string',"
+            "  CAST(min(strlen(lang)) AS DOUBLE), CAST(max(strlen(lang)) AS DOUBLE),"
+            "  count(*) FILTER (WHERE lang IS NULL) = 0,"
+            "  CASE WHEN count(DISTINCT lang) <= 20"
+            "   THEN array_to_string(list_sort(list(DISTINCT lang)), ',') END"
+            "  FROM documents"
+            " UNION ALL SELECT 'source', 'string',"
+            "  CAST(min(strlen(source)) AS DOUBLE), CAST(max(strlen(source)) AS DOUBLE),"
+            "  count(*) FILTER (WHERE source IS NULL) = 0,"
+            "  CASE WHEN count(DISTINCT source) <= 20"
+            "   THEN array_to_string(list_sort(list(DISTINCT source)), ',') END"
+            "  FROM documents"
+            " UNION ALL SELECT 'n_chars', 'integer',"
+            "  CAST(min(n_chars) AS DOUBLE), CAST(max(n_chars) AS DOUBLE),"
+            "  count(*) FILTER (WHERE n_chars IS NULL) = 0,"
+            "  CAST(NULL AS VARCHAR) FROM documents)"
+            " SELECT col, jtype, lo, hi, is_required, enum_vals FROM prof"
         ),
         "ngram_novelty": (
             "WITH g AS (SELECT doc_id, list_distinct(list_transform("
