@@ -105,6 +105,9 @@ def main() -> None:
         "dsir_select",
         "source_mix",
         "shared_ngram_pairs",
+        "ngram_novelty",
+        "diverse_sample",
+        "infer_spec",
         "weighted_sample",
         "windowed_drift",
     ]
