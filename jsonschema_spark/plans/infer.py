@@ -5,15 +5,28 @@ contract from the golden data" workflow; the reference has no inference,
 it only checks hand-written schemas, so this is engine-level new
 semantics per SURVEY.md §2.3).
 
-Scale shape: ONE partial+final aggregation pass computes every column's
+Scale shape: TWO bounded aggregation passes.
+
+Pass 1 (partial+final agg, one driver row) computes every column's cheap
 evidence simultaneously — min/max, null count, string length bounds,
-array size + element bounds (array_min/array_max, no explode), exact
-distinct counts ONLY for enum candidates via a cardinality-capped
-collect_set (the set stops growing at ``enum_max + 1`` elements per
-partition because sets deduplicate — memory is bounded by the cap, not
-the corpus), and approximate distinct (HLL) for uniqueness candidates.
-The profile collects exactly one driver row. By construction the data it
-was inferred from validates clean against the result.
+array size + element bounds (array_min/array_max, no explode), and
+approximate distinct (HLL sketch, fixed-size buffers) for BOTH
+uniqueness nomination and enum nomination. No collect_set anywhere in
+this pass: Spark's collect_set has no per-partition cap, so running it
+over a high-cardinality column (doc_id, text) would pull every distinct
+value into the aggregation buffers — the one "runs at sf0.1, dies at
+100 TB" shape, and exactly what this module must never do.
+
+Pass 2 runs ONLY for string columns whose HLL estimate is at or below
+the enum gate: a second tiny agg (column-pruned scan — parquet reads
+just the nominated columns) collect_sets values whose distinct count is
+already PROVEN small, so its buffers hold at most ~enum_max values per
+column by construction. When no column is nominated the pass is skipped
+entirely. The profile collects exactly one driver row per pass. By
+construction the data it was inferred from validates clean against the
+result (tests/test_infer.py), and tests/test_plan_shapes.py pins that
+pass 1 contains no collect_set and that high-cardinality columns are
+never nominated for pass 2.
 """
 
 from __future__ import annotations
@@ -24,6 +37,56 @@ from pyspark.sql import types as T
 
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOAT_TYPES = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def enum_nominees(row: dict, string_cols: list, enum_max: int, rsd: float) -> list:
+    """String columns whose pass-1 HLL distinct estimate clears the enum
+    gate. The gate is slack-padded (3 HLL standard deviations plus a small
+    absolute floor) so an HLL *underestimate* of a barely-too-big column
+    only costs a wasted tiny collect; the exact ``len(vals) <= enum_max``
+    check after pass 2 keeps the output correct either way. A column the
+    sketch places clearly above the gate (e.g. doc_id, text) is never
+    collected at all."""
+    gate = enum_max * (1.0 + 3.0 * rsd) + 3
+    out = []
+    for name in string_cols:
+        adist = row.get(f"{name}__adist")
+        if adist is not None and adist <= gate:
+            out.append(name)
+    return out
+
+
+def pass1_aggs(fields: dict, unique_hint_rsd: float) -> list:
+    """The sketch-only profile aggregates — fixed-size buffers per column
+    (min/max/null count/HLL), NO collect_set (tests/test_plan_shapes.py
+    pins that invariant on the physical plan)."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, dt in fields.items():
+        c = F.col(name)
+        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{name}__nulls"))
+        if isinstance(dt, _INT_TYPES + _FLOAT_TYPES):
+            aggs += [F.min(c).alias(f"{name}__min"), F.max(c).alias(f"{name}__max")]
+            aggs.append(
+                F.approx_count_distinct(c, unique_hint_rsd).alias(f"{name}__adist")
+            )
+        elif isinstance(dt, T.StringType):
+            aggs += [
+                F.min(F.length(c)).alias(f"{name}__minlen"),
+                F.max(F.length(c)).alias(f"{name}__maxlen"),
+                F.approx_count_distinct(c, unique_hint_rsd).alias(f"{name}__adist"),
+            ]
+        elif isinstance(dt, T.ArrayType) and isinstance(
+            dt.elementType, _INT_TYPES + _FLOAT_TYPES
+        ):
+            aggs += [
+                F.min(F.size(c)).alias(f"{name}__minitems"),
+                F.max(F.size(c)).alias(f"{name}__maxitems"),
+                F.min(F.array_min(c)).alias(f"{name}__elmin"),
+                F.max(F.array_max(c)).alias(f"{name}__elmax"),
+            ]
+        elif isinstance(dt, T.BooleanType):
+            pass  # type gate only
+    return aggs
 
 
 def infer_table_spec(
@@ -45,38 +108,22 @@ def infer_table_spec(
       ``unique`` (ids — the salted uniqueness check then PROVES it on
       future data; inference only nominates)
     """
-    aggs = [F.count(F.lit(1)).alias("_n")]
     fields = {f.name: f.dataType for f in df.schema.fields}
-    for name, dt in fields.items():
-        c = F.col(name)
-        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).alias(f"{name}__nulls"))
-        if isinstance(dt, _INT_TYPES + _FLOAT_TYPES):
-            aggs += [F.min(c).alias(f"{name}__min"), F.max(c).alias(f"{name}__max")]
-            aggs.append(
-                F.approx_count_distinct(c, unique_hint_rsd).alias(f"{name}__adist")
-            )
-        elif isinstance(dt, T.StringType):
-            aggs += [
-                F.min(F.length(c)).alias(f"{name}__minlen"),
-                F.max(F.length(c)).alias(f"{name}__maxlen"),
-                F.slice(
-                    F.sort_array(F.collect_set(c)), 1, enum_max + 1
-                ).alias(f"{name}__vals"),
-                F.approx_count_distinct(c, unique_hint_rsd).alias(f"{name}__adist"),
-            ]
-        elif isinstance(dt, T.ArrayType) and isinstance(
-            dt.elementType, _INT_TYPES + _FLOAT_TYPES
-        ):
-            aggs += [
-                F.min(F.size(c)).alias(f"{name}__minitems"),
-                F.max(F.size(c)).alias(f"{name}__maxitems"),
-                F.min(F.array_min(c)).alias(f"{name}__elmin"),
-                F.max(F.array_max(c)).alias(f"{name}__elmax"),
-            ]
-        elif isinstance(dt, T.BooleanType):
-            pass  # type gate only
-    row = df.agg(*aggs).collect()[0].asDict()
+    row = df.agg(*pass1_aggs(fields, unique_hint_rsd)).collect()[0].asDict()
     n = row["_n"]
+
+    # Pass 2: exact enum values, ONLY for columns the HLL sketch proves
+    # small — collect_set buffers are bounded by the gate, not the corpus.
+    string_cols = [c for c, dt in fields.items() if isinstance(dt, T.StringType)]
+    nominees = enum_nominees(row, string_cols, enum_max, unique_hint_rsd)
+    if nominees:
+        enum_aggs = [
+            F.slice(F.sort_array(F.collect_set(F.col(c))), 1, enum_max + 1).alias(
+                f"{c}__vals"
+            )
+            for c in nominees
+        ]
+        row.update(df.select(*nominees).agg(*enum_aggs).collect()[0].asDict())
 
     columns: dict = {}
     required: list = []
@@ -104,7 +151,7 @@ def infer_table_spec(
             if row[f"{name}__minlen"] is not None:
                 spec["minLength"] = row[f"{name}__minlen"]
                 spec["maxLength"] = row[f"{name}__maxlen"]
-            vals = row[f"{name}__vals"]
+            vals = row.get(f"{name}__vals")
             if vals and len(vals) <= enum_max:
                 spec["enum"] = sorted(vals)
         elif isinstance(dt, T.ArrayType):

@@ -123,3 +123,34 @@ def test_source_mix_broadcasts_thresholds(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_infer_pass1_has_no_collect_set(spark):
+    """The profile's corpus-wide pass must use fixed-size sketch buffers
+    only: Spark's collect_set has no per-partition cap, so one over a
+    high-cardinality column (doc_id, text) accumulates every distinct
+    value — the canonical runs-at-sf0.1-dies-at-100TB shape. Enum values
+    are collected in a separate pass restricted to columns the HLL
+    estimate already proved small (plans/infer.py)."""
+    from jsonschema_spark.plans.infer import enum_nominees, pass1_aggs
+
+    df = (
+        spark.range(50_000)
+        .select(
+            F.concat(F.lit("doc-"), F.col("id").cast("string")).alias("hc"),
+            (F.col("id") % 3).cast("string").alias("lc"),
+        )
+    )
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    plan = _plan(df.agg(*pass1_aggs(fields, 0.01)))
+    assert "collect_set" not in plan.lower()
+
+    row = df.agg(*pass1_aggs(fields, 0.01)).collect()[0].asDict()
+    # the high-cardinality column must never be nominated for collection
+    assert enum_nominees(row, ["hc", "lc"], enum_max=20, rsd=0.01) == ["lc"]
+
+    from jsonschema_spark.plans.infer import infer_table_spec
+
+    spec = infer_table_spec(df)
+    assert "enum" not in spec["columns"]["hc"]
+    assert sorted(spec["columns"]["lc"]["enum"]) == ["0", "1", "2"]
