@@ -42,6 +42,31 @@ from jsonschema_spark.operators.uniqueness import duplicate_keys
 from jsonschema_spark.plans.plan import CompiledPlan
 
 
+def drop_completed_units(annotated: DataFrame, done_units: DataFrame) -> DataFrame:
+    """Left-anti join the corpus against the completed-unit table (one
+    ``unit`` column). Broadcast: O(#files) rows vs the corpus — a shuffled
+    anti-join would re-shuffle every input row on ``_unit``, and an isin
+    literal list would inline potentially millions of path strings into
+    the plan (tests/test_corpus_pipeline.py pins the join shape)."""
+    return (
+        annotated.withColumn(
+            "_unit",
+            F.coalesce(
+                F.nullif(F.input_file_name(), F.lit("")),
+                F.concat(
+                    F.lit("partition:"), F.spark_partition_id().cast("string")
+                ),
+            ),
+        )
+        .join(
+            F.broadcast(done_units.select("unit")),
+            F.col("_unit") == F.col("unit"),
+            "left_anti",
+        )
+        .drop("_unit")
+    )
+
+
 class ValidationJob:
     def __init__(
         self,
@@ -234,19 +259,25 @@ class ValidationJob:
 
         annotated = self.annotate(df)
 
-        completed_units: set = set()
+        resumed_units_skipped = 0
         lineage_path = os.path.join(results_dir, "lineage")
         if resume and os.path.isdir(lineage_path):
-            prior = spark.read.parquet(lineage_path)
-            completed_units = {r.unit for r in prior.select("unit").distinct().collect()}
-            if completed_units:
-                annotated = annotated.withColumn(
-                    "_unit",
-                    F.coalesce(
-                        F.nullif(F.input_file_name(), F.lit("")),
-                        F.concat(F.lit("partition:"), F.spark_partition_id().cast("string")),
-                    ),
-                ).filter(~F.col("_unit").isin(list(completed_units))).drop("_unit")
+            # Anti-join resume (the contract in the module docstring): at
+            # design scale units are input files — potentially millions of
+            # path strings — so the completed set must never ride the plan
+            # as an isin literal list or a driver-side collect. Eagerly
+            # localCheckpoint the tiny distinct-units table first: the
+            # lineage dir is appended to below, and a lazy read of the same
+            # path inside the anti-join would race its own writer.
+            done_units = (
+                spark.read.parquet(lineage_path)
+                .select("unit")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            resumed_units_skipped = done_units.count()
+            if resumed_units_skipped:
+                annotated = drop_completed_units(annotated, done_units)
 
         lineage = self.partition_lineage(annotated)
         lineage.write.mode("append" if resume else "overwrite").parquet(lineage_path)
@@ -293,7 +324,7 @@ class ValidationJob:
             "duplicates": dup_counts,
             "orphans": orphan_counts,
             "drift": drift_reports,
-            "resumed_units_skipped": len(completed_units),
+            "resumed_units_skipped": resumed_units_skipped,
             "wall_sec": time.time() - t0,
         }
         with open(os.path.join(results_dir, "summary.json"), "w") as fh:

@@ -304,3 +304,36 @@ def test_domain_flag_large_dim_fallback(spark):
     small = spark.range(10).select(F.col("id").alias("source_id"))
     out2 = domain_flag(fact, "k", small, "source_id", "ok")
     assert out2.filter("ok").count() == 11  # keys 0..9 + NULL
+
+
+def test_resume_anti_joins_completed_units(tmp_path, spark, job, corpus_df):
+    """Resume at unit = input-file scale: with a few thousand completed
+    units the plan must anti-join the lineage table, never inline an isin
+    literal list (millions of path strings at design scale)."""
+    from jsonschema_spark.plans.job import drop_completed_units
+
+    results = str(tmp_path / "many_units")
+    full = job.run(corpus_df, results)
+    lineage = spark.read.parquet(results + "/lineage")
+    n_real = lineage.select("unit").distinct().count()
+
+    # append 4000 synthetic completed units (zero-filled counts so totals
+    # are unchanged) — simulates resuming a many-file run
+    zeros = [F.lit(0).cast("long").alias(c) for c in lineage.columns if c != "unit"]
+    spark.range(4000).select(
+        F.concat(F.lit("file:///gone/part-"), F.col("id").cast("string")).alias("unit"),
+        *zeros,
+    ).write.mode("append").parquet(results + "/lineage")
+
+    resumed = job.run(corpus_df, results, resume=True)
+    assert resumed["resumed_units_skipped"] == n_real + 4000
+    assert resumed["n_rows"] == full["n_rows"] == N
+
+    # plan shape: broadcast left-anti join, no literal unit list
+    done = spark.read.parquet(results + "/lineage").select("unit").distinct()
+    plan = (
+        drop_completed_units(job.annotate(corpus_df), done)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "file:///gone/part-7" not in plan  # no inlined unit literals
