@@ -1267,11 +1267,14 @@ def q_shared_ngram_pairs(spark, sf_dir):
     form of substring dedup a la Lee et al. 2022 — a shared run of >= 13
     words always contains a shared 13-gram). Gram-hash prefilter + exact
     string verification, so the output is exact and the O(n^2) step only
-    ever sees colliding positions."""
+    ever sees colliding positions. max_doc_freq=50 caps per-gram fan-out:
+    a template gram in k docs would emit O(k^2) candidate pairs, so grams
+    above the ceiling are boilerplate (cleaning.py's territory), excluded
+    from pairing AND counting."""
     from jsonschema_spark.operators.dedup import shared_ngram_pairs
 
     df = _t(spark, sf_dir, "documents")
-    return shared_ngram_pairs(df, "doc_id", "text", n=13)
+    return shared_ngram_pairs(df, "doc_id", "text", n=13, max_doc_freq=50)
 
 
 def q_source_mix(spark, sf_dir):
@@ -2323,14 +2326,20 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents d LEFT JOIN agg a USING (doc_id)"
         ),
         "shared_ngram_pairs": (
-            "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+            # per-gram doc-frequency ceiling 50 mirrors the engine's
+            # max_doc_freq: grams above it are boilerplate, excluded from
+            # pairing and counting alike
+            "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
             "   generate_series(1, greatest(len(ws)-12, 0)),"
-            "   i -> array_to_string(ws[i:i+12], ' '))) AS g"
-            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents))"
+            "   i -> array_to_string(ws[i:i+12], ' ')))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " keep AS (SELECT g FROM sh GROUP BY g"
+            "   HAVING count(*) BETWEEN 2 AND 50),"
+            " kept AS (SELECT doc_id, g FROM sh JOIN keep USING (g))"
             " SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
-            "  CAST(len(list_intersect(a.g, b.g)) AS BIGINT) AS n_shared"
-            " FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
-            " WHERE len(list_intersect(a.g, b.g)) >= 1"
+            "  count(*) AS n_shared"
+            " FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id"
+            " GROUP BY a.doc_id, b.doc_id"
         ),
         "source_mix": (
             "WITH counts AS (SELECT source, count(*) AS cnt FROM documents"

@@ -715,6 +715,7 @@ def shared_ngram_pairs(
     n: int = 13,
     elements: Column | None = None,
     shingle_sep: str = " ",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, n_shared): document pairs sharing >= 1 exact word
     n-gram, with the count of distinct shared grams — the within-corpus
@@ -726,14 +727,26 @@ def shared_ngram_pairs(
     without detokenizing (token ids cast to string), as
     ``token_decontaminate`` does.
 
+    ``max_doc_freq``: per-gram document-frequency ceiling. A template
+    gram present in k documents emits O(k^2) candidate pairs, so a
+    boilerplate-heavy crawl would go quadratic without a cap. Grams above
+    the ceiling are treated as boilerplate — excluded from BOTH candidate
+    generation and ``n_shared`` (so pairing and counting agree), and
+    reportable via ``frequent_gram_report``; detecting/stripping them is
+    cleaning.py's job. Default None = unlimited (the honest-corpus case).
+
     Scale shape: per-doc-distinct 31-bit rolling gram hashes explode once
-    and are localCheckpointed; "hot" grams (present in >= 2 distinct docs)
-    come from a map-side-combined ``min(id) != max(id)`` aggregate — no
+    and are localCheckpointed; "hot" grams (present in >= 2 distinct docs,
+    and — when capped — in <= max_doc_freq of them) come from ONE
+    map-side-combined ``min(id)/max(id)/count`` aggregate — no
     distinct-count, no shuffle of ids beyond the gram key; only colliding
     positions (~2 rows per truly shared gram) reach the pair self-join, so
-    the quadratic step never sees the corpus. 31-bit chance collisions are
-    then removed by recomputing EXACT gram strings for candidate docs only
-    (the decontamination verify pattern), making the output exact."""
+    the quadratic step never sees the corpus *and* is bounded per gram.
+    31-bit chance collisions are then removed by recomputing EXACT gram
+    strings for candidate docs only (the decontamination verify pattern),
+    making the output exact; under a ceiling the verify stage anti-joins
+    the dropped-hash set so a boilerplate gram can't re-enter the count
+    through a pair that also shares an honest gram."""
     if elements is None:
         elements = words(F.lower(F.col(text_col)))
     pos = (
@@ -744,12 +757,15 @@ def shared_ngram_pairs(
         )
         .localCheckpoint(eager=False)
     )
-    hot = (
-        pos.groupBy("g")
-        .agg(F.min("id").alias("_lo"), F.max("id").alias("_hi"))
-        .filter(F.col("_lo") != F.col("_hi"))
-        .select("g")
+    gram_stats = pos.groupBy("g").agg(
+        F.min("id").alias("_lo"),
+        F.max("id").alias("_hi"),
+        F.count(F.lit(1)).alias("_df"),  # pos is per-doc distinct → doc freq
     )
+    hot = gram_stats.filter(F.col("_lo") != F.col("_hi"))
+    if max_doc_freq is not None:
+        hot = hot.filter(F.col("_df") <= max_doc_freq)
+    hot = hot.select("g")
     # AQE broadcasts `hot` when small (the honest-corpus case); a corpus
     # dominated by exact duplicates should run dedup_exact first, as with
     # minhash banding
@@ -767,18 +783,39 @@ def shared_ngram_pairs(
         .distinct()
     )
     corpus = ensure_parallelism(df)
-    grams = (
-        corpus.join(
-            F.broadcast(cand_ids), corpus[id_col] == cand_ids["id"], "left_semi"
-        )
-        .select(
+    cand_docs = corpus.join(
+        F.broadcast(cand_ids), corpus[id_col] == cand_ids["id"], "left_semi"
+    )
+    if max_doc_freq is None:
+        grams = cand_docs.select(
             F.col(id_col).alias("id"),
             F.explode(
                 F.array_distinct(_raw_grams(elements, n, shingle_sep))
             ).alias("gram"),
         )
-        .localCheckpoint(eager=False)
-    )
+    else:
+        # zip (hash, gram) so the over-ceiling hash set — a small distinct
+        # table — can be anti-joined out of the count: without this, a
+        # boilerplate gram shared by a pair that ALSO shares an honest gram
+        # would re-enter n_shared even though it never generated candidates
+        dropped = gram_stats.filter(F.col("_df") > max_doc_freq).select("g")
+        grams = (
+            cand_docs.select(
+                F.col(id_col).alias("id"),
+                F.explode(
+                    F.array_distinct(
+                        F.arrays_zip(
+                            _shingle_hashes(elements, n).alias("g"),
+                            _raw_grams(elements, n, shingle_sep).alias("gram"),
+                        )
+                    )
+                ).alias("z"),
+            )
+            .select("id", F.col("z.g").alias("g"), F.col("z.gram").alias("gram"))
+            .join(F.broadcast(dropped), "g", "left_anti")
+            .select("id", "gram")
+        )
+    grams = grams.localCheckpoint(eager=False)
     ga, gb = grams.alias("ga"), grams.alias("gb")
     return (
         cand.join(ga, F.col("id_a") == F.col("ga.id"))
@@ -789,6 +826,54 @@ def shared_ngram_pairs(
         )
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def frequent_gram_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_doc_freq: int = 2,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
+) -> DataFrame:
+    """(gram, doc_freq): exact word n-grams present in >= ``min_doc_freq``
+    distinct documents — the visibility companion to
+    ``shared_ngram_pairs(max_doc_freq=...)``: what the ceiling dropped is
+    boilerplate by definition, and this reports it (strip with
+    cleaning.py). Exact doc frequency, highest first.
+
+    Scale shape: the 31-bit hash aggregate nominates candidate hashes
+    first (one integer agg, no strings corpus-wide); exact gram strings
+    are recomputed only for docs holding a nominated hash, and the exact
+    per-gram distinct-doc count dedups hash collisions."""
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    pos = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingle_hashes(elements, n))).alias("g"),
+    )
+    hot = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") >= min_doc_freq)
+        .select("g")
+    )
+    hot_docs = pos.join(F.broadcast(hot), "g").select("id").distinct()
+    corpus = ensure_parallelism(df)
+    return (
+        corpus.join(F.broadcast(hot_docs), corpus[id_col] == hot_docs["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(_raw_grams(elements, n, shingle_sep))
+            ).alias("gram"),
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .filter(F.col("doc_freq") >= min_doc_freq)
+        .orderBy(F.desc("doc_freq"), F.asc("gram"))
     )
 
 

@@ -585,3 +585,59 @@ def test_ngram_novelty(spark):
     assert got[2].novelty == 0.0
     assert got[3].novelty == 1.0 and got[3].n_shared == 0
     assert got[4].n_grams == 0 and got[4].novelty == 1.0
+
+
+def test_shared_ngram_ceiling_drops_template_grams(spark):
+    """Doc-frequency ceiling: a template gram present in k docs would emit
+    O(k^2) candidate pairs; with max_doc_freq set it is dropped from BOTH
+    candidate generation and n_shared (pairing and counting agree), and
+    surfaces in frequent_gram_report instead."""
+    from jsonschema_spark.operators.dedup import (
+        frequent_gram_report, shared_ngram_pairs,
+    )
+
+    template = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{template} u{i} v{i} w{i} x{i} y{i}") for i in range(40)]
+    # honest near-dup pair that ALSO carries the template prefix
+    rows += [
+        (100, f"{template} one two three four five aaa"),
+        (101, f"{template} one two three four five bbb"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    ceiling = 10
+
+    # brute-force expectation over exact grams
+    def grams(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 5]) for i in range(len(ws) - 4)}
+    gsets = {i: grams(t) for i, t in rows}
+    from collections import Counter
+    dfreq = Counter(g for s in gsets.values() for g in s)
+    kept = {g for g, c in dfreq.items() if 2 <= c <= ceiling}
+    expect = {}
+    ids = sorted(gsets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            shared = gsets[a] & gsets[b] & kept
+            if shared:
+                expect[(a, b)] = len(shared)
+    assert expect  # the honest pair must survive
+    assert all(a == 100 for a, _ in expect)  # template pairs must not
+
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in shared_ngram_pairs(
+            df, "doc_id", "text", n=5, max_doc_freq=ceiling
+        ).collect()
+    }
+    assert got == expect
+
+    # uncapped: the template gram pairs every template doc quadratically
+    uncapped = shared_ngram_pairs(df, "doc_id", "text", n=5).count()
+    assert uncapped >= 40 * 39 // 2
+
+    # the dropped boilerplate is visible in the report
+    rep = {r.gram: r.doc_freq for r in frequent_gram_report(
+        df, "doc_id", "text", n=5, min_doc_freq=ceiling + 1
+    ).collect()}
+    assert rep[template] == 42
