@@ -2391,7 +2391,7 @@ def oracle_sql() -> dict[str, str]:
             "   pow((CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)),"
             "     1, 15)) AS BIGINT) + 1) / 1152921504606846976.0,"
             "    1.0 / CAST(n_chars AS DOUBLE)) AS k"
-            "  FROM documents)"
+            "  FROM documents WHERE n_chars > 0)"
             " ORDER BY k DESC, doc_id LIMIT 50"
         ),
         "windowed_drift": (

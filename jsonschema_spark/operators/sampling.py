@@ -67,13 +67,20 @@ def weighted_sample(
     Scale shape: one projection + global top-k, which Spark executes as
     TakeOrderedAndProject (per-partition heaps, no full sort, no shuffle
     of non-winners). Ties break by id for determinism.
+
+    Weights must be positive: A-ES is undefined otherwise (w=0 gives
+    u^(1/0)=u^inf → key 0, silently never sampled; w<0 gives keys > 1
+    that would DOMINATE the top-k). Non-positive / null weights are
+    filtered out — such rows have zero inclusion probability by
+    definition of "proportional to weight".
     """
     u = (portable_hash60(F.col(id_col).cast("string")) + F.lit(1)).cast(
         "double"
     ) / F.lit(_2P60)
     key = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
     return (
-        df.select(
+        df.filter(F.col(weight_col) > 0)
+        .select(
             F.col(id_col),
             F.col(weight_col),
             key.alias("_key"),

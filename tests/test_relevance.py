@@ -110,6 +110,15 @@ class TestWeightedSample:
         heavy = sum(1 for i in got if i < 100)
         assert heavy >= 45  # w=1000 vs w=1 → light ids need u ~ 1 - 1e-3
 
+    def test_nonpositive_weights_excluded(self, spark):
+        """w=0 gives u^inf (key 0, silently unsampleable) and w<0 gives
+        keys > 1 that would dominate the top-k — both are excluded: zero
+        weight means zero inclusion probability by definition."""
+        rows = [(1, 10), (2, 0), (3, -5), (4, 7), (5, None)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+        got = {r["doc_id"] for r in weighted_sample(df, "doc_id", "n_chars", 5).collect()}
+        assert got == {1, 4}
+
 
 class TestWindowedPsi:
     def test_shifted_day_flagged(self, spark):
