@@ -176,10 +176,48 @@ def lower_named_predicates(
     locations (validate.go:74,346,500): ValidationJob.violations evaluates
     these per-path predicates in the same scan stage and emits
     (id, check, path) rows instead of path-less check names. Termination for
-    cyclic specs is driven by dtype descent, like ``_lower``."""
+    cyclic specs is driven by dtype descent, like ``_lower``.
+
+    Map columns (dynamic keys) get per-key entries for the spec's DECLARED
+    property names — the statically known part, matching the reference's
+    per-key wrapped object errors (validate.go:500); pattern/additional
+    properties over arbitrary keys stay at ``''`` (their keys don't exist
+    at compile time)."""
     import dataclasses
 
     target = _deref(schema)
+    if (
+        target is not None
+        and isinstance(dtype, T.MapType)
+        and isinstance(dtype.keyType, T.StringType)
+        and target.properties
+    ):
+        s = target
+        seen = frozenset({id(s)})
+        vtype = dtype.valueType
+        entries = {}
+        for name, child in s.properties.items():
+            v = F.element_at(col, F.lit(name))
+            # absent key / NULL map: a property doesn't constrain
+            guard = ~F.coalesce(F.map_contains_key(col, F.lit(name)), F.lit(False))
+            if isinstance(vtype, (T.StructType, T.MapType)) and _deref(child) is not None:
+                for p, pred in lower_named_predicates(child, v, vtype).items():
+                    entries[f"/{name}{p}"] = F.when(guard, F.lit(True)).otherwise(
+                        F.coalesce(pred, F.lit(False))
+                    )
+            else:
+                entries[f"/{name}"] = F.when(guard, F.lit(True)).otherwise(
+                    F.coalesce(_lower(child, v, vtype, seen), F.lit(False))
+                )
+        # root keeps everything else; declared property VALUES are already
+        # covered above, so they become empty schemas — but the NAMES must
+        # survive so additionalProperties key-matching still sees them
+        root = dataclasses.replace(
+            s, properties={name: CompiledSchema() for name in s.properties}
+        )
+        entries[""] = lower_predicate(root, col, dtype)
+        return entries
+
     if target is None or not isinstance(dtype, T.StructType):
         return {"": lower_predicate(schema, col, dtype)}
     s = target

@@ -146,7 +146,7 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
         detail_specs[name] = {"": _spec_fragment_at(col_spec, "")}
         try:
             checks[name] = lower_predicate(compiled, F.col(col_name), fields[col_name])
-            if isinstance(fields[col_name], T.StructType):
+            if isinstance(fields[col_name], (T.StructType, T.MapType)):
                 named = lower_named_predicates(
                     compiled, F.col(col_name), fields[col_name]
                 )

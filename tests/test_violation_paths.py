@@ -209,3 +209,60 @@ def test_precision_warning_beyond_decimal38(spark):
             F.col("v"),
             T.DoubleType(),
         )
+
+
+MAP_SPEC = {
+    "type": "object",
+    "required": ["a"],
+    "properties": {
+        "a": {"type": "integer", "minimum": 0},
+        "b": {"type": "integer", "maximum": 10},
+    },
+    "additionalProperties": False,
+}
+
+MAP_ROWS = [
+    (1, {"a": 5, "b": 3}),    # all pass
+    (2, {"a": -1, "b": 3}),   # /a below minimum
+    (3, {"a": 5, "b": 99}),   # /b above maximum
+    (4, {"b": 3}),            # required a -> root ''
+    (5, {"a": 5, "x": 1}),    # additionalProperties (dynamic key) -> root ''
+    (6, None),                # null object -> type check at root
+]
+
+
+@pytest.fixture(scope="module")
+def map_docs(spark):
+    return spark.createDataFrame(MAP_ROWS, "id long, doc map<string, long>")
+
+
+def test_map_named_conjunction_equals_single_predicate(spark, map_docs):
+    compiled = compile_spec(MAP_SPEC)
+    dtype = map_docs.schema["doc"].dataType
+    single = lower_predicate(compiled, F.col("doc"), dtype)
+    named = lower_named_predicates(compiled, F.col("doc"), dtype)
+    assert set(named) == {"", "/a", "/b"}
+    conj = F.lit(True)
+    for pred in named.values():
+        conj = conj & pred
+    assert map_docs.filter(single != conj).count() == 0
+
+
+def test_map_violations_pinpoint_declared_keys(spark, map_docs):
+    """Map columns report the failing DECLARED key in the path — the
+    reference's per-key wrapped object errors (validate.go:500); dynamic
+    keys (pattern/additional properties) stay at root, their key names
+    don't exist at compile time."""
+    plan = compile_table_spec(
+        TableSpec.from_dict({"columns": {"doc": MAP_SPEC}}), map_docs.schema
+    )
+    assert "col_doc" in plan.detail
+    job = ValidationJob(plan, id_column="id")
+    got = {(r.id, r.path) for r in job.violations(job.annotate(map_docs)).collect()}
+    assert got == {
+        (2, "/a"),
+        (3, "/b"),
+        (4, ""),   # object-level required -> root
+        (5, ""),   # dynamic extra key -> root
+        (6, ""),   # null object fails type at root
+    }
