@@ -14,6 +14,8 @@ text), mirroring the reference's compile-once contract
 from __future__ import annotations
 
 import json
+from decimal import Decimal
+from fractions import Fraction
 from typing import Optional
 
 import pandas as pd
@@ -43,6 +45,33 @@ def _compiled(spec_text: str):
         compiled = compile_spec(spec_text)
         _SCHEMA_CACHE[spec_text] = compiled
     return compiled
+
+
+def _as_json_value(v):
+    """Arrow/pandas cell → the evaluator's JSON value model. Numeric
+    columns arrive as numpy scalars (and nullable ints as float64 NaN),
+    decimals as decimal.Decimal — convert to int/float/Fraction so the
+    pure-Python evaluator's exact-Fraction arithmetic applies (reference
+    big.Rat semantics, internal/jsonequal/equal.go:39-79)."""
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, bool) or type(v) in (int, str, Fraction):
+        return v
+    if isinstance(v, float):
+        return None if math.isnan(v) else v  # NaN = Arrow's null promotion
+    import numpy as np
+
+    if isinstance(v, np.generic):
+        return _as_json_value(v.item())
+    if isinstance(v, Decimal):
+        return Fraction(v)
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return [_as_json_value(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _as_json_value(x) for k, x in v.items()}
+    return v
 
 
 def json_validation_kernel(spec: dict | str, doc_col: Column) -> Column:
@@ -99,7 +128,7 @@ def value_validation_kernel(spec: dict | str, value_col: Column) -> Column:
 
         compiled = _compiled(spec_text)
         return pd.Series(
-            [not validate_value(compiled, None if v is None else v) for v in batch]
+            [not validate_value(compiled, _as_json_value(v)) for v in batch]
         )
 
     return _validate(value_col)

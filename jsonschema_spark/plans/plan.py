@@ -47,6 +47,7 @@ from pyspark.sql import types as T
 
 from jsonschema_spark.compiler.columns import (
     LoweringError,
+    PrecisionWarning,
     lower_named_predicates,
     lower_predicate,
 )
@@ -145,7 +146,32 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
         name = f"col_{col_name}"
         detail_specs[name] = {"": _spec_fragment_at(col_spec, "")}
         try:
-            checks[name] = lower_predicate(compiled, F.col(col_name), fields[col_name])
+            import warnings
+
+            with warnings.catch_warnings(record=True) as caught:
+                warnings.simplefilter("always")
+                native = lower_predicate(
+                    compiled, F.col(col_name), fields[col_name]
+                )
+            precision_lost = any(
+                issubclass(c.category, PrecisionWarning) for c in caught
+            )
+            for c in caught:  # pass through anything we didn't handle
+                if not issubclass(c.category, PrecisionWarning):
+                    warnings.warn_explicit(c.message, c.category, c.filename, c.lineno)
+            if precision_lost and not isinstance(
+                fields[col_name], (T.StructType, T.MapType)
+            ):
+                # a bound beyond Spark's exact range (long / Decimal(38))
+                # would compile to a double approximation — route the check
+                # to the evaluator kernel's exact-Fraction math instead
+                # (reference: internal/jsonequal/equal.go:39-79 compares
+                # 1e1000 exactly via big.Rat)
+                kernel_checks[name] = value_validation_kernel(
+                    col_spec, F.col(col_name)
+                )
+                continue
+            checks[name] = native
             if isinstance(fields[col_name], (T.StructType, T.MapType)):
                 named = lower_named_predicates(
                     compiled, F.col(col_name), fields[col_name]

@@ -266,3 +266,47 @@ def test_map_violations_pinpoint_declared_keys(spark, map_docs):
         (5, ""),   # dynamic extra key -> root
         (6, ""),   # null object fails type at root
     }
+
+
+def test_beyond_decimal38_routes_to_exact_kernel(spark):
+    """A bound past Spark's exact range (long / Decimal(38)) must not be
+    approximated natively: compile_table_spec routes the check to the
+    evaluator kernel's Fraction math (reference big.Rat semantics,
+    internal/jsonequal/equal.go:39-79 / equal_test.go:45). The case below
+    is adversarial: v = 10^38-1 < B = 10^38+7 exactly, but double(v) ==
+    double(B), so the native approximation would wrongly accept."""
+    from decimal import Decimal
+
+    B = 10**38 + 7
+    rows = [(1, Decimal(10**38 - 1)), (2, Decimal(10**37))]
+    df = spark.createDataFrame(rows, "id long, v decimal(38,0)")
+
+    plan = compile_table_spec(
+        TableSpec.from_dict({"columns": {"v": {"minimum": B}}}), df.schema
+    )
+    assert "col_v" in plan.kernel_checks and "col_v" not in plan.checks
+
+    job = ValidationJob(plan, id_column="id")
+    got = {r.id for r in job.violations(job.annotate(df)).collect()}
+    assert got == {1, 2}  # both below B exactly — the evaluator's verdict
+
+    # evaluator parity on the same values (suite-style cross-check)
+    from jsonschema_spark.spec.evaluate import is_valid
+
+    compiled = compile_spec({"minimum": B})
+    assert not is_valid(compiled, 10**38 - 1)
+    assert not is_valid(compiled, 10**37)
+
+    # 1e1000: beyond double range entirely — kernel still exact
+    plan2 = compile_table_spec(
+        TableSpec.from_dict({"columns": {"v": {"maximum": 10**1000}}}), df.schema
+    )
+    assert "col_v" in plan2.kernel_checks
+    job2 = ValidationJob(plan2, id_column="id")
+    assert job2.violations(job2.annotate(df)).count() == 0  # all <= 1e1000
+
+    # in-range bounds stay on the native codegen path
+    plan3 = compile_table_spec(
+        TableSpec.from_dict({"columns": {"v": {"minimum": 0}}}), df.schema
+    )
+    assert "col_v" in plan3.checks and not plan3.kernel_checks
