@@ -1277,6 +1277,19 @@ def q_shared_ngram_pairs(spark, sf_dir):
     return shared_ngram_pairs(df, "doc_id", "text", n=13, max_doc_freq=50)
 
 
+def q_longest_shared_run(spark, sf_dir):
+    """Variable-length substring dedup (Lee et al. 2022): for every
+    near-dup candidate pair, the length in tokens of the longest shared
+    run (>= 13) — the cut-point signal, vs shared_ngram_pairs' membership
+    signal. Candidates come from the ceiling-capped 13-gram prefilter;
+    the longest run is the longest diagonal chain of positional gram
+    matches + 12 (a run of L tokens holds exactly L-12 aligned grams)."""
+    from jsonschema_spark.operators.dedup import longest_shared_run
+
+    df = _t(spark, sf_dir, "documents")
+    return longest_shared_run(df, "doc_id", "text", n=13, max_doc_freq=50)
+
+
 def q_source_mix(spark, sf_dir):
     """Deterministic source re-mixing: the exact membership of a
     50/30/20 src0/src1/src2 mixture at the largest total the corpus can
@@ -1392,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "source_mix": q_source_mix,
         "shared_ngram_pairs": q_shared_ngram_pairs,
+        "longest_shared_run": q_longest_shared_run,
         "diverse_sample": q_diverse_sample,
         "ngram_novelty": q_ngram_novelty,
         "infer_spec": q_infer_spec,
@@ -2340,6 +2354,34 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) AS n_shared"
             " FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id"
             " GROUP BY a.doc_id, b.doc_id"
+        ),
+        "longest_shared_run": (
+            # positional 13-grams; candidate pairs via the same df-ceiling
+            # gram filter as shared_ngram_pairs; longest diagonal chain of
+            # aligned gram matches (gaps-and-islands on i - row_number) + 12
+            "WITH d AS (SELECT doc_id, " + _WS + " AS ws FROM documents),"
+            " g AS (SELECT doc_id, pg.pos AS pos, pg.gram AS gram FROM ("
+            "   SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, greatest(len(ws)-12, 0)),"
+            "    i -> {'pos': i, 'gram': array_to_string(ws[i:i+12], ' ')}"
+            "   )) AS pg FROM d)),"
+            " dg AS (SELECT DISTINCT doc_id, gram FROM g),"
+            " keep AS (SELECT gram FROM dg GROUP BY gram"
+            "   HAVING count(*) BETWEEN 2 AND 50),"
+            " kept AS (SELECT doc_id, gram FROM dg JOIN keep USING (gram)),"
+            " cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b"
+            "   FROM kept a JOIN kept b"
+            "   ON a.gram = b.gram AND a.doc_id < b.doc_id),"
+            " m AS (SELECT c.id_a, c.id_b, ga.pos AS i,"
+            "    ga.pos - gb.pos AS diag"
+            "   FROM cand c JOIN g ga ON ga.doc_id = c.id_a"
+            "   JOIN g gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram),"
+            " r AS (SELECT id_a, id_b, diag, i, row_number() OVER ("
+            "    PARTITION BY id_a, id_b, diag ORDER BY i) AS rn FROM m),"
+            " chains AS (SELECT id_a, id_b, count(*) AS chain FROM r"
+            "   GROUP BY id_a, id_b, diag, i - rn)"
+            " SELECT id_a, id_b, CAST(max(chain) + 12 AS BIGINT) AS run_tokens"
+            " FROM chains GROUP BY id_a, id_b"
         ),
         "source_mix": (
             "WITH counts AS (SELECT source, count(*) AS cnt FROM documents"

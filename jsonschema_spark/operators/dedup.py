@@ -829,6 +829,84 @@ def shared_ngram_pairs(
     )
 
 
+def longest_shared_run(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, run_tokens): the LENGTH of the longest shared token
+    run (>= n) per near-dup candidate pair — the variable-length form of
+    substring dedup per Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): ``shared_ngram_pairs`` answers *which*
+    pairs overlap, this answers *how much*, which is what you need to
+    choose a cut point instead of dropping a whole document.
+
+    Identity: a shared run of L >= n tokens contains exactly L-n+1 shared
+    n-grams at CONSECUTIVE aligned positions, so the longest run is the
+    longest diagonal chain of positional gram matches plus n-1 — a
+    gaps-and-islands problem over (pair, i-j) groups.
+
+    Scale shape: candidate pairs come from the ceiling-capped hash
+    prefilter (``shared_ngram_pairs``), so only candidate docs explode
+    positional grams; the match join sees candidate pairs only; the
+    islands window partitions by (pair, diagonal) — per-partition work is
+    bounded by one pair's overlap, never the corpus."""
+    from pyspark.sql.window import Window
+
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    pairs = (
+        shared_ngram_pairs(
+            df, id_col, text_col, n, elements, shingle_sep, max_doc_freq
+        )
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    corpus = ensure_parallelism(df)
+    pg = (
+        corpus.join(
+            F.broadcast(cand_ids), corpus[id_col] == cand_ids["id"], "left_semi"
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(_raw_grams(elements, n, shingle_sep)).alias("pos", "gram"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ga, gb = pg.alias("ga"), pg.alias("gb")
+    matches = (
+        pairs.join(ga, F.col("id_a") == F.col("ga.id"))
+        .join(
+            gb,
+            (F.col("id_b") == F.col("gb.id"))
+            & (F.col("ga.gram") == F.col("gb.gram")),
+        )
+        .select(
+            "id_a", "id_b",
+            F.col("ga.pos").alias("i"),
+            (F.col("ga.pos") - F.col("gb.pos")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("i")
+    chains = (
+        matches.withColumn("rn", F.row_number().over(w))
+        .groupBy("id_a", "id_b", "diag", (F.col("i") - F.col("rn")).alias("grp"))
+        .agg(F.count(F.lit(1)).alias("chain"))
+    )
+    return chains.groupBy("id_a", "id_b").agg(
+        (F.max("chain") + F.lit(n - 1)).alias("run_tokens")
+    )
+
+
 def frequent_gram_report(
     df: DataFrame,
     id_col: str,

@@ -641,3 +641,48 @@ def test_shared_ngram_ceiling_drops_template_grams(spark):
         df, "doc_id", "text", n=5, min_doc_freq=ceiling + 1
     ).collect()}
     assert rep[template] == 42
+
+
+def test_longest_shared_run_matches_dp(spark):
+    """run_tokens equals the longest common token substring (computed by
+    brute-force DP) for every candidate pair; pairs below n never appear."""
+    from jsonschema_spark.operators.dedup import longest_shared_run
+
+    common8 = "c1 c2 c3 c4 c5 c6 c7 c8"
+    common5 = "k1 k2 k3 k4 k5"
+    rows = [
+        (1, f"a1 a2 {common8} a3 a4"),
+        (2, f"b1 {common8} b2 {common5} b3"),
+        (3, f"{common5} d1 d2 d3 d4 d5 d6"),
+        (4, "e1 e2 e3 e4 e5 e6 e7 e8 e9"),   # shares nothing
+        (5, f"f1 {common8} f2 f3"),          # 3-way cluster with 1 and 2
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n = 5
+
+    def lcs_tokens(a, b):
+        xa, xb = a.split(), b.split()
+        best = 0
+        dp = [0] * (len(xb) + 1)
+        for i in range(1, len(xa) + 1):
+            prev = 0
+            for j in range(1, len(xb) + 1):
+                cur = dp[j]
+                dp[j] = prev + 1 if xa[i - 1] == xb[j - 1] else 0
+                best = max(best, dp[j])
+                prev = cur
+        return best
+
+    expect = {}
+    for i, (ia, ta) in enumerate(rows):
+        for ib, tb in rows[i + 1 :]:
+            L = lcs_tokens(ta, tb)
+            if L >= n:
+                expect[(ia, ib)] = L
+    assert expect  # sanity: (1,2)=8, (2,3)=5, (1,5)=8, (2,5)=8
+
+    got = {
+        (r.id_a, r.id_b): r.run_tokens
+        for r in longest_shared_run(df, "doc_id", "text", n=n).collect()
+    }
+    assert got == expect
