@@ -1344,57 +1344,12 @@ def q_windowed_drift(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        "type_integer": q_type_integer,
-        "enum_scalar": q_enum_scalar,
-        "all_of": q_all_of,
-        "any_of": q_any_of,
-        "one_of": q_one_of,
-        "not": q_not,
-        "bounds_exclusive": q_bounds_exclusive,
-        "multiple_of": q_multiple_of,
-        "string_length": q_string_length,
-        "pattern": q_pattern,
-        "array_bounds": q_array_bounds,
-        "unique_items": q_unique_items,
-        "forall_items": q_forall_items,
-        "required": q_required,
-        "dependencies": q_dependencies,
-        "properties_struct": q_properties_struct,
-        "json_wellformed": q_json_wellformed,
-        "json_schema_kernel": q_json_schema_kernel,
+    # ORDER MATTERS: the driver correctness gate takes the FIRST 50
+    # entries in insertion order. Queries without a driver-green row in
+    # CORRECTNESS_r02.json (incl. every r3 addition) come first; the 50
+    # already-gated entries follow and stay covered by pytest +
+    # scripts/oracle_sweep.py (VERDICT r2 "Next round" #2).
         "json_schema_variant": q_json_schema_variant,
-        "dup_keys": q_dup_keys,
-        "orphans": q_orphans,
-        "exact_stats": q_exact_stats,
-        "histogram": q_histogram,
-        "word_freq": q_word_freq,
-        "psi_terms": q_psi_terms,
-        "tpch_q1": q_tpch_q1,
-        "topk_per_group": q_topk_per_group,
-        "join_agg": q_join_agg,
-        "corpus_validate": q_corpus_validate,
-        "tuple_items": q_tuple_items,
-        "map_object": q_map_object,
-        "pattern_properties": q_pattern_properties,
-        "windowed_counts": q_windowed_counts,
-        "exact_dedup_groups": q_exact_dedup_groups,
-        "dedup_count": q_dedup_count,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_near_dup": q_simhash_near_dup,
-        "token_dedup_groups": q_token_dedup_groups,
-        "token_minhash_near_dup": q_token_minhash_near_dup,
-        "decontaminate": q_decontaminate,
-        "token_decontaminate": q_token_decontaminate,
-        "incremental_dedup": q_incremental_dedup,
-        "dup_components": q_dup_components,
-        "leakage_safe_split": q_leakage_safe_split,
-        "near_dedup_count": q_near_dedup_count,
-        "ks_drift": q_ks_drift,
-        "chi2_drift": q_chi2_drift,
-        "token_entropy": q_token_entropy,
-        "hash_sample": q_hash_sample,
-        "source_cap": q_source_cap,
         "repetition_score": q_repetition_score,
         "pii_scan": q_pii_scan,
         "boilerplate_lines": q_boilerplate_lines,
@@ -1430,6 +1385,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_spec": q_infer_spec,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
+        "type_integer": q_type_integer,
+        "enum_scalar": q_enum_scalar,
+        "all_of": q_all_of,
+        "any_of": q_any_of,
+        "one_of": q_one_of,
+        "not": q_not,
+        "bounds_exclusive": q_bounds_exclusive,
+        "multiple_of": q_multiple_of,
+        "string_length": q_string_length,
+        "pattern": q_pattern,
+        "array_bounds": q_array_bounds,
+        "unique_items": q_unique_items,
+        "forall_items": q_forall_items,
+        "required": q_required,
+        "dependencies": q_dependencies,
+        "properties_struct": q_properties_struct,
+        "json_wellformed": q_json_wellformed,
+        "json_schema_kernel": q_json_schema_kernel,
+        "dup_keys": q_dup_keys,
+        "orphans": q_orphans,
+        "exact_stats": q_exact_stats,
+        "histogram": q_histogram,
+        "word_freq": q_word_freq,
+        "psi_terms": q_psi_terms,
+        "tpch_q1": q_tpch_q1,
+        "topk_per_group": q_topk_per_group,
+        "join_agg": q_join_agg,
+        "corpus_validate": q_corpus_validate,
+        "tuple_items": q_tuple_items,
+        "map_object": q_map_object,
+        "pattern_properties": q_pattern_properties,
+        "windowed_counts": q_windowed_counts,
+        "exact_dedup_groups": q_exact_dedup_groups,
+        "dedup_count": q_dedup_count,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "token_dedup_groups": q_token_dedup_groups,
+        "token_minhash_near_dup": q_token_minhash_near_dup,
+        "decontaminate": q_decontaminate,
+        "token_decontaminate": q_token_decontaminate,
+        "incremental_dedup": q_incremental_dedup,
+        "dup_components": q_dup_components,
+        "leakage_safe_split": q_leakage_safe_split,
+        "near_dedup_count": q_near_dedup_count,
+        "ks_drift": q_ks_drift,
+        "chi2_drift": q_chi2_drift,
+        "token_entropy": q_token_entropy,
+        "hash_sample": q_hash_sample,
+        "source_cap": q_source_cap,
     }
 
 

@@ -65,6 +65,25 @@ def main() -> None:
     # warm the JVM / parquet footer caches with one cheap action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # Host-drift calibration: a FIXED, code-independent unit of work (pure
+    # codegen hash-sum over a range, no I/O, no repo code), recorded so
+    # cross-round comparisons can be normalized for shared-host load — the
+    # r1->r2 bench file could not distinguish host drift from regression.
+    # Best-of-3 like everything else on this tenant-noisy box.
+    def _calibration() -> float:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(500_000_000, numPartitions=64).select(
+                # pmod keeps the ANSI sum far from long overflow
+                F.sum(F.pmod(F.xxhash64("id"), F.lit(1_000_000)))
+            ).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    _calibration()  # JIT warm-up
+    calibration_sec = _calibration()
+
     # warm-up pass (JIT + parquet footer caches), then best-of-N steady state
     corpus_validation_pass(spark, corpus_path)
     # 4 timed passes: the shared host shows 5-8% CPU steal with bursts that
@@ -86,6 +105,7 @@ def main() -> None:
         "word_freq",
         "exact_stats",
         "json_schema_kernel",
+        "json_schema_variant",
         "forall_items",
         "minhash_near_dup",
         "simhash_near_dup",
@@ -105,6 +125,7 @@ def main() -> None:
         "dsir_select",
         "source_mix",
         "shared_ngram_pairs",
+        "longest_shared_run",
         "ngram_novelty",
         "diverse_sample",
         "infer_spec",
@@ -142,6 +163,7 @@ def main() -> None:
                 "sequences_per_sec": round(n_rows / corpus_sec, 1),
                 "tokens_per_sec": round(n_tokens / corpus_sec, 1),
                 "cores": cores,
+                "calibration_sec": calibration_sec,
             }
         )
     )
