@@ -385,8 +385,14 @@ def _band_rows(
                 nonempty = lens > 0
                 starts = offsets[nonempty]
                 mins = np.empty((int(nonempty.sum()), num_hashes), dtype=np.int64)
+                # one reusable buffer for the affine pass: fresh multi-MB
+                # temporaries per hash function hit the kernel page-fault
+                # slow path on some hosts (~100x; see _simhash_fold)
+                row = np.empty_like(flat)
                 for h in range(num_hashes):
-                    row = (a_flat[h] * flat + b_flat[h]) % _MERSENNE31
+                    np.multiply(flat, a_flat[h], out=row)
+                    np.add(row, b_flat[h], out=row)
+                    np.mod(row, _MERSENNE31, out=row)
                     mins[:, h] = np.minimum.reduceat(row, starts)
                 sigs[nonempty] = mins
             sigs[lens == 0] = sentinel
@@ -430,9 +436,9 @@ def minhash_candidates(
     the shuffle on paper, but 99.9% of keys are singletons —
     ObjectHashAggregate falls back to sort-based with one array allocation
     per key plus interpreted-HOF pair expansion, ~1.6x slower than this
-    join at 500k docs (simhash_near_dup keeps the aggregate form: its
-    4x16-bit bucket space is dense, ~8 members/bucket, where collect_list
-    is right). (2) A heavy-key semi-join (narrow (band, h) count agg ->
+    join at 500k docs (and catastrophic for simhash, whose hot chunk
+    buckets made the interpreted O(m²) expansion not finish at 500k docs —
+    simhash_near_dup uses this same self-join shape). (2) A heavy-key semi-join (narrow (band, h) count agg ->
     broadcast collision keys back -> tiny self-join) ties this join at
     500k docs and avoids reshuffling the band rows — but its broadcast
     barrier plus two extra checkpoint jobs are pure fixed cost, 4x slower
@@ -599,10 +605,19 @@ def contaminated_docs(
 
 @pandas_udf(T.LongType())
 def _simhash_fold(hashes: pd.Series) -> pd.Series:
-    """64-bit SimHash from per-word 64-bit hashes. Fully vectorized across
-    the whole Arrow batch: concatenate every document's hashes, expand to a
-    (total_words x 64) bit matrix, then per-document segment sums via
-    np.add.reduceat — no per-document Python loop."""
+    """64-bit SimHash from per-word 64-bit hashes, vectorized across the
+    whole Arrow batch with ALLOCATION-LIGHT per-bit passes: one reusable
+    word-length buffer, 64 x (shift, mask, segment-sum) 1-D operations.
+
+    Deliberately NOT the textbook (total_words x 64) bit-matrix expansion:
+    that allocates ~400 MB of fresh transient arrays per 10k-doc batch, and
+    on hosts where large fresh allocations take the kernel page-fault slow
+    path (this one: ~100x — 0.1 s with a pre-touched ``out=`` buffer vs
+    8-15 s fresh for the identical shift broadcast) the matrix form ran
+    391 s for a 500k-doc corpus; this form runs the same fold in seconds
+    and does the same total arithmetic. Majority vote per bit b uses
+    2*popcount_b >= n_words, algebraically identical to the +/-1 vote sum
+    being >= 0, so results are bit-for-bit unchanged."""
     import numpy as np
 
     n = len(hashes)
@@ -614,20 +629,22 @@ def _simhash_fold(hashes: pd.Series) -> pd.Series:
     flat = np.concatenate(
         [np.asarray(hs, dtype=np.int64) for hs in hashes if hs is not None and len(hs)]
     ).astype(np.uint64)
-    shifts = np.arange(64, dtype=np.uint64)
-    bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
-    votes_pm = 2 * bits - 1  # +1 / -1 per bit
     offsets = np.zeros(n, dtype=np.int64)
     np.cumsum(lens[:-1], out=offsets[1:])
     nonempty = lens > 0
     # reduceat needs strictly valid segment starts: run it on the nonempty
     # segments only, then scatter back (empty docs -> simhash 0)
     seg_starts = offsets[nonempty]
-    sums = np.add.reduceat(votes_pm, seg_starts, axis=0)
-    sim_bits = (sums >= 0).astype(np.uint64)
-    packed = (sim_bits << shifts).sum(axis=1, dtype=np.uint64).astype(np.int64)
+    seg_lens = lens[nonempty].astype(np.uint64)
+    tmp = np.empty_like(flat)
+    packed = np.zeros(int(nonempty.sum()), dtype=np.uint64)
+    for b in range(64):
+        np.right_shift(flat, np.uint64(b), out=tmp)
+        np.bitwise_and(tmp, np.uint64(1), out=tmp)
+        cnt = np.add.reduceat(tmp, seg_starts)
+        packed |= (2 * cnt >= seg_lens).astype(np.uint64) << np.uint64(b)
     out = np.zeros(n, dtype=np.int64)
-    out[nonempty] = packed
+    out[nonempty] = packed.astype(np.int64)
     return pd.Series(out)
 
 
@@ -674,35 +691,33 @@ def simhash_near_dup(
             )
         ).alias("cc"),
     ).select("id", "sim", F.col("cc.chunk").alias("chunk"), F.col("cc.v").alias("v"))
-    # Same single-shuffle bucket aggregation as minhash_candidates: group
-    # the (chunk, v) buckets once and expand member pairs JVM-side, instead
-    # of a self-equi-join that reshuffles both aliases (no ReusedExchange)
-    # and recomputes the simhash kernel per side. The signature rides along
-    # in the bucket struct, so distance is computed in the same projection.
-    buckets = (
-        chunks.groupBy("chunk", "v")
-        .agg(F.collect_list(F.struct("id", "sim")).alias("ms"))
-        .filter(F.size("ms") > 1)
-    )
-    combos = let_(
-        F.array_sort(F.col("ms")),  # struct sort = by id (first field)
-        lambda ss: F.flatten(
-            F.transform(
-                ss,
-                lambda x, i: F.transform(
-                    F.slice(ss, i + F.lit(2), F.size(ss)),
-                    lambda y: F.struct(
-                        x["id"].alias("id_a"),
-                        y["id"].alias("id_b"),
-                        hamming64(x["sim"], y["sim"]).alias("distance"),
-                    ),
-                ),
-            )
-        ),
-    )
+    # Candidate pairs via self-equi-join on the (chunk, v) bucket key.
+    # Formulation note (measured r1-code-vs-r2-code, same session, same
+    # host, 500k-doc corpus): the round-2 groupBy(chunk, v) +
+    # collect_list(struct(id, sim)) + higher-order-function pair expansion
+    # looked fine at 5k docs (1.4 s) but DID NOT FINISH (>560 s, killed) at
+    # 500k docs — hot chunk values collect thousands of members into one
+    # aggregation row, and the interpreted slice/transform expansion does
+    # O(m²) array allocations inside a single task. The self-join emits the
+    # same O(m²) pairs but through whole-stage-codegen join loops with AQE
+    # skew-split sharding hot buckets across tasks: 2.7 s at 500k docs.
+    # localCheckpoint: no ReusedExchange across self-join aliases — without
+    # it the simhash kernel pipeline runs once per side.
+    chunks = chunks.localCheckpoint(eager=False)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
     return (
-        buckets.select(F.explode(combos).alias("p"))
-        .select("p.id_a", "p.id_b", "p.distance")
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sim"), F.col("b.sim")).alias("distance"),
+        )
         .filter(F.col("distance") <= max_distance)
         .distinct()
     )
