@@ -1342,8 +1342,51 @@ def q_windowed_drift(spark, sf_dir):
     return windowed_psi(df, "ts", "value", "1 day", bins=10, lo=0.0, hi=200.0)
 
 
+def q_gopher_quality(spark, sf_dir):
+    """Gopher-style quality rule bundle (Rae et al. 2021 §A1.1): per-doc
+    word count, mean word length, alphabetic-word ratio, top-2-gram
+    fraction, duplicate-3-gram fraction, and a single pass verdict."""
+    from jsonschema_spark.operators.cleaning import gopher_quality
+
+    df = _t(spark, sf_dir, "documents")
+    out = gopher_quality(df, "doc_id", "text", min_words=10)
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_ratio",
+        "top2gram_frac", "dup3gram_frac",
+        F.col("passes").cast("int").alias("passes"),
+    )
+
+
+def q_chunk_dedup(spark, sf_dir):
+    """Sub-document dedup signal: fraction of each document's fixed-width
+    20-word chunks that occur more than once anywhere in the corpus."""
+    from jsonschema_spark.operators.dedup import chunk_duplicate_fraction
+
+    df = _t(spark, sf_dir, "documents")
+    return chunk_duplicate_fraction(df, "doc_id", "text", chunk_words=20)
+
+
+def q_semantic_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination: label-0 vectors act as
+    the held-out benchmark; every other vector reports its nearest
+    benchmark neighbor by cosine and a contaminated verdict."""
+    from jsonschema_spark.operators.similarity import semantic_decontaminate
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("label") == 0)
+    corpus = emb.filter(F.col("label") != 0)
+    out = semantic_decontaminate(corpus, bench, threshold=0.3)
+    return out.select(
+        F.col("id"), "best_bench_id", "best_cos",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "gopher_quality": q_gopher_quality,
+        "chunk_dedup": q_chunk_dedup,
+        "semantic_decontam": q_semantic_decontam,
     # ORDER MATTERS: the driver correctness gate takes the FIRST 50
     # entries in insertion order. Queries without a driver-green row in
     # CORRECTNESS_r02.json (incl. every r3 addition) come first; the 50
@@ -1669,6 +1712,65 @@ def _stoplist(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "gopher_quality": (
+            "SELECT doc_id, n_words, mean_word_len, alpha_ratio,"
+            " top2gram_frac, dup3gram_frac,"
+            " CAST(n_words >= 10 AND n_words <= 100000"
+            "  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0"
+            "  AND alpha_ratio >= 0.8 AND top2gram_frac <= 0.2"
+            "  AND dup3gram_frac <= 0.3 AS INT) AS passes"
+            " FROM (SELECT doc_id, len(ws) AS n_words,"
+            "  round(CASE WHEN len(ws) = 0 THEN 0.0"
+            "   ELSE list_sum(list_transform(ws, w -> length(w)))"
+            "    / CAST(len(ws) AS DOUBLE) END, 6) AS mean_word_len,"
+            "  round(CASE WHEN len(ws) = 0 THEN 0.0"
+            "   ELSE len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))"
+            "    / CAST(len(ws) AS DOUBLE) END, 6) AS alpha_ratio,"
+            "  round(CASE WHEN len(ws) - 1 < 1 THEN 0.0"
+            "   ELSE list_max(list_transform(list_distinct(g2),"
+            "     d -> len(list_filter(g2, x -> x = d))))"
+            "    / CAST(len(g2) AS DOUBLE) END, 6) AS top2gram_frac,"
+            "  round(CASE WHEN len(g3) = 0 THEN 0.0"
+            "   ELSE 1.0 - len(list_distinct(g3)) / CAST(len(g3) AS DOUBLE)"
+            "   END, 6) AS dup3gram_frac"
+            " FROM (SELECT doc_id, ws,"
+            "   list_transform(generate_series(1, greatest(len(ws)-1, 0)),"
+            "    i -> ws[i] || ' ' || ws[i+1]) AS g2,"
+            "   list_transform(generate_series(1, greatest(len(ws)-2, 0)),"
+            "    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS g3"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)))"
+        ),
+        "chunk_dedup": (
+            "WITH c AS (SELECT doc_id, unnest(list_transform("
+            "   generate_series(1, CAST(ceil(len(ws)/20.0) AS INT)),"
+            "   i -> md5(array_to_string(list_slice(ws, (i-1)*20+1, i*20),"
+            "    ' ')))) AS chunk_hash"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " h AS (SELECT chunk_hash, count(*) AS n_occ FROM c"
+            "  GROUP BY chunk_hash),"
+            " d AS (SELECT c.doc_id, count(*) AS n_chunks,"
+            "   CAST(count(*) FILTER (WHERE h.n_occ >= 2) AS BIGINT) AS n_dup"
+            "  FROM c JOIN h USING (chunk_hash) GROUP BY c.doc_id)"
+            " SELECT docs.doc_id AS id,"
+            "  CAST(coalesce(d.n_chunks, 0) AS BIGINT) AS n_chunks,"
+            "  CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_chunks,"
+            "  round(CASE WHEN coalesce(d.n_chunks, 0) = 0 THEN 0.0"
+            "   ELSE d.n_dup / CAST(d.n_chunks AS DOUBLE) END, 6) AS dup_frac"
+            " FROM documents docs LEFT JOIN d ON docs.doc_id = d.doc_id"
+        ),
+        "semantic_decontam": (
+            "WITH bench AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+            "  FROM embeddings WHERE label = 0),"
+            " corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e"
+            "  FROM embeddings WHERE label <> 0),"
+            " s AS (SELECT c.vec_id AS id, b.vec_id AS bid,"
+            "   list_cosine_similarity(c.e, b.e) AS cos"
+            "  FROM corpus c CROSS JOIN bench b),"
+            " r AS (SELECT id, bid, cos, row_number() OVER ("
+            "   PARTITION BY id ORDER BY cos DESC, bid) AS rn FROM s)"
+            " SELECT id, bid AS best_bench_id, round(cos, 6) AS best_cos,"
+            "  CAST(cos >= 0.3 AS INT) AS contaminated FROM r WHERE rn = 1"
+        ),
         "type_integer": (
             "SELECT count(*) FILTER (WHERE l_quantity = floor(l_quantity)) AS n_pass,"
             " count(*) AS n_rows FROM lineitem"

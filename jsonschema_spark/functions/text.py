@@ -177,6 +177,38 @@ def repetition_ratio(col: Column, n: int = 3) -> Column:
     return let_(words(F.lower(col)), _ratio)
 
 
+def top_ngram_fraction(col: Column, n: int = 2) -> Column:
+    """Fraction of word n-grams accounted for by the single most frequent
+    n-gram in the document (0 when the document has fewer than n words).
+    The Gopher "top n-gram fraction" filter signal (Rae et al. 2021
+    §A1.1): templated/stuffed text concentrates mass on one gram, natural
+    prose spreads it. Pure expression, O(grams x distinct) per row — the
+    same per-row cost envelope as token_entropy."""
+
+    def _frac(ws: Column) -> Column:
+        n_grams = F.size(ws) - F.lit(n - 1)
+        grams = F.transform(
+            index_range(n_grams),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(ws, i + F.lit(j)) for j in range(n)]
+            ),
+        )
+        return F.when(n_grams < 1, F.lit(0.0)).otherwise(
+            let_(
+                grams,
+                lambda g: F.array_max(
+                    F.transform(
+                        F.array_distinct(g),
+                        lambda d: F.size(F.filter(g, lambda x: x == d)),
+                    )
+                ).cast("double")
+                / F.size(g),
+            )
+        )
+
+    return let_(words(F.lower(col)), _frac)
+
+
 def token_entropy(col: Column) -> Column:
     """Shannon entropy (nats) of the within-document word distribution:
     ``-sum_w p_w ln p_w`` — the unigram-diversity quality signal (low

@@ -89,3 +89,79 @@ def strip_boilerplate(
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
         )
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    min_alpha_ratio: float = 0.8,
+    max_top2gram_frac: float = 0.2,
+    max_dup3gram_frac: float = 0.3,
+) -> DataFrame:
+    """Gopher-style document quality rule bundle (Rae et al. 2021 §A1.1,
+    the public heuristics every large-scale text pipeline reuses —
+    MassiveText, RefinedWeb, Dolma): per document, the five filter
+    signals and a single ``passes`` verdict. Reported per-signal rather
+    than filtered so downstream policy (drop vs down-weight vs audit)
+    stays with the caller — the same verdict-row philosophy as the
+    schema validators (SURVEY.md §2.3; the reference emits per-document
+    accept/reject the same way, /root/reference/validate.go).
+
+    Signals: word count in [min_words, max_words]; mean word length in
+    [min_mean_word_len, max_mean_word_len]; fraction of words containing
+    an alphabetic character >= min_alpha_ratio; top-2-gram fraction <=
+    max_top2gram_frac; duplicate-3-gram fraction <= max_dup3gram_frac.
+
+    Scale shape: pure let-bound expressions in the scan stage — no
+    shuffle, no UDF, no state; 10^12 docs cost one codegen projection.
+    """
+    from jsonschema_spark.functions.text import (
+        let_,
+        repetition_ratio,
+        top_ngram_fraction,
+        words,
+    )
+
+    text = F.col(text_col)
+
+    def _metrics(ws):
+        n = F.size(ws)
+        mean_len = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.aggregate(
+                ws, F.lit(0).cast("long"),
+                lambda a, w: a + F.length(w),
+            ).cast("double")
+            / n
+        )
+        alpha = F.when(n == 0, F.lit(0.0)).otherwise(
+            F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("double") / n
+        )
+        return F.struct(
+            n.alias("n_words"),
+            F.round(mean_len, 6).alias("mean_word_len"),
+            F.round(alpha, 6).alias("alpha_ratio"),
+        )
+
+    m = let_(words(F.lower(text)), _metrics)
+    return df.select(
+        F.col(id_col),
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["alpha_ratio"].alias("alpha_ratio"),
+        F.round(top_ngram_fraction(text, 2), 6).alias("top2gram_frac"),
+        F.round(repetition_ratio(text, 3), 6).alias("dup3gram_frac"),
+    ).withColumn(
+        "passes",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("top2gram_frac") <= max_top2gram_frac)
+        & (F.col("dup3gram_frac") <= max_dup3gram_frac),
+    )

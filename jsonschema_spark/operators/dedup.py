@@ -1039,3 +1039,82 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# fixed-width chunk dedup (paragraph-dedup semantics for unstructured text)
+# --------------------------------------------------------------------------
+
+
+def doc_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 20
+) -> DataFrame:
+    """(id, chunk_idx, chunk_hash): consecutive ``chunk_words``-word
+    windows of each document, content-hashed (md5). The fixed-width
+    stand-in for paragraph splitting (RefinedWeb/CCNet dedup at
+    sub-document granularity) when the corpus has no layout structure —
+    the chunking itself is a pure scan-stage expression (split, slice,
+    hash), no UDF, no shuffle."""
+    from jsonschema_spark.functions.text import index_range, let_, words
+
+    w = chunk_words
+
+    def _chunks(ws: Column) -> Column:
+        n_chunks = F.ceil(F.size(ws) / F.lit(w)).cast("int")
+        return F.transform(
+            index_range(n_chunks),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(ws, (i - 1) * w + 1, w))),
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(let_(words(F.lower(F.col(text_col))), _chunks)).alias(
+            "chunk_idx", "chunk_hash"
+        ),
+    )
+
+
+def chunk_duplicate_fraction(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int = 20
+) -> DataFrame:
+    """(id, n_chunks, n_dup_chunks, dup_frac): per document, how much of
+    it is made of chunks that occur more than once in the corpus
+    (counting every occurrence — within- and cross-document). The
+    sub-document complement to whole-doc dedup_exact: a page that embeds
+    a widely-copied passage scores a high fraction without being a
+    whole-document duplicate, which is the signal used to CUT documents
+    rather than drop them.
+
+    Scale shape (10^12 docs): explode to ceil(words/chunk_words) rows per
+    doc; one map-side-combined count per chunk_hash (uniform md5 key — no
+    salting needed); duplicated hashes join back on the same uniform key
+    (shuffle join — the duplicated-chunk set is corpus-sized in the worst
+    case, so no broadcast assumption); one groupBy id to re-aggregate.
+    Nothing driver-side, no UDF anywhere."""
+    chunks = doc_chunks(df, id_col, text_col, chunk_words)
+    dup_hashes = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = chunks.join(
+        dup_hashes.withColumn("is_dup", F.lit(1)), on="chunk_hash", how="left"
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("long").alias("n_dup_chunks"),
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(per_doc, on="id", how="left").select(
+        "id",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+        F.round(
+            F.when(F.coalesce(F.col("n_chunks"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks")
+            ),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -330,3 +330,97 @@ def diverse_sample(
         portable_hash60(F.col(id_col).cast("string")).alias("_h"),
     )
     return cap_per_group(bucketed, "bucket", m, order_col="_h").drop("_h")
+
+
+# --------------------------------------------------------------------------
+# semantic decontamination
+# --------------------------------------------------------------------------
+
+
+def make_max_cosine_kernel(bench_ids: "np.ndarray", bench_mat: "np.ndarray"):
+    """Arrow-batched max-cosine kernel against a fixed benchmark matrix:
+    per batch one (batch x dim) @ (dim x m) matmul, then row max + argmax.
+    ``bench_mat`` rows must be sorted by ``bench_ids`` so argmax ties
+    resolve to the smallest benchmark id (matches the SQL twin's
+    ``ORDER BY cos DESC, bench_id``).
+
+    Allocation-aware (CLAUDE.md rule 8): the (batch x m) similarity matrix
+    is written into a closure-held buffer reused across batches via
+    ``np.matmul(..., out=...)`` — fresh multi-MB temporaries per batch hit
+    the kernel page-fault slow path on some hosts (~100x; measured in
+    operators/dedup.py::_simhash_fold)."""
+    norms = np.linalg.norm(bench_mat, axis=1)
+    norms[norms == 0] = 1.0
+    bt = np.ascontiguousarray((bench_mat / norms[:, None]).T)  # (dim, m)
+    m = bt.shape[1]
+    buf: dict[str, np.ndarray] = {}
+
+    @pandas_udf(
+        T.StructType(
+            [
+                T.StructField("best_id", T.LongType()),
+                T.StructField("best_cos", T.DoubleType()),
+            ]
+        )
+    )
+    def _maxcos(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.stack(vecs.values).astype("float64")
+        vn = np.linalg.norm(mat, axis=1)
+        vn[vn == 0] = 1.0
+        mat /= vn[:, None]
+        n = len(mat)
+        sims = buf.get("sims")
+        if sims is None or sims.shape[0] < n:
+            sims = np.zeros((max(n, 1 << 13), m), dtype="float64")
+            buf["sims"] = sims
+        out = sims[:n]
+        np.matmul(mat, bt, out=out)
+        best = out.argmax(axis=1)
+        return pd.DataFrame(
+            {
+                "best_id": bench_ids[best],
+                "best_cos": out[np.arange(n), best],
+            }
+        )
+
+    return _maxcos
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bench_id_col: str = "vec_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(id, best_bench_id, best_cos, contaminated): for every corpus
+    vector, its nearest benchmark vector by cosine and whether it exceeds
+    ``threshold`` — embedding-space benchmark decontamination, the
+    semantic complement to the n-gram overlap check
+    (operators/dedup.py::contaminated_docs). Emits a verdict per row
+    rather than filtering, same policy stance as gopher_quality.
+
+    Scale shape (10^12-doc corpus x 10^4-vector benchmark): the benchmark
+    side is collected ONCE to a k x dim driver matrix (benchmark suites
+    are bounded by construction — this is the same driver-state contract
+    as IVF's centroid matrix) and shipped in the kernel closure; the
+    corpus pays one scan-stage mapInPandas-equivalent projection, no
+    shuffle, no join. If the benchmark ever outgrew a broadcast, the
+    fallback is LSH-bucketing both sides (ann machinery above)."""
+    rows = (
+        bench.select(F.col(bench_id_col), F.col(vec_col))
+        .orderBy(F.col(bench_id_col))
+        .collect()
+    )
+    bench_ids = np.asarray([r[0] for r in rows], dtype="int64")
+    bench_mat = np.asarray([list(r[1]) for r in rows], dtype="float64")
+    kernel = make_max_cosine_kernel(bench_ids, bench_mat)
+    return corpus.select(
+        F.col(id_col).alias("id"), kernel(F.col(vec_col)).alias("b")
+    ).select(
+        "id",
+        F.col("b.best_id").alias("best_bench_id"),
+        F.round(F.col("b.best_cos"), 6).alias("best_cos"),
+        (F.col("b.best_cos") >= threshold).alias("contaminated"),
+    )

@@ -686,3 +686,91 @@ def test_longest_shared_run_matches_dp(spark):
         for r in longest_shared_run(df, "doc_id", "text", n=n).collect()
     }
     assert got == expect
+
+
+# --------------------------------------------------------------------------
+# gopher quality / chunk dedup / semantic decontamination (round 3)
+# --------------------------------------------------------------------------
+
+
+def test_gopher_quality_flags(spark):
+    from jsonschema_spark.operators.cleaning import gopher_quality
+
+    rows = [
+        (1, " ".join(f"word{i:02d}" for i in range(60))),  # passes all rules
+        (2, "spam spam " * 50),                            # top-2gram + dup-3gram
+        (3, "x " * 60),                                    # mean word len < 3
+        (4, "1234 5678 " * 40),                            # no alphabetic words
+        (5, "too short"),                                  # word count < 50
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in gopher_quality(df, "doc_id", "text").collect()}
+    assert out[1].passes
+    assert not out[2].passes and out[2].top2gram_frac > 0.2
+    assert not out[3].passes and out[3].mean_word_len < 3.0
+    assert not out[4].passes and out[4].alpha_ratio == 0.0
+    assert not out[5].passes and out[5].n_words < 50
+    # repeated text also trips the duplicate-3-gram fraction
+    assert out[2].dup3gram_frac > 0.3
+
+
+def test_gopher_quality_empty_doc(spark):
+    from jsonschema_spark.operators.cleaning import gopher_quality
+
+    df = spark.createDataFrame([(1, ""), (2, "   ")], ["doc_id", "text"])
+    out = gopher_quality(df, "doc_id", "text").collect()
+    assert all(r.n_words == 0 and not r.passes for r in out)
+    assert all(r.mean_word_len == 0.0 and r.top2gram_frac == 0.0 for r in out)
+
+
+def test_chunk_duplicate_fraction(spark):
+    from jsonschema_spark.operators.dedup import chunk_duplicate_fraction
+
+    shared = " ".join(f"s{i}" for i in range(20))  # one exact 20-word chunk
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (1, shared + " " + uniq("a", 20)),   # chunk 1 shared, chunk 2 unique
+        (2, shared + " " + uniq("b", 20)),   # chunk 1 shared, chunk 2 unique
+        (3, uniq("c", 40)),                  # fully unique
+        (4, ""),                             # empty
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.id: r for r in chunk_duplicate_fraction(df, "doc_id", "text", 20).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_dup_chunks == 1
+    assert out[1].dup_frac == 0.5 and out[2].dup_frac == 0.5
+    assert out[3].n_dup_chunks == 0 and out[3].dup_frac == 0.0
+    assert out[4].n_chunks == 0 and out[4].dup_frac == 0.0
+
+
+def test_chunk_dedup_within_doc_repeat(spark):
+    from jsonschema_spark.operators.dedup import chunk_duplicate_fraction
+
+    block = " ".join(f"r{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, block + " " + block)], ["doc_id", "text"]
+    )  # the same chunk twice WITHIN one doc counts as duplicated
+    r = chunk_duplicate_fraction(df, "doc_id", "text", 20).collect()[0]
+    assert r.n_chunks == 2 and r.n_dup_chunks == 2 and r.dup_frac == 1.0
+
+
+def test_semantic_decontaminate(spark, embeddings):
+    from jsonschema_spark.operators.similarity import semantic_decontaminate
+
+    bench = embeddings.filter(F.col("label") == 0)
+    corpus = embeddings.filter(F.col("label") != 0)
+    out = semantic_decontaminate(corpus, bench, threshold=0.3)
+    rows = out.collect()
+    assert len(rows) == corpus.count()  # verdict per corpus row
+    bench_ids = {r.vec_id for r in bench.select("vec_id").collect()}
+    assert all(r.best_bench_id in bench_ids for r in rows)
+    assert all(-1.0 <= r.best_cos <= 1.0 + 1e-9 for r in rows)
+    assert all(r.contaminated == (r.best_cos >= 0.3) for r in rows
+               if abs(r.best_cos - 0.3) > 1e-9)
+    # exact self-check: a bench vector injected into the corpus must match
+    # itself with cosine ~1
+    probe = bench.limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding", "label"
+    )
+    probe_id = bench.limit(1).collect()[0].vec_id
+    res = semantic_decontaminate(probe, bench, threshold=0.99).collect()[0]
+    assert res.best_bench_id == probe_id and res.contaminated
