@@ -1382,8 +1382,38 @@ def q_semantic_decontam(spark, sf_dir):
     )
 
 
+def q_spec_diff(spark, sf_dir):
+    """Schema-evolution check: infer the TableSpec of a golden snapshot
+    (doc_id >= 10, lang <> 'de') and of the full table, then report every
+    constraint whose value drifted, classified by direction (widened =
+    new data escapes the golden contract). Metadata-sized output; the
+    required-flip arm yields no rows on this corpus (no nulls) and the
+    HLL uniqueness nomination is excluded (same contract as infer_spec)."""
+    from pyspark.sql import types as T
+
+    from jsonschema_spark.plans.infer import infer_table_spec, spec_diff
+
+    df = _t(spark, sf_dir, "documents")
+    golden = infer_table_spec(
+        df.filter((F.col("doc_id") >= 10) & (F.col("lang") != "de"))
+    )
+    candidate = infer_table_spec(df)
+    rows = spec_diff(golden, candidate, columns=df.columns)
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("constraint", T.StringType()),
+            T.StructField("golden", T.StringType()),
+            T.StructField("candidate", T.StringType()),
+            T.StructField("change", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "spec_diff": q_spec_diff,
         "gopher_quality": q_gopher_quality,
         "chunk_dedup": q_chunk_dedup,
         "semantic_decontam": q_semantic_decontam,
@@ -1712,6 +1742,74 @@ def _stoplist(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "spec_diff": (
+            "WITH gsrc AS (SELECT * FROM documents"
+            "  WHERE doc_id >= 10 AND lang <> 'de'),"
+            " g AS (SELECT min(doc_id) dmin, max(doc_id) dmax,"
+            "   min(n_chars) nmin, max(n_chars) nmax,"
+            "   min(strlen(text)) tminl, max(strlen(text)) tmaxl,"
+            "   min(strlen(lang)) lminl, max(strlen(lang)) lmaxl,"
+            "   min(strlen(source)) sminl, max(strlen(source)) smaxl,"
+            "   list_sort(list(DISTINCT lang)) lenum,"
+            "   list_sort(list(DISTINCT source)) senum FROM gsrc),"
+            " c AS (SELECT min(doc_id) dmin, max(doc_id) dmax,"
+            "   min(n_chars) nmin, max(n_chars) nmax,"
+            "   min(strlen(text)) tminl, max(strlen(text)) tmaxl,"
+            "   min(strlen(lang)) lminl, max(strlen(lang)) lmaxl,"
+            "   min(strlen(source)) sminl, max(strlen(source)) smaxl,"
+            "   list_sort(list(DISTINCT lang)) lenum,"
+            "   list_sort(list(DISTINCT source)) senum FROM documents)"
+            " SELECT * FROM ("
+            " SELECT 'doc_id' AS \"column\", 'minimum' AS \"constraint\","
+            "   CAST(g.dmin AS VARCHAR) AS golden, CAST(c.dmin AS VARCHAR)"
+            "   AS candidate, CASE WHEN c.dmin < g.dmin THEN 'widened'"
+            "   ELSE 'narrowed' END AS change FROM g, c WHERE g.dmin <> c.dmin"
+            " UNION ALL SELECT 'doc_id', 'maximum', CAST(g.dmax AS VARCHAR),"
+            "   CAST(c.dmax AS VARCHAR), CASE WHEN c.dmax > g.dmax THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.dmax <> c.dmax"
+            " UNION ALL SELECT 'n_chars', 'minimum', CAST(g.nmin AS VARCHAR),"
+            "   CAST(c.nmin AS VARCHAR), CASE WHEN c.nmin < g.nmin THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.nmin <> c.nmin"
+            " UNION ALL SELECT 'n_chars', 'maximum', CAST(g.nmax AS VARCHAR),"
+            "   CAST(c.nmax AS VARCHAR), CASE WHEN c.nmax > g.nmax THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.nmax <> c.nmax"
+            " UNION ALL SELECT 'text', 'minLength', CAST(g.tminl AS VARCHAR),"
+            "   CAST(c.tminl AS VARCHAR), CASE WHEN c.tminl < g.tminl THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.tminl <> c.tminl"
+            " UNION ALL SELECT 'text', 'maxLength', CAST(g.tmaxl AS VARCHAR),"
+            "   CAST(c.tmaxl AS VARCHAR), CASE WHEN c.tmaxl > g.tmaxl THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.tmaxl <> c.tmaxl"
+            " UNION ALL SELECT 'lang', 'minLength', CAST(g.lminl AS VARCHAR),"
+            "   CAST(c.lminl AS VARCHAR), CASE WHEN c.lminl < g.lminl THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.lminl <> c.lminl"
+            " UNION ALL SELECT 'lang', 'maxLength', CAST(g.lmaxl AS VARCHAR),"
+            "   CAST(c.lmaxl AS VARCHAR), CASE WHEN c.lmaxl > g.lmaxl THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.lmaxl <> c.lmaxl"
+            " UNION ALL SELECT 'source', 'minLength', CAST(g.sminl AS VARCHAR),"
+            "   CAST(c.sminl AS VARCHAR), CASE WHEN c.sminl < g.sminl THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.sminl <> c.sminl"
+            " UNION ALL SELECT 'source', 'maxLength', CAST(g.smaxl AS VARCHAR),"
+            "   CAST(c.smaxl AS VARCHAR), CASE WHEN c.smaxl > g.smaxl THEN"
+            "   'widened' ELSE 'narrowed' END FROM g, c WHERE g.smaxl <> c.smaxl"
+            " UNION ALL SELECT 'lang', 'enum', array_to_string(g.lenum, ','),"
+            "   array_to_string(c.lenum, ','),"
+            "   CASE WHEN list_has_all(c.lenum, g.lenum)"
+            "     AND NOT list_has_all(g.lenum, c.lenum) THEN 'widened'"
+            "    WHEN list_has_all(g.lenum, c.lenum)"
+            "     AND NOT list_has_all(c.lenum, g.lenum) THEN 'narrowed'"
+            "    ELSE 'changed' END FROM g, c"
+            "  WHERE len(g.lenum) <= 20 AND len(c.lenum) <= 20"
+            "   AND array_to_string(g.lenum, ',') <> array_to_string(c.lenum, ',')"
+            " UNION ALL SELECT 'source', 'enum', array_to_string(g.senum, ','),"
+            "   array_to_string(c.senum, ','),"
+            "   CASE WHEN list_has_all(c.senum, g.senum)"
+            "     AND NOT list_has_all(g.senum, c.senum) THEN 'widened'"
+            "    WHEN list_has_all(g.senum, c.senum)"
+            "     AND NOT list_has_all(c.senum, g.senum) THEN 'narrowed'"
+            "    ELSE 'changed' END FROM g, c"
+            "  WHERE len(g.senum) <= 20 AND len(c.senum) <= 20"
+            "   AND array_to_string(g.senum, ',') <> array_to_string(c.senum, ','))"
+        ),
         "gopher_quality": (
             "SELECT doc_id, n_words, mean_word_len, alpha_ratio,"
             " top2gram_frac, dup3gram_frac,"

@@ -178,3 +178,94 @@ def infer_table_spec(
             unique.append(name)
 
     return {"columns": columns, "required": required, "unique": unique}
+
+
+_BOUND_KEYS = (
+    ("minimum", -1),
+    ("maximum", 1),
+    ("minLength", -1),
+    ("maxLength", 1),
+    ("minItems", -1),
+    ("maxItems", 1),
+)
+
+
+def _fmt(v) -> str:
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, list):
+        return ",".join(str(x) for x in v)
+    return str(v)
+
+
+def spec_diff(golden: dict, candidate: dict, columns: list | None = None) -> list:
+    """Constraint drift between two inferred TableSpecs — the
+    schema-evolution check of a validation engine: profile the golden
+    snapshot once, re-profile each new snapshot, and diff the CONTRACTS
+    instead of the data (a metadata-sized comparison no matter how big
+    either snapshot is; both inputs are bounded driver dicts from
+    ``infer_table_spec``, so this never touches an executor).
+
+    Returns (column, constraint, golden, candidate, change) tuples for
+    every constraint whose value differs. ``change`` classifies drift
+    direction: a bound is ``widened`` when the candidate admits MORE
+    values (alarm: new data outside the golden contract), ``narrowed``
+    when it admits fewer; enums likewise by set containment; ``required``
+    flips are ``relaxed`` (nulls appeared) or ``tightened``. The HLL
+    uniqueness nomination is excluded, same contract as the infer_spec
+    driver query (not cross-engine reproducible; the salted uniqueness
+    check proves it instead)."""
+    rows = []
+    cols = columns or sorted(set(golden["columns"]) | set(candidate["columns"]))
+    for col in cols:
+        g = golden["columns"].get(col, {})
+        c = candidate["columns"].get(col, {})
+        for key, widen_dir in _BOUND_KEYS:
+            gv, cv = g.get(key), c.get(key)
+            if gv == cv:
+                continue
+            if gv is None or cv is None:
+                change = "changed"
+            elif (cv - gv) * widen_dir > 0:
+                change = "widened"
+            else:
+                change = "narrowed"
+            rows.append((col, key, _fmt(gv), _fmt(cv), change))
+        ge, ce = g.get("enum"), c.get("enum")
+        if ge != ce:
+            # a missing enum means UNCONSTRAINED (any value), not empty-set:
+            # losing the enum widens the contract, gaining one narrows it
+            if ge is None:
+                change = "narrowed"
+            elif ce is None:
+                change = "widened"
+            else:
+                gs, cs = set(ge), set(ce)
+                change = (
+                    "widened" if gs < cs else "narrowed" if cs < gs else "changed"
+                )
+            rows.append(
+                (
+                    col,
+                    "enum",
+                    _fmt(sorted(ge) if ge is not None else None),
+                    _fmt(sorted(ce) if ce is not None else None),
+                    change,
+                )
+            )
+    gr = set(golden.get("required") or [])
+    cr = set(candidate.get("required") or [])
+    for col in cols:
+        if (col in gr) != (col in cr):
+            rows.append(
+                (
+                    col,
+                    "required",
+                    _fmt(col in gr),
+                    _fmt(col in cr),
+                    "relaxed" if col in gr else "tightened",
+                )
+            )
+    return rows

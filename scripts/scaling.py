@@ -28,6 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 JOB_SCRIPTS = {
     "validate": "throughput_job.py",
     "dedup": "dedup_scaling_job.py",
+    "simhash": "simhash_scaling_job.py",
     "cc": "cc_scaling_job.py",
 }
 

@@ -58,3 +58,67 @@ def test_inference_on_token_arrays(spark):
     t = spec["columns"]["tokens"]
     assert (t["minItems"], t["maxItems"]) == (1, 4)
     assert t["items"] == {"type": "integer", "minimum": 1, "maximum": 9}
+
+
+def test_spec_diff_directions(spark):
+    """Drift classification: widened bounds/enums when candidate data
+    escapes the golden contract, narrowed the other way, required flips."""
+    from jsonschema_spark.plans.infer import spec_diff
+
+    golden = {
+        "columns": {
+            "a": {"type": "integer", "minimum": 10, "maximum": 20},
+            "s": {"type": "string", "minLength": 2, "maxLength": 4,
+                  "enum": ["x", "y"]},
+        },
+        "required": ["a", "s"],
+        "unique": [],
+    }
+    candidate = {
+        "columns": {
+            "a": {"type": "integer", "minimum": 5, "maximum": 18},
+            "s": {"type": "string", "minLength": 2, "maxLength": 6,
+                  "enum": ["x", "y", "z"]},
+        },
+        "required": ["s"],
+        "unique": [],
+    }
+    rows = {(r[0], r[1]): r for r in spec_diff(golden, candidate)}
+    assert rows[("a", "minimum")][4] == "widened"      # 10 -> 5
+    assert rows[("a", "maximum")][4] == "narrowed"     # 20 -> 18
+    assert rows[("s", "maxLength")][4] == "widened"    # 4 -> 6
+    assert rows[("s", "enum")][4] == "widened"         # +z
+    assert rows[("s", "enum")][2:4] == ("x,y", "x,y,z")
+    assert rows[("a", "required")][4] == "relaxed"
+    assert ("s", "minLength") not in rows              # unchanged -> no row
+
+
+def test_spec_diff_enum_presence(spark):
+    from jsonschema_spark.plans.infer import spec_diff
+
+    golden = {"columns": {"s": {"type": "string", "enum": ["x"]}},
+              "required": [], "unique": []}
+    candidate = {"columns": {"s": {"type": "string"}}, "required": [],
+                 "unique": []}
+    rows = spec_diff(golden, candidate)
+    # losing the enum constraint admits any value -> widened, not narrowed
+    assert rows == [("s", "enum", "x", "null", "widened")]
+    back = spec_diff(candidate, golden)
+    assert back == [("s", "enum", "null", "x", "narrowed")]
+
+
+def test_spec_diff_end_to_end(spark):
+    """Golden = filtered snapshot; candidate = full table: the filter's
+    effects surface as widened constraints."""
+    from jsonschema_spark.plans.infer import spec_diff
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    golden = infer_table_spec(
+        df.filter((F.col("doc_id") >= 10) & (F.col("lang") != "de"))
+    )
+    candidate = infer_table_spec(df)
+    rows = {(r[0], r[1]): r for r in spec_diff(golden, candidate, df.columns)}
+    assert rows[("doc_id", "minimum")][2:] == ("10", "0", "widened")
+    assert rows[("lang", "enum")][4] == "widened"
+    assert "de" in rows[("lang", "enum")][3].split(",")
+    assert all(r[4] in {"widened", "narrowed"} for r in rows.values())
