@@ -131,6 +131,10 @@ def main() -> None:
         "infer_spec",
         "weighted_sample",
         "windowed_drift",
+        "gopher_quality",
+        "chunk_dedup",
+        "semantic_decontam",
+        "spec_diff",
     ]
     qs = entry.queries()
     for name in headline:
