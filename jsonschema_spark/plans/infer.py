@@ -92,7 +92,7 @@ def pass1_aggs(fields: dict, unique_hint_rsd: float) -> list:
 def infer_table_spec(
     df: DataFrame,
     enum_max: int = 20,
-    unique_hint_rsd: float = 0.01,
+    unique_hint_rsd: float = 0.02,
 ) -> dict:
     """Return a ``TableSpec``-compatible dict inferred from ``df``:
 
@@ -107,6 +107,14 @@ def infer_table_spec(
       ``unique_hint_rsd``) is indistinguishable from the row count land in
       ``unique`` (ids — the salted uniqueness check then PROVES it on
       future data; inference only nominates)
+
+    ``unique_hint_rsd`` trades sketch precision for per-partition HLL
+    register size: rsd 0.01 costs ~1 s of pure buffer/merge fixed cost
+    per column per job on this host vs ~0.2 s at 0.02 (measured, 5k-row
+    input — the cost is size-independent). Both nomination gates are
+    slack-padded by 3 rsd and both nominations are advisory (the exact
+    pass-2 check and the salted uniqueness proof keep the output
+    correct), so the default favors the cheaper sketch.
     """
     fields = {f.name: f.dataType for f in df.schema.fields}
     row = df.agg(*pass1_aggs(fields, unique_hint_rsd)).collect()[0].asDict()

@@ -125,6 +125,34 @@ def test_source_mix_broadcasts_thresholds(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_gopher_quality_single_projection(spark):
+    # Gopher rule bundle is pure let-bound expressions in the scan stage:
+    # 10^12 docs cost one codegen projection — no shuffle, no Python
+    plan = _plan(entry_mod.queries()["gopher_quality"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_dedup_equijoin_no_python(spark):
+    plan = _plan(entry_mod.queries()["chunk_dedup"](spark, SF_DIR))
+    # duplicated chunk hashes meet the chunk rows in an equi-join on the
+    # uniform md5 key — never a cartesian or nested-loop pairing
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # whole pipeline is expression-only
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_semantic_decontam_no_shuffle(spark):
+    # benchmark side is a bounded driver matrix in the kernel closure;
+    # the corpus pays ONE Arrow-batched projection — no join, no shuffle
+    plan = _plan(entry_mod.queries()["semantic_decontam"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
 def test_infer_pass1_has_no_collect_set(spark):
     """The profile's corpus-wide pass must use fixed-size sketch buffers
     only: Spark's collect_set has no per-partition cap, so one over a
