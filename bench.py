@@ -84,6 +84,27 @@ def main() -> None:
     _calibration()  # JIT warm-up
     calibration_sec = _calibration()
 
+    # Second calibration axis: a SCAN-class unit of work (parquet decode of
+    # the nested tokens column + array traversal over the pinned corpus).
+    # Needed because the two classes drift independently on this host: one
+    # same-day pair measured the codegen row IMPROVING 1.22s -> 0.81s while
+    # the validation scan degraded 8.5s -> 14.7s — a single CPU-bound
+    # calibration cannot normalize bandwidth/decode-bound queries. The
+    # corpus is deterministic per (rows, seed), so the unit is code-stable.
+    def _calibration_scan() -> float:
+        cdf = spark.read.parquet(corpus_path)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            cdf.agg(
+                F.sum(F.array_min("tokens") + F.array_max("tokens"))
+            ).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    _calibration_scan()  # page-cache / reader warm-up
+    calibration_scan_sec = _calibration_scan()
+
     # warm-up pass (JIT + parquet footer caches), then best-of-N steady state
     corpus_validation_pass(spark, corpus_path)
     # 4 timed passes: the shared host shows 5-8% CPU steal with bursts that
@@ -168,6 +189,7 @@ def main() -> None:
                 "tokens_per_sec": round(n_tokens / corpus_sec, 1),
                 "cores": cores,
                 "calibration_sec": calibration_sec,
+                "calibration_scan_sec": calibration_scan_sec,
             }
         )
     )
