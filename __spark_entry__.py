@@ -1411,8 +1411,57 @@ def q_spec_diff(spark, sf_dir):
     return spark.createDataFrame(rows, schema)
 
 
+def q_image_decode(spark, sf_dir):
+    """REAL image decode (no codec library): deterministic 24-bit BMPs are
+    synthesized per doc_id (dims and pixel values are closed-form in
+    doc_id — multimodal.make_bmp), decoded back by the real header+numpy
+    parser (multimodal.decode_bmp), statistics via exact integer sums. The
+    DuckDB oracle computes the SAME statistics closed-form from doc_id
+    alone — an independent cross-engine check on the decoder, not a
+    roundtrip through the writer. Padding bytes in the BMP row stride are
+    nonzero-excluded by construction (w=5,6,9,10 rows carry stride pad)."""
+    from jsonschema_spark.operators.multimodal import (
+        attach_synth_blob,
+        decode_images,
+        make_bmp,
+    )
+
+    df = attach_synth_blob(_t(spark, sf_dir, "documents"), "doc_id", make_bmp)
+    return decode_images(df).select(
+        "doc_id",
+        "height",
+        "width",
+        "channels",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+def q_audio_decode(spark, sf_dir):
+    """REAL audio decode: deterministic 16-bit PCM WAVs synthesized per
+    doc_id (multimodal.make_wav), decoded by the real RIFF-chunk-walking
+    parser (multimodal.decode_wav); RMS from an exact int64
+    sum-of-squares. Oracle recomputes sample_rate/channels/n_frames/rms
+    closed-form from doc_id."""
+    from jsonschema_spark.operators.multimodal import (
+        attach_synth_blob,
+        decode_audio,
+        make_wav,
+    )
+
+    df = attach_synth_blob(_t(spark, sf_dir, "documents"), "doc_id", make_wav)
+    return decode_audio(df).select(
+        "doc_id",
+        "sample_rate",
+        "channels",
+        "n_frames",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "image_decode": q_image_decode,
+        "audio_decode": q_audio_decode,
         "spec_diff": q_spec_diff,
         "gopher_quality": q_gopher_quality,
         "chunk_dedup": q_chunk_dedup,
@@ -1742,6 +1791,26 @@ def _stoplist(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "image_decode": (
+            "SELECT doc_id,"
+            " CAST(4 + doc_id % 5 AS INT) AS height,"
+            " CAST(4 + doc_id % 7 AS INT) AS width,"
+            " CAST(3 AS INT) AS channels,"
+            " round(list_avg([CAST((doc_id * 31 + i) % 256 AS BIGINT)"
+            "   for i in range((4 + doc_id % 5) * (4 + doc_id % 7) * 3)]), 6)"
+            "  AS mean_pixel"
+            " FROM documents"
+        ),
+        "audio_decode": (
+            "SELECT doc_id,"
+            " CAST(8000 AS INT) AS sample_rate,"
+            " CAST(1 AS INT) AS channels,"
+            " CAST(32 + doc_id % 17 AS INT) AS n_frames,"
+            " round(sqrt(list_sum([CAST(((doc_id * 131 + i * 7919) % 4096"
+            "   - 2048) AS BIGINT) ^ 2 for i in range(32 + doc_id % 17)])"
+            "  / (32 + doc_id % 17)), 6) AS rms"
+            " FROM documents"
+        ),
         "spec_diff": (
             "WITH gsrc AS (SELECT * FROM documents"
             "  WHERE doc_id >= 10 AND lang <> 'de'),"

@@ -281,6 +281,75 @@ def test_decode_images_stub_raises(docs):
         decode_images(df).collect()
 
 
+def test_decode_bmp_exact():
+    """Real BMP decoder: closed-form pixel stats, stride padding excluded,
+    top-down (negative height) accepted, non-BMP/unsupported rejected."""
+    from jsonschema_spark.operators.multimodal import decode_bmp, make_bmp
+
+    for doc_id in [0, 1, 5, 6, 9, 10, 34]:  # widths 4..10 hit every pad width
+        h, w = 4 + doc_id % 5, 4 + doc_id % 7
+        n = h * w * 3
+        exact = sum((doc_id * 31 + i) % 256 for i in range(n)) / n
+        got = decode_bmp(make_bmp(doc_id))
+        assert got == (h, w, 3, exact)
+
+    # top-down BMPs store height negative; stats are orientation-invariant
+    payload = bytearray(make_bmp(3))
+    height = int.from_bytes(payload[22:26], "little")
+    payload[22:26] = (-height).to_bytes(4, "little", signed=True)
+    assert decode_bmp(bytes(payload)) == decode_bmp(make_bmp(3))
+
+    with pytest.raises(ValueError, match="BM magic"):
+        decode_bmp(b"PNG\x00" + b"\x00" * 60)
+    bad_bpp = bytearray(make_bmp(0))
+    bad_bpp[28:30] = (8).to_bytes(2, "little")
+    with pytest.raises(NotImplementedError, match="24-bit"):
+        decode_bmp(bytes(bad_bpp))
+
+
+def test_decode_wav_exact():
+    """Real WAV decoder: RIFF chunk walk tolerates extra/odd-size chunks;
+    RMS matches the closed-form int64 sum of squares."""
+    import math as _math
+    import struct as _struct
+
+    from jsonschema_spark.operators.multimodal import decode_wav, make_wav
+
+    for doc_id in [0, 7, 16, 33]:
+        n = 32 + doc_id % 17
+        samples = [((doc_id * 131 + i * 7919) % 4096) - 2048 for i in range(n)]
+        rms = _math.sqrt(sum(s * s for s in samples) / n)
+        assert decode_wav(make_wav(doc_id)) == (8000, 1, n, rms)
+
+    # splice an odd-size LIST chunk between fmt and data; walk must skip it
+    base = make_wav(2)
+    fmt_start = base.index(b"fmt ")
+    data_start = base.index(b"data")
+    spliced = (
+        base[:data_start]
+        + b"LIST" + _struct.pack("<I", 3) + b"abc\x00"  # odd size + pad byte
+        + base[data_start:]
+    )
+    spliced = spliced[:4] + _struct.pack("<I", len(spliced) - 8) + spliced[8:]
+    assert decode_wav(spliced) == decode_wav(base)
+    assert fmt_start < data_start
+
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+
+
+def test_decode_audio_spark(docs):
+    from jsonschema_spark.operators.multimodal import (
+        attach_synth_blob, decode_audio, make_wav,
+    )
+
+    df = attach_synth_blob(docs.limit(20), "doc_id", make_wav)
+    rows = decode_audio(df).collect()
+    assert len(rows) == 20
+    assert all(r.sample_rate == 8000 and r.channels == 1 for r in rows)
+    assert all(r.n_frames == 32 + r.doc_id % 17 for r in rows)
+
+
 def test_frame_sample(docs):
     from jsonschema_spark.operators.multimodal import attach_fake_blob, frame_sample
 
