@@ -1213,6 +1213,26 @@ def q_dsir_select(spark, sf_dir):
     )
 
 
+def q_unigram_ppl(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): hashed-unigram
+    LM trained on the 'src0' reference slice; every other document scored
+    by cross-entropy/perplexity under it, then ntile(3) head/middle/tail
+    assignment (tile 1 = most reference-like). Portable md5 buckets +
+    deterministic (ppl, doc_id) tile order, so the DuckDB oracle
+    reproduces every score and tile bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.relevance import perplexity_buckets
+
+    df = _t(spark, sf_dir, "documents")
+    out = perplexity_buckets(
+        df, F.col("source") == "src0", n_buckets=3, buckets=1024, smoothing=1.0
+    )
+    return out.select(
+        "doc_id", "n_tok", "xent", "ppl", F.col("tile").cast("int").alias("tile")
+    )
+
+
 def q_infer_spec(spark, sf_dir):
     """Spec inference surfaced as profile rows: one row per documents
     column with the inferred JSON type, numeric-or-length bounds,
@@ -1462,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
+        "unigram_ppl": q_unigram_ppl,
         "spec_diff": q_spec_diff,
         "gopher_quality": q_gopher_quality,
         "chunk_dedup": q_chunk_dedup,
@@ -2566,6 +2587,29 @@ def oracle_sql() -> dict[str, str]:
             "    AS rnk FROM scored)"
             " SELECT doc_id, term, tf, doc_freq, round(s, 6) AS tfidf,"
             "  CAST(rnk AS BIGINT) AS rank FROM ranked WHERE rnk <= 3"
+        ),
+        "unigram_ppl": (
+            f"WITH toks AS (SELECT doc_id, source = 'src0' AS is_ref,"
+            f"   unnest({_WS}) AS term FROM documents),"
+            " bucketed AS (SELECT doc_id, is_ref,"
+            "   CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 1024"
+            "    AS bucket FROM toks),"
+            " model AS (SELECT bucket, count(*) AS ref_cnt FROM bucketed"
+            "  WHERE is_ref GROUP BY bucket),"
+            " total AS (SELECT sum(ref_cnt) AS ref_tot FROM model),"
+            " scored AS (SELECT doc_id,"
+            "   ln((COALESCE(ref_cnt, 0) + 1.0) / (ref_tot + 1.0 * 1024))"
+            "    AS logp"
+            "  FROM bucketed LEFT JOIN model USING (bucket) CROSS JOIN total"
+            "  WHERE NOT is_ref),"
+            " ppl AS (SELECT doc_id, count(*) AS n_tok,"
+            "   round(-avg(logp), 6) AS xent,"
+            "   round(exp(-avg(logp)), 6) AS ppl"
+            "  FROM scored GROUP BY doc_id)"
+            " SELECT doc_id, n_tok, xent, ppl,"
+            "  CAST(ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC) AS INT)"
+            "   AS tile"
+            " FROM ppl"
         ),
         "dsir_select": (
             f"WITH toks AS (SELECT doc_id, source = 'src0' AS is_t,"

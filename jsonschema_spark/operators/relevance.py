@@ -218,6 +218,102 @@ def dsir_weights(
     )
 
 
+def unigram_perplexity(
+    df: DataFrame,
+    is_reference: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2020):
+    train a hashed-unigram LM with Laplace-``smoothing`` on the reference
+    rows (``is_reference`` marks the "clean" exemplar slice, e.g. a
+    Wikipedia-like source), then score every NON-reference document by
+    cross-entropy ``xent = -(1/n) * sum_tokens ln p_ref(bucket)`` and
+    ``ppl = exp(xent)``. Low perplexity = reference-like text; CCNet keeps
+    the head of this ranking. Returns ``(id, n_tok, xent, ppl)``.
+
+    New semantics per the north rule (the reference validates single
+    documents; corpus-level LM filtering is table-scale validation).
+    CCNet proper uses a 5-gram KenLM — a unigram model over hashed
+    buckets is the engine-native analog: the plan shape (broadcast model,
+    one shuffled row per doc) is what survives 100 TB, and swapping in
+    richer per-token log-probs changes only the model table.
+
+    Scale shape mirrors :func:`dsir_weights`: explode (no shuffle) → ONE
+    map-side-combined groupBy over ≤ ``buckets`` keys for the model →
+    1-row total broadcast → model left-broadcast-joined onto the scored
+    token rows (buckets the reference never hit coalesce to count 0, so
+    OOV mass is priced, not dropped) → groupBy(id) whose partial
+    aggregation collapses each doc within its partition; the only full
+    shuffle moves ~1 row per document. ``portable_hash60`` buckets let an
+    external SQL engine reproduce every score bit-for-bit.
+    """
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        is_reference.alias("is_ref"),
+        F.explode(words(F.lower(F.col(text_col)))).alias("term"),
+    )
+    bucketed = toks.select(
+        "id",
+        "is_ref",
+        F.pmod(portable_hash60(F.col("term")), F.lit(buckets)).alias("bucket"),
+    )
+    model = (
+        bucketed.filter(F.col("is_ref"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ref_cnt"))
+    )
+    total = model.agg(F.sum("ref_cnt").alias("ref_tot"))
+    s, b = F.lit(float(smoothing)), F.lit(float(buckets))
+    logp = F.log(
+        (F.coalesce(F.col("ref_cnt"), F.lit(0)) + s) / (F.col("ref_tot") + s * b)
+    )
+    return (
+        bucketed.filter(~F.col("is_ref"))
+        .join(F.broadcast(model), on="bucket", how="left")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.round(-F.avg(logp), decimals).alias("xent"),
+            F.round(F.exp(-F.avg(logp)), decimals).alias("ppl"),
+        )
+        .select(F.col("id").alias(id_col), "n_tok", "xent", "ppl")
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    is_reference: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 3,
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """CCNet head/middle/tail assignment: rank non-reference documents by
+    unigram perplexity and split into ``n_buckets`` equal-size tiles
+    (tile 1 = head = most reference-like). Deterministic order
+    ``(rounded ppl asc, id asc)`` so any engine reproduces the tiling.
+
+    Scale note: ntile is a global sort — but of the 1-row-per-document
+    weights table (id, n_tok, ppl), never the corpus. At 10^12 docs,
+    production would sample quantile thresholds from this table
+    (percentile_approx) and assign by broadcast threshold instead; the
+    exact tile is the oracle-checkable semantics, the thresholded variant
+    is a filter in the same plan shape.
+    """
+    ppl = unigram_perplexity(
+        df, is_reference, id_col, text_col, buckets, smoothing, decimals
+    )
+    w = Window.orderBy(F.asc("ppl"), F.asc(id_col))
+    return ppl.withColumn("tile", F.ntile(n_buckets).over(w))
+
+
 def dsir_select(
     df: DataFrame,
     is_target: Column,

@@ -54,6 +54,59 @@ class TestTfidfTopTerms:
         assert len(out) == 15
 
 
+class TestUnigramPerplexity:
+    def test_reference_like_scores_lower(self, spark):
+        """CCNet semantics: docs wordled from the reference vocabulary get
+        lower perplexity (and the head tile) vs out-of-vocabulary noise."""
+        from pyspark.sql import functions as F
+
+        from jsonschema_spark.operators.relevance import (
+            perplexity_buckets, unigram_perplexity,
+        )
+
+        ref = [(100 + i, "the cat sat on the mat", "ref") for i in range(5)]
+        like = [(1, "the cat on the mat", "pool"), (2, "the mat the cat", "pool")]
+        noise = [(3, "zq wvx jjk qqp", "pool"), (4, "xoxo zzz yyy", "pool")]
+        df = spark.createDataFrame(
+            ref + like + noise, "doc_id long, text string, source string"
+        )
+        out = {
+            r.doc_id: r
+            for r in unigram_perplexity(df, F.col("source") == "ref").collect()
+        }
+        assert set(out) == {1, 2, 3, 4}  # reference rows are never scored
+        assert max(out[1].ppl, out[2].ppl) < min(out[3].ppl, out[4].ppl)
+        for r in out.values():  # ppl = exp(xent) by construction
+            assert r.ppl == pytest.approx(math.exp(r.xent), rel=1e-5)
+
+        tiles = {
+            r.doc_id: r.tile
+            for r in perplexity_buckets(
+                df, F.col("source") == "ref", n_buckets=2
+            ).collect()
+        }
+        assert tiles[1] == 1 and tiles[2] == 1
+        assert tiles[3] == 2 and tiles[4] == 2
+
+    def test_smoothing_prices_oov(self, spark):
+        """Every-token-OOV doc gets exactly ppl = (ref_tot + s*B) / s under
+        Laplace smoothing (all its buckets coalesce to count 0)."""
+        from pyspark.sql import functions as F
+
+        from jsonschema_spark.operators.relevance import unigram_perplexity
+
+        df = spark.createDataFrame(
+            [(1, "a b a b", "ref"), (2, "zz yy", "pool")],
+            "doc_id long, text string, source string",
+        )
+        row = unigram_perplexity(
+            df, F.col("source") == "ref", buckets=64, smoothing=1.0
+        ).first()
+        # zz/yy almost surely miss a/b's 2 buckets of 64; if not, the
+        # expected ppl would differ and this assert would catch it
+        assert row.ppl == pytest.approx(4 + 1.0 * 64, abs=1e-4)
+
+
 class TestPairwiseJsDivergence:
     def test_identical_groups_zero(self, spark):
         rows = [("a", "x y z"), ("b", "x y z"), ("a", "x x"), ("b", "x x")]
