@@ -1377,6 +1377,48 @@ def q_gopher_quality(spark, sf_dir):
     )
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line/page cleaning rules (Raffel et al. 2020 §2.2): keep lines
+    ending in terminal punctuation with >= 5 words and no 'javascript';
+    flag lorem-ipsum / curly-brace pages; passes = >= 3 surviving lines
+    and no page flag. The testdata documents are single-line with no
+    punctuation, which would leave every rule's keep-path untested — so
+    the query first builds a deterministic multi-line page per doc with
+    the same string ops on both engines (split at ' the ' boundaries ->
+    lines ending '.', terminal '.' only for even doc_id, javascript /
+    lorem-ipsum / brace lines injected on doc_id % 5/13/11), giving every
+    line and page rule both positive and negative cases. The oracle
+    rebuilds the page and the kept list with the same expressions."""
+    from jsonschema_spark.operators.cleaning import c4_clean
+
+    df = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.regexp_replace(F.col("text"), " the ", ".\nthe "),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(".")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit("\nfunction f() { return 1 }")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit("\nenable javascript to view this page now."),
+        ).otherwise(F.lit("")),
+    )
+    out = c4_clean(df.select("doc_id", page.alias("text")), "doc_id", "text")
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_lines",
+        "n_kept",
+        F.col("has_lorem").cast("int").alias("has_lorem"),
+        F.col("has_brace").cast("int").alias("has_brace"),
+        "text_clean",
+        F.col("passes").cast("int").alias("passes"),
+    )
+
+
 def q_chunk_dedup(spark, sf_dir):
     """Sub-document dedup signal: fraction of each document's fixed-width
     20-word chunks that occur more than once anywhere in the corpus."""
@@ -1485,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": q_unigram_ppl,
         "spec_diff": q_spec_diff,
         "gopher_quality": q_gopher_quality,
+        "c4_clean": q_c4_clean,
         "chunk_dedup": q_chunk_dedup,
         "semantic_decontam": q_semantic_decontam,
     # ORDER MATTERS: the driver correctness gate takes the FIRST 50
@@ -1899,6 +1942,38 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE 'changed' END FROM g, c"
             "  WHERE len(g.senum) <= 20 AND len(c.senum) <= 20"
             "   AND array_to_string(g.senum, ',') <> array_to_string(c.senum, ','))"
+        ),
+        "c4_clean": (
+            "WITH page AS (SELECT doc_id,"
+            "   replace(text, ' the ', '.' || chr(10) || 'the ')"
+            "   || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END"
+            "   || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||"
+            "     'lorem ipsum dolor sit amet consectetur.' ELSE '' END"
+            "   || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||"
+            "     'function f() { return 1 }' ELSE '' END"
+            "   || CASE WHEN doc_id % 5 = 0 THEN chr(10) ||"
+            "     'enable javascript to view this page now.' ELSE '' END"
+            "    AS text FROM documents),"
+            " base AS (SELECT doc_id, text,"
+            "   string_split(text, chr(10)) AS lines FROM page),"
+            " filt AS (SELECT doc_id, text, lines,"
+            "   [l for l in lines if"
+            "     regexp_matches(rtrim(l), '[.!?\"]$')"
+            "     and len(CASE WHEN trim(lower(l)) = ''"
+            "       THEN CAST([] AS VARCHAR[])"
+            "       ELSE string_split_regex(trim(lower(l)), '\\s+') END) >= 5"
+            "     and not contains(lower(l), 'javascript')] AS kept"
+            "  FROM base)"
+            " SELECT doc_id,"
+            "  CAST(len(lines) AS INT) AS n_lines,"
+            "  CAST(len(kept) AS INT) AS n_kept,"
+            "  CAST(contains(lower(text), 'lorem ipsum') AS INT) AS has_lorem,"
+            "  CAST(contains(text, '{') AS INT) AS has_brace,"
+            "  COALESCE(array_to_string(kept, chr(10)), '') AS text_clean,"
+            "  CAST(len(kept) >= 3"
+            "   AND NOT contains(lower(text), 'lorem ipsum')"
+            "   AND NOT contains(text, '{') AS INT) AS passes"
+            " FROM filt"
         ),
         "gopher_quality": (
             "SELECT doc_id, n_words, mean_word_len, alpha_ratio,"

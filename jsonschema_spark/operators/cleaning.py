@@ -25,7 +25,7 @@ Scale shapes (design target 10^12 docs):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -87,6 +87,75 @@ def strip_boilerplate(
             "id",
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2 — the public line/page
+    heuristics the original C4 corpus was built with, reused by mC4, Pile-
+    CC derivatives, Dolma): per document, keep only lines that (a) end in
+    a terminal punctuation mark (``. ! ? "``), (b) contain at least
+    ``min_words_per_line`` words, and (c) do not mention "javascript";
+    flag pages containing "lorem ipsum" or a curly brace (code/placeholder
+    page signals). ``passes`` = at least ``min_kept_lines`` surviving
+    lines and neither page flag — C4 drops failing pages; reported as a
+    verdict row so that policy stays with the caller (same philosophy as
+    :func:`gopher_quality`).
+
+    Returns ``(id, n_lines, n_kept, has_lorem, has_brace, text_clean,
+    passes)`` with ``text_clean`` the surviving lines joined by newline in
+    original order.
+
+    Scale shape: pure let-bound scan-stage expressions — the line split is
+    bound once (CLAUDE.md rule #2: HOFs get no CSE) and the kept-line
+    array once; no shuffle, no UDF, no state. 10^12 docs cost one codegen
+    projection, and unlike :func:`strip_boilerplate` there is no
+    cross-document frequency table, so this composes with it in the same
+    stage.
+    """
+    from jsonschema_spark.functions.text import let_, words
+
+    text = F.col(text_col)
+
+    def _keep(line: Column) -> Column:
+        return (
+            F.rtrim(line).rlike('[.!?"]$')
+            & (F.size(words(F.lower(line))) >= min_words_per_line)
+            & ~F.lower(line).contains("javascript")
+        )
+
+    def _out(lines: Column) -> Column:
+        return let_(
+            F.filter(lines, _keep),
+            lambda kept: F.struct(
+                F.size(lines).alias("n_lines"),
+                F.size(kept).alias("n_kept"),
+                F.concat_ws("\n", kept).alias("text_clean"),
+            ),
+        )
+
+    o = let_(F.split(text, "\n"), _out)
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            o["n_lines"].alias("n_lines"),
+            o["n_kept"].alias("n_kept"),
+            F.lower(text).contains("lorem ipsum").alias("has_lorem"),
+            text.contains("{").alias("has_brace"),
+            o["text_clean"].alias("text_clean"),
+        )
+        .withColumn(
+            "passes",
+            (F.col("n_kept") >= min_kept_lines)
+            & ~F.col("has_lorem")
+            & ~F.col("has_brace"),
         )
     )
 

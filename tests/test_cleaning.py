@@ -124,3 +124,30 @@ def test_zipf_corpus_deterministic_across_partitionings(spark):
         .collect()
     )
     assert [r["tokens"] for r in a] == [r["tokens"] for r in b]
+
+
+def test_c4_clean_line_rules(spark):
+    """Each C4 line rule in isolation, plus page flags and the verdict."""
+    from jsonschema_spark.operators.cleaning import c4_clean
+
+    good = "alpha beta gamma delta epsilon."
+    docs = [
+        # every rule satisfied on 3 lines -> passes
+        (1, "\n".join([good, "one two three four five!", 'quoted line with five words"'])),
+        # line-level failures: no punct / <5 words / javascript
+        (2, "\n".join(["no terminal punctuation here", "short line.", "please enable javascript to proceed."])),
+        # page flags kill the verdict even with 3 good lines
+        (3, "\n".join([good, good, good, "lorem ipsum dolor sit amet."])),
+        (4, "\n".join([good, good, good, "code { sample } text."])),
+        # only 2 surviving lines -> fails the min_kept_lines gate
+        (5, "\n".join([good, good, "nope"])),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.id: r for r in c4_clean(df, "doc_id", "text").collect()}
+
+    assert out[1].n_kept == 3 and out[1].passes
+    assert out[1].text_clean == docs[0][1]
+    assert out[2].n_kept == 0 and not out[2].passes
+    assert out[3].has_lorem and not out[3].passes and out[3].n_kept == 4
+    assert out[4].has_brace and not out[4].passes
+    assert out[5].n_kept == 2 and not out[5].passes
