@@ -156,6 +156,10 @@ def main() -> None:
         "chunk_dedup",
         "semantic_decontam",
         "spec_diff",
+        "unigram_ppl",
+        "c4_clean",
+        "image_decode",
+        "audio_decode",
     ]
     qs = entry.queries()
     for name in headline:

@@ -29,6 +29,7 @@ JOB_SCRIPTS = {
     "validate": "throughput_job.py",
     "dedup": "dedup_scaling_job.py",
     "simhash": "simhash_scaling_job.py",
+    "ppl": "ppl_scaling_job.py",
     "cc": "cc_scaling_job.py",
 }
 
