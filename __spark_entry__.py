@@ -1362,6 +1362,39 @@ def q_windowed_drift(spark, sf_dir):
     return windowed_psi(df, "ts", "value", "1 day", bins=10, lo=0.0, hi=200.0)
 
 
+def q_token_sketch_drift(spark, sf_dir):
+    """North rule: PSI on token-frequency sketches vs a baseline snapshot —
+    the leading slice (doc_id < 500) of the tokenized corpus vs the whole
+    corpus, each collapsed to a 64-bucket hashed frequency vector before
+    the O(buckets) compare. Buckets are portable_hash60-derived so the
+    DuckDB twin reproduces every bucket id exactly."""
+    from jsonschema_spark.operators.drift import token_sketch_psi
+
+    df = _token_corpus(spark)
+    return token_sketch_psi(
+        df.filter(F.col("doc_id") < 500), df, "tokens", buckets=64
+    )
+
+
+def q_ntok_chi2_drift(spark, sf_dir):
+    """North rule: chi-square on the n_tok distribution vs a baseline
+    snapshot — exact integer-valued sequence-length histograms of the
+    leading slice (doc_id < 500) vs the whole tokenized corpus, compared
+    per-bucket by chi_square_terms."""
+    from jsonschema_spark.operators.drift import chi_square_terms
+
+    df = _token_corpus(spark).select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tok")
+    )
+    cur = df.filter(F.col("doc_id") < 500).groupBy(
+        F.col("n_tok").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = df.groupBy(F.col("n_tok").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return chi_square_terms(cur, base)
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher-style quality rule bundle (Rae et al. 2021 §A1.1): per-doc
     word count, mean word length, alphabetic-word ratio, top-2-gram
@@ -1522,6 +1555,8 @@ def q_audio_decode(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "token_sketch_drift": q_token_sketch_drift,
+        "ntok_chi2_drift": q_ntok_chi2_drift,
         "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
         "unigram_ppl": q_unigram_ppl,
@@ -1855,6 +1890,30 @@ def _stoplist(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_sketch_drift": (
+            "WITH tok AS (SELECT doc_id, unnest(tokens) AS t"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            f" b AS (SELECT doc_id, {_hex60('CAST(t AS VARCHAR)')} % 64 AS bucket"
+            "  FROM tok),"
+            " hist AS (SELECT bucket, count(*) AS cnt_all,"
+            "   count(*) FILTER (WHERE doc_id < 500) AS cnt_cur"
+            "  FROM b GROUP BY 1),"
+            " tot AS (SELECT sum(cnt_cur) AS n_cur, sum(cnt_all) AS n_base FROM hist)"
+            " SELECT bucket, round((p - q) * ln(p / q), 6) AS psi_term FROM ("
+            "  SELECT bucket, greatest(cnt_cur / CAST(n_cur AS DOUBLE), 1e-6) AS p,"
+            "         greatest(cnt_all / CAST(n_base AS DOUBLE), 1e-6) AS q"
+            "  FROM hist, tot)"
+        ),
+        "ntok_chi2_drift": (
+            "WITH hist AS (SELECT len(tokens) AS bucket, count(*) AS cnt_all,"
+            "   count(*) FILTER (WHERE doc_id < 500) AS cnt_cur"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet') GROUP BY 1),"
+            " tot AS (SELECT sum(cnt_cur) AS n_cur, sum(cnt_all) AS n_base FROM hist)"
+            " SELECT bucket, round(pow(cnt_cur - e, 2) / e, 6) AS chi2_term FROM ("
+            "  SELECT bucket, cnt_cur,"
+            "   CAST(n_cur AS DOUBLE) * cnt_all / n_base AS e"
+            "  FROM hist, tot WHERE cnt_all > 0)"
+        ),
         "image_decode": (
             "SELECT doc_id,"
             " CAST(4 + doc_id % 5 AS INT) AS height,"

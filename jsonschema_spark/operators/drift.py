@@ -272,6 +272,52 @@ def windowed_psi(
     )
 
 
+def token_sketch_psi(
+    current: DataFrame,
+    baseline: DataFrame,
+    tokens_col: str = "tokens",
+    buckets: int = 64,
+    epsilon: float = 1e-6,
+    decimals: int = 6,
+    portable: bool = True,
+) -> DataFrame:
+    """PSI drift on hashed token-frequency sketches — the north rule's
+    "PSI on … token-frequency sketches vs a baseline snapshot" as one
+    oracle-checkable query: each side's ``tokens array<int>`` collapses to
+    a fixed-width frequency vector (``bucket = hash(token) % buckets``)
+    and the two vectors are compared with :func:`psi_terms`.
+
+    Scale shape: explode is a shuffle-free Generate; the groupBy's partial
+    aggregation bounds shuffle volume at (#partitions × buckets)
+    regardless of corpus size, so a 10^12-sequence side costs one scan +
+    one tiny shuffle, and the comparison itself is O(buckets). Unlike the
+    count-min sketch (:func:`~jsonschema_spark.operators.stats.token_frequency_sketch`,
+    point queries), the fixed-bucket vector is the right sketch for
+    *distribution* tests — PSI needs aligned mass buckets, not point
+    estimates. ``portable=True`` hashes with :func:`portable_hash60` so an
+    external SQL engine reproduces every bucket exactly; pass ``False``
+    for the xxhash64 fast path at scale.
+    """
+    from ..functions.text import portable_hash60
+
+    def sketch(df: DataFrame) -> DataFrame:
+        tok = F.explode(tokens_col).alias("token")
+        h = (
+            portable_hash60(F.col("token").cast("string"))
+            if portable
+            else F.abs(F.xxhash64("token"))
+        )
+        return (
+            df.select(tok)
+            .groupBy(F.pmod(h, F.lit(buckets)).alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    return psi_terms(
+        sketch(current), sketch(baseline), epsilon=epsilon, decimals=decimals
+    )
+
+
 def drift_report(current: DataFrame, baseline: DataFrame, key: str = "bucket",
                  cnt: str = "cnt", psi_threshold: float = 0.25,
                  epsilon: float = 1e-6) -> dict:

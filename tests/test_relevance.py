@@ -10,7 +10,7 @@ import math
 
 import pytest
 
-from jsonschema_spark.operators.drift import windowed_psi
+from jsonschema_spark.operators.drift import token_sketch_psi, windowed_psi
 from jsonschema_spark.operators.relevance import (
     pairwise_js_divergence,
     tfidf_top_terms,
@@ -211,3 +211,51 @@ class TestWindowedPsi:
         out = windowed_psi(df, "ts", "value", "1 day", 10, 0.0, 200.0).collect()
         assert len(out) == 3
         assert all(r["psi"] == pytest.approx(0.0, abs=1e-9) for r in out)
+
+
+class TestTokenSketchPsi:
+    @staticmethod
+    def _bucket(token: int, buckets: int = 64) -> int:
+        # pure-python twin of pmod(portable_hash60(cast(token as string)), buckets)
+        return int(hashlib.md5(str(token).encode()).hexdigest()[:15], 16) % buckets
+
+    def test_identical_sides_zero_psi(self, spark):
+        rows = [(i, [i % 7, (i * 3) % 11, 5]) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        out = token_sketch_psi(df, df, buckets=64).collect()
+        assert len(out) > 0
+        assert all(r["psi_term"] == pytest.approx(0.0, abs=1e-9) for r in out)
+
+    def test_matches_closed_form(self, spark):
+        cur_rows = [(0, [1, 1, 2])]
+        base_rows = [(0, [1, 1, 2]), (1, [3])]
+        cur = spark.createDataFrame(cur_rows, "doc_id long, tokens array<int>")
+        base = spark.createDataFrame(base_rows, "doc_id long, tokens array<int>")
+        out = {r["bucket"]: r["psi_term"] for r in
+               token_sketch_psi(cur, base, buckets=64).collect()}
+
+        from collections import Counter
+        cur_cnt = Counter(self._bucket(t) for t in [1, 1, 2])
+        base_cnt = Counter(self._bucket(t) for t in [1, 1, 2, 3])
+        eps = 1e-6
+        expected = {}
+        for b in set(cur_cnt) | set(base_cnt):
+            p = max(cur_cnt.get(b, 0) / 3.0, eps)
+            q = max(base_cnt.get(b, 0) / 4.0, eps)
+            expected[b] = round((p - q) * math.log(p / q), 6)
+        assert out == expected
+        # the bucket holding token 3 (absent from current) must drift
+        assert out[self._bucket(3)] > 0
+
+    def test_shifted_corpus_drifts(self, spark):
+        base = spark.createDataFrame(
+            [(i, [i % 50]) for i in range(500)], "doc_id long, tokens array<int>"
+        )
+        cur = spark.createDataFrame(
+            [(i, [1000 + i % 50]) for i in range(500)],
+            "doc_id long, tokens array<int>",
+        )
+        total = sum(
+            r["psi_term"] for r in token_sketch_psi(cur, base, buckets=64).collect()
+        )
+        assert total > 0.25  # canonical "significant drift" PSI threshold
