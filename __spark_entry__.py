@@ -1362,6 +1362,65 @@ def q_windowed_drift(spark, sf_dir):
     return windowed_psi(df, "ts", "value", "1 day", bins=10, lo=0.0, hi=200.0)
 
 
+def _parity_corpus_path() -> str:
+    """Perturbed twin of the token corpus for the token_parity check —
+    materialized once, read by both engines (same pattern as
+    _token_corpus_path)."""
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "token_parity_current_seed5.parquet")
+
+
+def _parity_corpus(spark):
+    """Deterministically perturbed 'current' snapshot of the token corpus:
+    docs %97==3 dropped (missing_current), %89==5 get token 999 at pos 1
+    (token_mismatch at 1; vocab is 0..499 so never a no-op), %83==11 lose
+    their last token (strict prefix -> diverges at len(shorter)+1), and
+    %79==2 are re-emitted under doc_id+100000 (missing_golden)."""
+    import os
+
+    path = _parity_corpus_path()
+    if not os.path.isdir(path):
+        g = _token_corpus(spark)
+        t = F.col("tokens")
+        did = F.col("doc_id")
+        perturbed = (
+            g.filter(F.pmod(did, F.lit(97)) != 3)
+            .select(
+                "doc_id",
+                F.when(
+                    F.pmod(did, F.lit(89)) == 5,
+                    F.concat(
+                        F.array(F.lit(999).cast("int")),
+                        F.slice(t, 2, F.size(t) - 1),
+                    ),
+                )
+                .when(F.pmod(did, F.lit(83)) == 11, F.slice(t, 1, F.size(t) - 1))
+                .otherwise(t)
+                .alias("tokens"),
+            )
+            .unionByName(
+                g.filter(F.pmod(did, F.lit(79)) == 2).select(
+                    (did + 100000).alias("doc_id"), "tokens"
+                )
+            )
+        )
+        perturbed.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_token_parity(spark, sf_dir):
+    """The engine's per-row invariant (token-array equality, SURVEY §2.2
+    jsonequal) as a cross-snapshot validation: the deterministically
+    perturbed 'current' snapshot vs the golden token corpus; returns only
+    the violation rows (missing/extra/diverged docs with the 1-based first
+    divergent position)."""
+    from jsonschema_spark.operators.checks import token_parity
+
+    return token_parity(_parity_corpus(spark), _token_corpus(spark))
+
+
 def q_token_sketch_drift(spark, sf_dir):
     """North rule: PSI on token-frequency sketches vs a baseline snapshot —
     the leading slice (doc_id < 500) of the tokenized corpus vs the whole
@@ -1555,6 +1614,7 @@ def q_audio_decode(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
         "image_decode": q_image_decode,
@@ -1890,6 +1950,28 @@ def _stoplist(lang: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "token_parity": (
+            "WITH c AS (SELECT doc_id, tokens AS cur"
+            f"  FROM read_parquet('{_parity_corpus_path()}/*.parquet')),"
+            " g AS (SELECT doc_id, tokens AS gold"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " j AS (SELECT coalesce(c.doc_id, g.doc_id) AS doc_id, cur, gold"
+            "  FROM c FULL OUTER JOIN g ON c.doc_id = g.doc_id),"
+            " probe AS (SELECT doc_id, cur, gold,"
+            "  CASE WHEN cur IS NULL THEN 'missing_current'"
+            "       WHEN gold IS NULL THEN 'missing_golden'"
+            "       ELSE 'token_mismatch' END AS status,"
+            "  CAST(len(cur) AS INT) AS len_current,"
+            "  CAST(len(gold) AS INT) AS len_golden,"
+            "  coalesce(list_position(list_transform("
+            "    range(1, greatest(coalesce(len(cur), 0), coalesce(len(gold), 0)) + 1),"
+            "    i -> coalesce(cur[i] = gold[i], false)), false), 0) AS fd"
+            "  FROM j)"
+            " SELECT doc_id, status, len_current, len_golden,"
+            "  CASE WHEN status = 'token_mismatch' THEN CAST(fd AS BIGINT) END"
+            "   AS first_diff_pos"
+            " FROM probe WHERE status != 'token_mismatch' OR fd > 0"
+        ),
         "token_sketch_drift": (
             "WITH tok AS (SELECT doc_id, unnest(tokens) AS t"
             f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')),"

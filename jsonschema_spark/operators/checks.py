@@ -134,6 +134,65 @@ def iqr_outlier_rows(
     )
 
 
+def token_parity(
+    current: DataFrame,
+    golden: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-row token-array equality between two snapshots of the same
+    corpus — the engine's per-row invariant (SURVEY §2.2 jsonequal: the
+    reference compares documents structurally; for a tokens payload that
+    is element-wise array equality) lifted to a cross-snapshot validation:
+    after a re-tokenization, storage migration, or resumed run, every
+    ``doc_id`` must carry byte-identical tokens. Returns ONLY violation
+    rows: ``(doc_id, status, len_current, len_golden, first_diff_pos)``
+    with status ∈ missing_current / missing_golden / token_mismatch and
+    ``first_diff_pos`` the 1-based first divergent position (a strict
+    prefix diverges at len(shorter)+1, so pure length drift is caught by
+    the same probe).
+
+    Scale shape: ONE full-outer sort-merge join on the (near-unique,
+    uniform) id — both sides shuffle-partition on the same key, so a
+    bucketed/Iceberg-sorted layout makes it shuffle-free; the element-wise
+    compare is a let-bound zip_with (evaluated once per row, no
+    interpreted-HOF double eval) inside the join's project, and matching
+    rows are filtered before anything else moves. Output volume is the
+    violation count, not the corpus size.
+    """
+    from ..functions.text import let_
+
+    cur = current.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("cur"))
+    gold = golden.select(F.col(id_col).alias("id"), F.col(tokens_col).alias("gold"))
+    joined = cur.join(gold, on="id", how="full_outer")
+    # zip_with pads the shorter side with null; null == x is null, so
+    # coalesce(.., false) marks both value diffs and length overhang
+    first_diff = let_(
+        F.zip_with(
+            F.col("cur"), F.col("gold"),
+            lambda a, b: F.coalesce(a == b, F.lit(False)),
+        ),
+        lambda mm: F.array_position(mm, F.lit(False)),
+    )
+    out = joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("cur").isNull(), F.lit("missing_current"))
+        .when(F.col("gold").isNull(), F.lit("missing_golden"))
+        .otherwise(F.lit("token_mismatch"))
+        .alias("status"),
+        F.size("cur").alias("len_current"),
+        F.size("gold").alias("len_golden"),
+        F.when(
+            F.col("cur").isNotNull() & F.col("gold").isNotNull(), first_diff
+        ).alias("first_diff_pos"),
+    )
+    # pushdown re-evaluates the probe in the filter for all rows and in the
+    # project only for surviving violations — ~1 evaluation/row total
+    return out.filter(
+        (F.col("status") != "token_mismatch") | (F.col("first_diff_pos") > 0)
+    )
+
+
 def monotonic_violations(
     df: DataFrame,
     part_col: str,

@@ -14,6 +14,7 @@ from jsonschema_spark.operators.checks import (
     iqr_outlier_counts,
     iqr_outlier_rows,
     monotonic_violations,
+    token_parity,
     wilson_rates,
 )
 from jsonschema_spark.operators.drift import embedding_mean_drift
@@ -134,3 +135,46 @@ class TestEmbeddingMeanDrift:
         out = embedding_mean_drift(cur, base).collect()[0]
         assert out["mean_cosine"] == pytest.approx(0.0)  # orthogonal means
         assert out["l2_shift"] == pytest.approx(math.sqrt(1 + 4))
+
+
+class TestTokenParity:
+    def _frames(self, spark):
+        golden = spark.createDataFrame(
+            [
+                (1, [1, 2, 3]),
+                (2, [4, 5]),
+                (3, [6, 7, 8]),   # dropped from current
+                (4, [9, 9]),      # diverges at position 2
+                (5, [1, 2, 3, 4]),  # current holds a strict prefix
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        current = spark.createDataFrame(
+            [
+                (1, [1, 2, 3]),      # identical -> no row
+                (2, [4, 5]),         # identical -> no row
+                (4, [9, 8]),
+                (5, [1, 2, 3]),
+                (6, [7]),            # extra doc -> missing_golden
+            ],
+            "doc_id long, tokens array<int>",
+        )
+        return current, golden
+
+    def test_reports_exactly_the_violations(self, spark):
+        current, golden = self._frames(spark)
+        rows = {r["doc_id"]: r for r in token_parity(current, golden).collect()}
+        assert set(rows) == {3, 4, 5, 6}
+        assert rows[3]["status"] == "missing_current"
+        assert rows[3]["first_diff_pos"] is None
+        assert rows[3]["len_golden"] == 3 and rows[3]["len_current"] is None
+        assert rows[4]["status"] == "token_mismatch"
+        assert rows[4]["first_diff_pos"] == 2
+        assert rows[5]["status"] == "token_mismatch"
+        assert rows[5]["first_diff_pos"] == 4  # prefix diverges at len+1
+        assert rows[5]["len_current"] == 3 and rows[5]["len_golden"] == 4
+        assert rows[6]["status"] == "missing_golden"
+
+    def test_identical_snapshots_emit_nothing(self, spark):
+        _, golden = self._frames(spark)
+        assert token_parity(golden, golden).count() == 0
