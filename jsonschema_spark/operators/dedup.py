@@ -187,12 +187,25 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def near_dup_pairs_exact(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
-    shingles: Column | None = None,
+    shingles: Column | None = None, max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Brute-force pairwise n-gram Jaccard (id_a < id_b, jaccard >= t).
     O(n²) oracle baseline — use minhash_near_dup at scale. ``shingles``
     overrides the default word-shingle set (e.g. token_shingles for
-    pre-tokenized sequences)."""
+    pre-tokenized sequences).
+
+    The quadratic quarantine is CODE, not policy: inputs larger than
+    ``max_rows`` raise before the pair join is built (the one count pass
+    is nothing next to the n² join it prevents). Pass ``max_rows=None``
+    to force the baseline on a larger input deliberately."""
+    if max_rows is not None:
+        n_rows = df.count()
+        if n_rows > max_rows:
+            raise ValueError(
+                f"near_dup_pairs_exact is the O(n²) oracle baseline; input has "
+                f"{n_rows} rows > max_rows={max_rows}. Use minhash_near_dup at "
+                f"scale, or pass max_rows=None to force the quadratic join."
+            )
     if shingles is None:
         shingles = word_shingles(F.col(text_col), n)
     sh = ensure_parallelism(df).select(

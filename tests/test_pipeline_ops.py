@@ -181,3 +181,18 @@ def test_mix_to_proportions(spark):
     assert set(r.doc_id for r in small.collect()) <= set(ids_a) | {
         r.doc_id for r in picked.collect()
     }
+
+
+def test_near_dup_exact_guard_raises_on_large_input(spark):
+    from jsonschema_spark.operators.dedup import near_dup_pairs_exact
+
+    df = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    with pytest.raises(ValueError, match="O\\(n"):
+        near_dup_pairs_exact(df, "doc_id", "text", max_rows=10)
+    # under the cap (and with the cap disabled) the baseline still builds
+    assert near_dup_pairs_exact(df.limit(5), "doc_id", "text").count() == 10
+    assert near_dup_pairs_exact(
+        df.limit(5), "doc_id", "text", max_rows=None
+    ).count() == 10
