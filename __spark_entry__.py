@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jsonschema_spark.compiler.columns import lower_predicate
@@ -1612,6 +1612,95 @@ def q_audio_decode(spark, sf_dir):
     )
 
 
+def _decorated_text() -> Column:
+    """documents.text with deterministic multi-script / mojibake
+    decorations keyed on doc_id residues, so every script bucket and
+    damage signal has positive AND negative coverage in the driver gate
+    (the synthetic corpus itself is pure ASCII) — same synthesize-in-the-
+    query pattern as q_c4_clean."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(F.pmod(did, F.lit(3)) == 0, F.lit(" привет мир")).otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(5)) == 0, F.lit(" 你好世界")).otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(7)) == 0, F.lit(" κόσμος")).otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(11)) == 0, F.lit(" �\x07")).otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(13)) == 0, F.lit(" 한국어")).otherwise(F.lit("")),
+        F.when(F.pmod(did, F.lit(17)) == 0, F.lit(" مرحبا")).otherwise(F.lit("")),
+    )
+
+
+def q_script_mojibake(spark, sf_dir):
+    """Per-document Unicode script profile + encoding-damage signals
+    (replacement chars U+FFFD, C0 controls, non-ASCII ratio) — the
+    mojibake/script QA pass every web-crawl pipeline runs before language
+    routing. Pure scan-stage char-class counting, zero shuffle; explicit
+    code-point ranges so Java regex and DuckDB RE2 read the identical
+    pattern."""
+    from jsonschema_spark.functions.text import (
+        CONTROL_CLASS,
+        NON_ASCII_CLASS,
+        REPLACEMENT_CLASS,
+        SCRIPT_RANGES,
+        char_class_count,
+        dominant_script,
+    )
+
+    df = _t(spark, sf_dir, "documents").select("doc_id", _decorated_text().alias("t"))
+    t = F.col("t")
+    return df.select(
+        "doc_id",
+        *[
+            char_class_count(t, pat).alias(name)
+            for name, pat in sorted(SCRIPT_RANGES.items())
+        ],
+        char_class_count(t, REPLACEMENT_CLASS).alias("replacement_chars"),
+        char_class_count(t, CONTROL_CLASS).alias("control_chars"),
+        F.when(
+            F.length(t) > 0,
+            F.round(char_class_count(t, NON_ASCII_CLASS) / F.length(t), 6),
+        ).alias("non_ascii_ratio"),
+        dominant_script(t).alias("dominant_script"),
+    )
+
+
+def q_classifier_score(spark, sf_dir):
+    """fastText-style hashed-bag-of-words linear classifier scoring (the
+    serving pass of the standard quality/toxicity classifier stage) with
+    the frozen hash-derived surrogate weight table — fully deterministic,
+    reproduced closed-form by the DuckDB oracle."""
+    from jsonschema_spark.functions.text import hashed_classifier_score
+
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id", hashed_classifier_score(F.col("text")).alias("clf_score")
+    )
+
+
+def q_corpus_overlap(spark, sf_dir):
+    """Corpus-level content overlap between a snapshot slice (doc_id % 3
+    != 0) and the full corpus: MinHash-signature Jaccard estimate
+    (Broder 1997; one O(n_perm)-state agg per side) next to the exact
+    distinct-fingerprint Jaccard — the content-drift axis PSI/chi-square
+    histograms cannot see (a refresh that swaps documents but keeps the
+    token distribution is invisible to PSI, fully visible here)."""
+    from jsonschema_spark.operators.drift import corpus_minhash_overlap
+
+    df = _t(spark, sf_dir, "documents")
+    current = df.filter(F.pmod(F.col("doc_id"), F.lit(3)) != 0)
+    return corpus_minhash_overlap(current, df, n_perm=64)
+
+
+def q_token_ngram_diversity(spark, sf_dir):
+    """Distinct-bigram fraction directly on the pre-tokenized sequences
+    (token-native repetition signal — Rae et al. 2021 §A1.1 duplicate-
+    n-gram family without detokenizing). Exact comma-joined grams, zero
+    shuffle, zero Python."""
+    from jsonschema_spark.operators.stats import token_ngram_diversity
+
+    return token_ngram_diversity(_token_corpus(spark), n=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_parity": q_token_parity,
@@ -1666,6 +1755,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_spec": q_infer_spec,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
+    # r3-late additions: never gated yet (the 47 entries above fill most
+    # of the 50-entry window first; the sweep covers these until the r4
+    # rotation gates them).
+        "script_mojibake": q_script_mojibake,
+        "classifier_score": q_classifier_score,
+        "corpus_overlap": q_corpus_overlap,
+        "token_ngram_diversity": q_token_ngram_diversity,
         "type_integer": q_type_integer,
         "enum_scalar": q_enum_scalar,
         "all_of": q_all_of,
@@ -1733,6 +1829,31 @@ _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 def _hex60(expr: str) -> str:
     """DuckDB twin of functions.text.portable_hash60."""
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# DuckDB twin of q_script_mojibake's _decorated_text (identical residue
+# decorations; chr(7) instead of an embedded literal control byte).
+_DECOR = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' привет мир' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' 你好世界' ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' κόσμος' ELSE '' END"
+    " || CASE WHEN doc_id % 11 = 0 THEN ' �' || chr(7) ELSE '' END"
+    " || CASE WHEN doc_id % 13 = 0 THEN ' 한국어' ELSE '' END"
+    " || CASE WHEN doc_id % 17 = 0 THEN ' مرحبا' ELSE '' END"
+)
+
+
+_FP_PERM = "fp || ':' || p"
+
+
+def _char_class_count_sql(char_class: str, alias: str) -> str:
+    """DuckDB twin of functions.text.char_class_count over column t (cast
+    to INT to match Spark's int length arithmetic)."""
+    return (
+        f"CAST(length(t) - length(regexp_replace(t, '{char_class}', '', 'g'))"
+        f" AS INT) AS {alias}"
+    )
 
 
 def _simhash_oracle_sql() -> str:
@@ -3022,5 +3143,75 @@ def oracle_sql() -> dict[str, str]:
             " SELECT ws AS window_start, CAST(any_value(n_cur) AS BIGINT) AS n,"
             "  round(sum((p - q) * ln(p / q)), 6) AS psi"
             " FROM j GROUP BY 1"
+        ),
+        "script_mojibake": (
+            "SELECT doc_id, arabic, cjk, cyrillic, greek, hangul, latin,"
+            " replacement_chars, control_chars,"
+            " CASE WHEN n > 0 THEN round(nonascii / CAST(n AS DOUBLE), 6)"
+            "  END AS non_ascii_ratio,"
+            " CASE WHEN greatest(arabic, cjk, cyrillic, greek, hangul, latin) = 0"
+            "   THEN 'none'"
+            "  WHEN latin >= greatest(arabic, cjk, cyrillic, greek, hangul)"
+            "   THEN 'latin'"
+            "  WHEN hangul >= greatest(arabic, cjk, cyrillic, greek) THEN 'hangul'"
+            "  WHEN greek >= greatest(arabic, cjk, cyrillic) THEN 'greek'"
+            "  WHEN cyrillic >= greatest(arabic, cjk) THEN 'cyrillic'"
+            "  WHEN cjk >= arabic THEN 'cjk' ELSE 'arabic' END AS dominant_script"
+            " FROM (SELECT doc_id,"
+            f"  {_char_class_count_sql('[؀-ۿ]', 'arabic')},"
+            f"  {_char_class_count_sql('[぀-ヿ一-鿿]', 'cjk')},"
+            f"  {_char_class_count_sql('[Ѐ-ӿ]', 'cyrillic')},"
+            f"  {_char_class_count_sql('[Ͱ-Ͽ]', 'greek')},"
+            f"  {_char_class_count_sql('[가-힯]', 'hangul')},"
+            f"  {_char_class_count_sql('[A-Za-zÀ-ɏ]', 'latin')},"
+            f"  {_char_class_count_sql('[�]', 'replacement_chars')},"
+            "  "
+            + _char_class_count_sql(
+                "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", "control_chars"
+            )
+            + ","
+            + _char_class_count_sql("[^\\x00-\\x7f]", "nonascii")
+            + ","
+            "  CAST(length(t) AS INT) AS n"
+            f" FROM (SELECT doc_id, {_DECOR} AS t FROM documents))"
+        ),
+        "classifier_score": (
+            "SELECT doc_id, round(1.0 / (1.0 + exp(-("
+            " CASE WHEN len(ws) > 0 THEN list_sum(list_transform(ws,"
+            f"  w -> (({_hex60('w')} % 1024) % 997) / 498.0 - 1.0)) / len(ws)"
+            " ELSE 0.0 END))), 6) AS clf_score"
+            f" FROM (SELECT doc_id, {_WS} AS ws FROM documents)"
+        ),
+        "corpus_overlap": (
+            f"WITH fa AS (SELECT DISTINCT md5({_NORM}) AS fp"
+            "   FROM documents WHERE doc_id % 3 <> 0),"
+            f" fb AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents),"
+            " perms AS (SELECT CAST(range AS INT) AS p FROM range(64)),"
+            " ma AS (SELECT p,"
+            f"  min({_hex60(_FP_PERM)}) AS m"
+            "  FROM fa CROSS JOIN perms GROUP BY p),"
+            " mb AS (SELECT p,"
+            f"  min({_hex60(_FP_PERM)}) AS m"
+            "  FROM fb CROSS JOIN perms GROUP BY p),"
+            " est AS (SELECT count(*) FILTER (WHERE ma.m = mb.m) AS n_match"
+            "  FROM ma JOIN mb USING (p)),"
+            " ex AS (SELECT count(*) FILTER (WHERE a > 0 AND b > 0) AS n_inter,"
+            "   count(*) AS n_union FROM ("
+            "   SELECT fp, max(a) AS a, max(b) AS b FROM ("
+            "    SELECT fp, 1 AS a, 0 AS b FROM fa"
+            "    UNION ALL SELECT fp, 0 AS a, 1 AS b FROM fb) GROUP BY fp))"
+            " SELECT 64 AS n_perm, round(n_match / 64.0, 6) AS est_jaccard,"
+            "  round(n_inter / CAST(n_union AS DOUBLE), 6) AS exact_jaccard"
+            " FROM est, ex"
+        ),
+        "token_ngram_diversity": (
+            "SELECT doc_id AS id, CAST(len(g) AS INT) AS n_grams,"
+            " CAST(len(list_distinct(g)) AS INT) AS n_distinct,"
+            " CASE WHEN len(g) > 0 THEN"
+            "  round(len(list_distinct(g)) / CAST(len(g) AS DOUBLE), 6)"
+            "  END AS diversity"
+            " FROM (SELECT doc_id, list_transform(range(1, len(tokens)),"
+            "  i -> concat(tokens[i], ',', tokens[i + 1])) AS g"
+            f" FROM read_parquet('{_token_corpus_path()}/*.parquet'))"
         ),
     }

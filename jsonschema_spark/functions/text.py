@@ -287,3 +287,103 @@ def winnow(col: Column, k: int = 5, window: int = 4) -> Column:
         return F.array_sort(F.array_distinct(mins))
 
     return let_(rolling_hashes(col, k), _winnow)
+
+
+# Unicode script ranges as explicit code-point classes. Explicit ranges
+# (not \p{IsCyrillic} names) on purpose: Java regex and RE2 spell the
+# property names differently, but literal-range character classes mean the
+# same thing in both engines, so the DuckDB oracle twin is the same
+# pattern string verbatim.
+SCRIPT_RANGES = {
+    "arabic": "[؀-ۿ]",
+    "cjk": "[぀-ヿ一-鿿]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "hangul": "[가-힯]",
+    "latin": "[A-Za-zÀ-ɏ]",
+}
+
+# Mojibake / encoding-damage signals: the replacement character U+FFFD is
+# what lenient UTF-8 decoding leaves behind; C0 control characters (minus
+# tab/newline/CR) never belong in prose.
+REPLACEMENT_CLASS = "[�]"
+CONTROL_CLASS = "[\x00-\x08\x0b\x0c\x0e-\x1f]"
+NON_ASCII_CLASS = "[^\x00-\x7f]"
+
+
+def char_class_count(col: Column, char_class: str) -> Column:
+    """Number of characters of ``col`` matching a regex character class,
+    as length(col) - length(regexp_replace(col, class, '')) — one codegen
+    pass per class, no explode, and the identical formulation runs in
+    DuckDB (regexp_replace with the 'g' flag)."""
+    return F.length(col) - F.length(F.regexp_replace(col, char_class, ""))
+
+
+def dominant_script(col: Column) -> Column:
+    """Argmax Unicode script of the document by character count; 'none'
+    when no script character occurs. Ties break toward the
+    lexicographically largest script name (struct max semantics — the same
+    tie-break lang_id uses, mirrored exactly in the oracle SQL)."""
+    candidates = F.array(
+        *[
+            F.struct(
+                char_class_count(col, pat).alias("n"), F.lit(name).alias("s")
+            )
+            for name, pat in sorted(SCRIPT_RANGES.items())
+        ]
+    )
+    best = F.array_max(candidates)
+    return F.when(best.getField("n") > 0, best.getField("s")).otherwise(
+        F.lit("none")
+    )
+
+
+def hashed_classifier_score(
+    col: Column,
+    n_buckets: int = 1024,
+    weights: list[float] | None = None,
+    decimals: int = 6,
+) -> Column:
+    """fastText-style linear text classifier over a hashed bag of words:
+    each lowercase word hashes to one of ``n_buckets`` buckets, the bucket
+    weights are summed, and the mean weight goes through a sigmoid →
+    score in (0, 1). This is the *serving* path of the standard quality/
+    toxicity/domain classifier stage of web-crawl pipelines (fastText is
+    exactly hashed bag-of-n-grams + linear layer): training happens
+    offline; at corpus scale only this scoring pass runs.
+
+    ``weights`` is the trained weight table (literal array, indexed by
+    bucket — small enough to live in the plan; at 10^6+ buckets ship it as
+    a broadcast DataFrame and join instead). When ``weights`` is None a
+    frozen hash-derived surrogate table is used — weight(b) = (b mod 997)
+    / 498 - 1, uniform in [-1, 1] — which keeps the operator fully
+    deterministic and lets the DuckDB oracle reproduce every score
+    closed-form.
+
+    Pure scan-stage expression: bucketing uses portable_hash60 (md5-based,
+    cross-engine); no shuffle, no Python. Empty documents score sigmoid(0)
+    = 0.5 (no evidence either way)."""
+
+    def _bucket(w: Column) -> Column:
+        return F.pmod(portable_hash60(w), F.lit(n_buckets))
+
+    if weights is not None:
+        if len(weights) != n_buckets:
+            raise ValueError("weights must have exactly n_buckets entries")
+        table = F.lit(weights)
+
+        def _weight(w: Column) -> Column:
+            return F.element_at(table, (_bucket(w) + 1).cast("int"))
+
+    else:
+
+        def _weight(w: Column) -> Column:
+            return F.pmod(_bucket(w), F.lit(997)).cast("double") / 498.0 - 1.0
+
+    def _score(ws: Column) -> Column:
+        n = F.size(ws)
+        total = F.aggregate(ws, F.lit(0.0), lambda acc, w: acc + _weight(w))
+        logit = F.when(n > 0, total / n).otherwise(F.lit(0.0))
+        return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), decimals)
+
+    return let_(words(F.lower(col)), _score)

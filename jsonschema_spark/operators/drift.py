@@ -342,3 +342,78 @@ def drift_report(current: DataFrame, baseline: DataFrame, key: str = "bucket",
         "dof": max(chi_buckets - 1, 1),
         "drifted": psi_total > psi_threshold,
     }
+
+
+def corpus_minhash_overlap(
+    current: DataFrame,
+    baseline: DataFrame,
+    text_col: str = "text",
+    n_perm: int = 64,
+    decimals: int = 6,
+    portable: bool = True,
+) -> DataFrame:
+    """Corpus-level content-overlap estimate between a current corpus and
+    a baseline snapshot, as ONE row ``(n_perm, est_jaccard,
+    exact_jaccard)``.
+
+    Semantics: each side collapses to a MinHash signature over its set of
+    document fingerprints (one min per permutation, computed as a single
+    map-side-combined aggregation — O(n_perm) state per partition, no
+    shuffle of document rows); the estimated Jaccard is the fraction of
+    permutations whose minima agree (Broder 1997). ``exact_jaccard`` is
+    the ground-truth |A∩B| / |A∪B| over distinct fingerprints — cheap at
+    any scale (one union + one groupBy on a uniform md5 key) and kept in
+    the output so drift dashboards can show estimate vs truth; drop it
+    when only the O(n_perm)-state sketch pass is affordable.
+
+    Why it exists: snapshot-to-snapshot *content* drift (how much of
+    yesterday's corpus survived into today's) is a different axis from
+    distribution drift (PSI/chi-square on histograms) — a refresh that
+    replaced half the documents but kept the token distribution identical
+    is invisible to PSI and fully visible here.
+
+    ``portable=True`` hashes with portable_hash60 (md5-based) so the
+    DuckDB oracle reproduces every permutation minimum exactly; pass
+    ``False`` for the xxhash64 fast path at scale.
+    """
+    from ..functions.text import fingerprint, portable_hash60
+
+    def _hash(fp, p: int):
+        salted = F.concat(fp, F.lit(f":{p}"))
+        return portable_hash60(salted) if portable else F.abs(F.xxhash64(salted))
+
+    def _sig(df: DataFrame, side: str) -> DataFrame:
+        fps = df.select(fingerprint(F.col(text_col)).alias("fp"))
+        return fps.agg(
+            *[F.min(_hash(F.col("fp"), p)).alias(f"{side}{p}") for p in range(n_perm)]
+        )
+
+    matches = _sig(current, "a").crossJoin(_sig(baseline, "b")).select(
+        sum(
+            [(F.col(f"a{p}") == F.col(f"b{p}")).cast("int") for p in range(n_perm)],
+            F.lit(0),
+        ).alias("n_match")
+    )
+
+    fa = current.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    fb = baseline.select(fingerprint(F.col(text_col)).alias("fp")).distinct()
+    exact = (
+        fa.withColumn("a", F.lit(1)).withColumn("b", F.lit(0))
+        .unionAll(fb.withColumn("a", F.lit(0)).withColumn("b", F.lit(1)))
+        .groupBy("fp")
+        .agg(F.max("a").alias("a"), F.max("b").alias("b"))
+        .agg(
+            F.sum(F.col("a") * F.col("b")).alias("n_inter"),
+            F.count(F.lit(1)).alias("n_union"),
+        )
+    )
+
+    return matches.crossJoin(exact).select(
+        F.lit(n_perm).alias("n_perm"),
+        F.round(F.col("n_match") / F.lit(float(n_perm)), decimals).alias(
+            "est_jaccard"
+        ),
+        F.round(F.col("n_inter") / F.col("n_union"), decimals).alias(
+            "exact_jaccard"
+        ),
+    )

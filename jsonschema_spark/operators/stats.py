@@ -11,7 +11,7 @@ after map-side combine, which is the scalable shape at 10^12 rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -186,4 +186,54 @@ def rare_token_rate(
             F.coalesce("n_tok", F.lit(0)) > 0,
             F.round(F.col("n_rare") / F.col("n_tok"), decimals),
         ).alias("rare_rate"),
+    )
+
+
+def token_ngram_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """``(id, n_grams, n_distinct, diversity)``: distinct-n-gram fraction
+    computed DIRECTLY on the pre-tokenized sequence — the token-native
+    repetition / compressibility signal (Rae et al. 2021 §A1.1 apply this
+    family of duplicate-n-gram filters on words; on an already-tokenized
+    corpus recomputing words would detokenize, so the right column is the
+    tokens array itself). A sequence stuck in a generation loop or padded
+    with repeated chunks scores low; diversity 1.0 means every n-gram is
+    unique.
+
+    Grams are exact (comma-joined token ids, not hashes), so there are no
+    collisions and the DuckDB oracle reproduces every value. Scale shape:
+    pure scan-stage expression over the array column — zero shuffle, zero
+    Python; the per-row gram array is O(n_tok) and freed per batch. The
+    tokenization loop is let-bound so the gram array materializes once
+    (HOFs get no CSE).
+    """
+    from ..functions.text import index_range, let_
+
+    toks = F.col(tokens_col)
+    grams = F.transform(
+        index_range(F.size(toks) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), ","),
+    )
+
+    def _stats(g: Column) -> Column:
+        return F.struct(
+            F.size(g).alias("n_grams"),
+            F.size(F.array_distinct(g)).alias("n_distinct"),
+        )
+
+    return df.select(
+        F.col(id_col).alias("id"), let_(grams, _stats).alias("_s")
+    ).select(
+        "id",
+        F.col("_s.n_grams").alias("n_grams"),
+        F.col("_s.n_distinct").alias("n_distinct"),
+        F.when(
+            F.col("_s.n_grams") > 0,
+            F.round(F.col("_s.n_distinct") / F.col("_s.n_grams"), decimals),
+        ).alias("diversity"),
     )
