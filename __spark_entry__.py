@@ -1734,7 +1734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_kernel": q_embedding_topk_kernel,
-        "embedding_near_dup": q_embedding_near_dup,
+        "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "blob_stats": q_blob_stats,
@@ -1755,13 +1755,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_spec": q_infer_spec,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
-    # r3-late additions: never gated yet (the 47 entries above fill most
-    # of the 50-entry window first; the sweep covers these until the r4
-    # rotation gates them).
+    # r3-late additions, rotated into the 50-entry driver gate window
+    # (embedding_near_dup — green in r01 AND r02, and the quarantined
+    # O(n^2) baseline — moved below the window to make room; the sf0.01
+    # sweep still covers everything outside the window).
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
-        "token_ngram_diversity": q_token_ngram_diversity,
+        "embedding_near_dup": q_embedding_near_dup,
         "type_integer": q_type_integer,
         "enum_scalar": q_enum_scalar,
         "all_of": q_all_of,
