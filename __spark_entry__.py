@@ -1701,6 +1701,59 @@ def q_token_ngram_diversity(spark, sf_dir):
     return token_ngram_diversity(_token_corpus(spark), n=2)
 
 
+def q_sequence_structure(spark, sf_dir):
+    """Per-sequence structural validation (BOS/EOS placement, interior
+    special tokens, vocab range) — the token-payload accept/reject walk.
+    The raw corpus has no special tokens, so the query synthesizes the
+    full truth table deterministically on doc_id residues (same pattern as
+    q_script_mojibake): base ids shift to [10, 509] (clear of specials),
+    BOS dropped at %7, EOS dropped at %5, an interior PAD injected at %13,
+    an out-of-vocab id at %11."""
+    from jsonschema_spark.operators.checks import sequence_structure
+
+    df = _token_corpus(spark)
+    did = F.col("doc_id")
+    empty = F.array().cast("array<int>")
+
+    def _maybe(cond, val):
+        return F.when(cond, F.array(F.lit(val).cast("int"))).otherwise(empty)
+
+    decorated = F.concat(
+        _maybe(F.pmod(did, F.lit(7)) != 0, 1),
+        F.transform(F.col("tokens"), lambda t: t + F.lit(10)),
+        _maybe(F.pmod(did, F.lit(13)) == 0, 0),
+        _maybe(F.pmod(did, F.lit(11)) == 0, 99999),
+        _maybe(F.pmod(did, F.lit(5)) != 0, 2),
+    )
+    return sequence_structure(
+        df.select("doc_id", decorated.alias("tokens")), vocab_size=32_000
+    )
+
+
+def q_zipf_slope(spark, sf_dir):
+    """Per-source Zipf fit (OLS of ln freq ~ ln rank over the top-200
+    token ids) — the one-number distributional fingerprint per source;
+    slope drift flags sources gone unnaturally uniform or template-heavy.
+    Sources derived as doc_id mod 3 (the token corpus has no source
+    column; the derivation is mirrored in the oracle)."""
+    from jsonschema_spark.operators.stats import zipf_slope
+
+    df = _token_corpus(spark).withColumn(
+        "source", F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    )
+    return zipf_slope(df, group_col="source", top_v=200)
+
+
+def q_token_prefix_dups(spark, sf_dir):
+    """Shared-prefix duplicate groups (identical first 16 tokens) — the
+    truncation-artifact detector exact dedup and shingle-Jaccard both
+    miss; n_distinct_full separates exact copies from truncation/extension
+    variants. One groupBy on a uniform md5 key."""
+    from jsonschema_spark.operators.dedup import token_prefix_dups
+
+    return token_prefix_dups(_token_corpus(spark), k=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_parity": q_token_parity,
@@ -1728,10 +1781,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_ingest": q_jsonl_ingest,
         "ntok_quantiles": q_ntok_quantiles,
         "packed_stats_validate": q_packed_stats_validate,
-        "lang_id_counts": q_lang_id_counts,
-        "quality_score": q_quality_score,
+        "sequence_structure": q_sequence_structure,
+        "zipf_slope": q_zipf_slope,
+        "token_prefix_dups": q_token_prefix_dups,
         "token_stats": q_token_stats,
-        "doc_fingerprint": q_doc_fingerprint,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_kernel": q_embedding_topk_kernel,
         "token_ngram_diversity": q_token_ngram_diversity,
@@ -1755,14 +1808,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "infer_spec": q_infer_spec,
         "weighted_sample": q_weighted_sample,
         "windowed_drift": q_windowed_drift,
-    # r3-late additions, rotated into the 50-entry driver gate window
-    # (embedding_near_dup — green in r01 AND r02, and the quarantined
-    # O(n^2) baseline — moved below the window to make room; the sf0.01
-    # sweep still covers everything outside the window).
+    # r3-late additions, rotated into the 50-entry driver gate window.
+    # Displaced to make room (all green in r01 AND r02, still sweep- and
+    # pytest-covered): embedding_near_dup (the quarantined O(n^2)
+    # baseline), lang_id_counts, quality_score, doc_fingerprint.
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
         "embedding_near_dup": q_embedding_near_dup,
+        "lang_id_counts": q_lang_id_counts,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
         "type_integer": q_type_integer,
         "enum_scalar": q_enum_scalar,
         "all_of": q_all_of,
@@ -3214,5 +3270,62 @@ def oracle_sql() -> dict[str, str]:
             " FROM (SELECT doc_id, list_transform(range(1, len(tokens)),"
             "  i -> concat(tokens[i], ',', tokens[i + 1])) AS g"
             f" FROM read_parquet('{_token_corpus_path()}/*.parquet'))"
+        ),
+        # DuckDB twin of q_sequence_structure's residue decoration; lambda
+        # index i is 1-based in DuckDB (0-based in Spark), hence i > 1 AND
+        # i < n for "strictly interior".
+        "sequence_structure": (
+            "SELECT doc_id,"
+            " n_oob = 0 AS vocab_ok,"
+            " n >= 1 AND t[1] = 1 AS bos_ok,"
+            " n >= 1 AND t[-1] = 2 AS eos_ok,"
+            " CAST(interior AS INT) AS interior_special,"
+            " CAST(n_oob AS INT) AS n_oob,"
+            " n_oob = 0 AND n >= 1 AND t[1] = 1 AND t[-1] = 2"
+            "  AND interior = 0 AS structure_ok"
+            " FROM (SELECT doc_id, len(t) AS n,"
+            "  len(list_filter(t, x -> x < 0 OR x >= 32000)) AS n_oob,"
+            "  len(list_filter(t, (x, i) -> list_contains([1, 2, 0], x)"
+            "   AND i > 1 AND i < len(t))) AS interior, t"
+            " FROM (SELECT doc_id,"
+            "  CASE WHEN doc_id % 7 <> 0 THEN [1] ELSE CAST([] AS INT[]) END"
+            "  || list_transform(tokens, x -> x + 10)"
+            "  || CASE WHEN doc_id % 13 = 0 THEN [0] ELSE CAST([] AS INT[]) END"
+            "  || CASE WHEN doc_id % 11 = 0 THEN [99999] ELSE CAST([] AS INT[]) END"
+            "  || CASE WHEN doc_id % 5 <> 0 THEN [2] ELSE CAST([] AS INT[]) END"
+            "  AS t"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')))"
+        ),
+        "zipf_slope": (
+            "WITH c AS (SELECT CAST(doc_id % 3 AS VARCHAR) AS source, tok,"
+            "  count(*) AS freq FROM (SELECT doc_id, unnest(tokens) AS tok"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet'))"
+            "  GROUP BY 1, 2),"
+            " f AS (SELECT source, ln(CAST(rank AS DOUBLE)) AS x,"
+            "   ln(CAST(freq AS DOUBLE)) AS y"
+            "  FROM (SELECT source, freq, row_number() OVER ("
+            "   PARTITION BY source ORDER BY freq DESC, tok ASC) AS rank FROM c)"
+            "  WHERE rank <= 200),"
+            " a AS (SELECT source, count(*) AS n_terms, sum(x) AS sx,"
+            "   sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy"
+            "  FROM f GROUP BY 1)"
+            " SELECT source, n_terms,"
+            "  CASE WHEN n_terms * sxx - sx * sx > 0 THEN"
+            "   round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6)"
+            "  END AS slope,"
+            "  CASE WHEN n_terms * sxx - sx * sx > 0 THEN"
+            "   round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)"
+            "    * sx) / n_terms, 6)"
+            "  END AS intercept"
+            " FROM a"
+        ),
+        "token_prefix_dups": (
+            "SELECT md5(array_to_string(tokens[1:16], ',')) AS prefix_fp,"
+            " count(*) AS n_docs,"
+            " count(DISTINCT md5(array_to_string(tokens, ','))) AS n_distinct_full,"
+            " min(doc_id) AS min_doc, max(doc_id) AS max_doc"
+            f" FROM read_parquet('{_token_corpus_path()}/*.parquet')"
+            " WHERE len(tokens) >= 16"
+            " GROUP BY 1 HAVING count(*) > 1"
         ),
     }

@@ -222,3 +222,95 @@ def monotonic_violations(
         F.sum("is_pair").alias("n_pairs"),
         F.sum("is_bad").alias("n_violations"),
     )
+
+
+def sequence_structure(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    vocab_size: int = 32_000,
+    bos_id: int | None = 1,
+    eos_id: int | None = 2,
+    pad_id: int | None = 0,
+) -> DataFrame:
+    """Per-sequence structural validation of pre-tokenized training rows —
+    the token-payload analogue of the reference's per-document accept/
+    reject walk (/root/reference/validate.go): instead of JSON keywords,
+    the constraints are the invariants a trainer assumes about every
+    ``tokens`` array:
+
+    - ``vocab_ok``     — every id in ``[0, vocab_size)``
+    - ``bos_ok``       — first token is ``bos_id`` (True when unset)
+    - ``eos_ok``       — last token is ``eos_id`` (True when unset)
+    - ``interior_special`` — count of BOS/EOS/PAD ids strictly inside the
+      sequence (positions 2..n-1); padding belongs at the packer, not in
+      stored sequences, and an interior EOS means two documents were glued
+      without a split
+    - ``n_oob``        — count of out-of-vocab ids (the violation weight)
+    - ``structure_ok`` — the per-row verdict (accept/reject semantics)
+
+    Empty sequences reject (``bos_ok``/``eos_ok`` False when a marker is
+    required — there is no position to hold it).
+
+    Scale shape: scan-stage array expressions (filter/size/element_at)
+    bound once as a struct column in a lower projection — the upper
+    projection references it 7 times, which blocks CollapseProject from
+    inlining (non-cheap expr, multiple refs), so the interpreted HOF
+    filters run once per row. Zero shuffle, zero Python; at 10^12 rows
+    this rides the same scan as the rest of the verdict select.
+    """
+    toks = F.col(tokens_col)
+
+    def _report(t: Column) -> Column:
+        n = F.size(t)
+        oob = F.size(
+            F.filter(t, lambda x: (x < 0) | (x >= F.lit(int(vocab_size))))
+        )
+        bos_ok = (
+            F.lit(True)
+            if bos_id is None
+            else (n >= 1) & (F.element_at(t, 1) == F.lit(int(bos_id)))
+        )
+        eos_ok = (
+            F.lit(True)
+            if eos_id is None
+            else (n >= 1) & (F.element_at(t, -1) == F.lit(int(eos_id)))
+        )
+        special = [
+            F.lit(int(s)) for s in (bos_id, eos_id, pad_id) if s is not None
+        ]
+        if special:
+            specials = F.array(*special)
+            interior = F.size(
+                F.filter(
+                    t,
+                    lambda x, i: F.array_contains(specials, x)
+                    & (i > 0)
+                    & (i < n - 1),
+                )
+            )
+        else:
+            interior = F.lit(0)
+        return F.struct(
+            (oob == 0).alias("vocab_ok"),
+            bos_ok.alias("bos_ok"),
+            eos_ok.alias("eos_ok"),
+            interior.alias("interior_special"),
+            oob.alias("n_oob"),
+        )
+
+    rep = F.col("_r")
+    return df.select(F.col(id_col), _report(toks).alias("_r")).select(
+        id_col,
+        rep.getField("vocab_ok").alias("vocab_ok"),
+        rep.getField("bos_ok").alias("bos_ok"),
+        rep.getField("eos_ok").alias("eos_ok"),
+        rep.getField("interior_special").alias("interior_special"),
+        rep.getField("n_oob").alias("n_oob"),
+        (
+            rep.getField("vocab_ok")
+            & rep.getField("bos_ok")
+            & rep.getField("eos_ok")
+            & (rep.getField("interior_special") == 0)
+        ).alias("structure_ok"),
+    )

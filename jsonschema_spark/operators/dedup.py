@@ -1131,3 +1131,55 @@ def chunk_duplicate_fraction(
             6,
         ).alias("dup_frac"),
     )
+
+
+def token_prefix_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 32,
+) -> DataFrame:
+    """Groups of sequences sharing an identical first-``k``-token prefix:
+    ``(prefix_fp, n_docs, n_distinct_full, min_doc, max_doc)`` for groups
+    with more than one member.
+
+    Why prefixes specifically: truncation artifacts — the same upstream
+    document sliced at different lengths by a crawler re-fetch or a
+    context-window cut — produce sequences that are NOT exact duplicates
+    (different n_tok) and often fall below near-dup Jaccard thresholds
+    (a 10k-token doc vs its 512-token truncation shares <6% of shingles),
+    yet train the model on the same opening k tokens twice.
+    ``n_distinct_full`` separates the two cases: 1 = exact duplicates
+    (dedup_exact's territory), >1 = genuine truncation/extension variants.
+
+    Only sequences with at least ``k`` tokens participate (shorter ones
+    cannot contain the prefix and would alias into spurious groups).
+
+    Scale shape: one groupBy on a uniform md5 key (same contract as
+    dedup_exact — no hot key because the hash domain is uniform even when
+    prefixes are skewed... the skew moves INTO a group's count, which is
+    exactly the signal); per-group state is four scalars. mapSideCombine
+    collapses most of the traffic before the shuffle.
+    """
+    toks = F.col(tokens_col)
+    prefix_fp = F.md5(
+        F.concat_ws(
+            ",", F.transform(F.slice(toks, 1, k), lambda t: t.cast("string"))
+        )
+    )
+    return (
+        df.filter(F.size(toks) >= k)
+        .select(
+            F.col(id_col).alias("doc"),
+            prefix_fp.alias("prefix_fp"),
+            token_content_hash(toks).alias("full_fp"),
+        )
+        .groupBy("prefix_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("full_fp")).alias("n_distinct_full"),
+            F.min("doc").alias("min_doc"),
+            F.max("doc").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

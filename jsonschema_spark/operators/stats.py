@@ -237,3 +237,67 @@ def token_ngram_diversity(
             F.round(F.col("_s.n_distinct") / F.col("_s.n_grams"), decimals),
         ).alias("diversity"),
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    group_col: str = "source",
+    tokens_col: str = "tokens",
+    top_v: int = 1_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-group Zipf fit over token frequencies: OLS slope/intercept of
+    ``ln(freq) ~ ln(rank)`` across the ``top_v`` most frequent token ids,
+    as ``(group, n_terms, slope, intercept)``.
+
+    Natural-language token streams follow Zipf's law (slope ≈ -1); the
+    slope is a one-number distributional fingerprint per source. A source
+    whose slope drifts toward 0 has gone unnaturally uniform (shuffled or
+    synthetic ids); toward -2+ means template/boilerplate domination. As a
+    drift check, compare slopes between snapshots — a complementary axis
+    to PSI (which needs aligned buckets) and to corpus overlap (which sees
+    identity, not shape).
+
+    Determinism under frequency ties: ranks come from row_number ordered
+    by (freq DESC, token ASC) — a total order, so Spark and the DuckDB
+    oracle agree exactly; and since ln(freq) is constant within a tied
+    block while the block occupies a fixed rank range, the OLS sums are
+    tie-order invariant anyway.
+
+    Scale shape: explode → groupBy (group, token) with map-side combine
+    (the only full shuffle, keyed by uniform token ids — no hot key);
+    the rank window runs over ≤ |vocab| rows per group, and the final
+    OLS reduces ≤ top_v rows per group to one. At 10^12 rows the explode
+    dominates and is embarrassingly parallel.
+    """
+    x = F.ln(F.col("rank").cast("double"))
+    y = F.ln(F.col("freq").cast("double"))
+
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens_col).alias("tok"))
+        .groupBy("grp", "tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("freq").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_v
+    )
+    agg = ranked.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_terms",
+        F.when(denom > 0, F.round(slope, decimals)).alias("slope"),
+        F.when(denom > 0, F.round(intercept, decimals)).alias("intercept"),
+    )

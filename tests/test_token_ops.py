@@ -1,0 +1,105 @@
+"""Unit proofs for the token-native round-3 operators: sequence structure
+validation, Zipf slope fitting, prefix-duplicate detection."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jsonschema_spark.operators.checks import sequence_structure
+from jsonschema_spark.operators.dedup import token_prefix_dups
+from jsonschema_spark.operators.stats import zipf_slope
+
+
+def test_sequence_structure_truth_table(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1, 5, 6, 2]),      # perfect
+            (2, [5, 6, 2]),         # missing BOS
+            (3, [1, 5, 6]),         # missing EOS
+            (4, [1, 5, 2, 6, 2]),   # interior EOS
+            (5, [1, 99999, 6, 2]),  # out of vocab
+            (6, [1, 0, 6, 2]),      # interior PAD
+            (7, []),                # empty rejects (no marker positions)
+            (8, [1, 2]),            # BOS+EOS only is legal
+        ],
+        "doc_id: long, tokens: array<int>",
+    )
+    rows = {r["doc_id"]: r for r in sequence_structure(df).collect()}
+    assert [rows[i]["structure_ok"] for i in range(1, 9)] == [
+        True, False, False, False, False, False, False, True,
+    ]
+    assert not rows[2]["bos_ok"] and rows[2]["eos_ok"]
+    assert rows[3]["bos_ok"] and not rows[3]["eos_ok"]
+    assert rows[4]["interior_special"] == 1 and rows[4]["vocab_ok"]
+    assert rows[5]["n_oob"] == 1 and not rows[5]["vocab_ok"]
+    assert rows[6]["interior_special"] == 1
+    assert not rows[7]["bos_ok"] and not rows[7]["eos_ok"]
+
+
+def test_sequence_structure_optional_markers(spark):
+    # With no BOS/EOS/PAD configured, only the vocab range is enforced.
+    df = spark.createDataFrame(
+        [(1, [5, 6, 7]), (2, [5, 70000, 7])], "doc_id: long, tokens: array<int>"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in sequence_structure(
+            df, vocab_size=32_000, bos_id=None, eos_id=None, pad_id=None
+        ).collect()
+    }
+    assert rows[1]["structure_ok"] and rows[1]["bos_ok"] and rows[1]["eos_ok"]
+    assert rows[1]["interior_special"] == 0
+    assert not rows[2]["structure_ok"] and rows[2]["n_oob"] == 1
+
+
+def test_zipf_slope_matches_numpy_ols(spark):
+    # Token id t occurs (5 - t) * 3 times, t in 1..4 -> freqs 12, 9, 6, 3.
+    rows = []
+    for tok in range(1, 5):
+        rows += [("s", [tok])] * ((5 - tok) * 3)
+    df = spark.createDataFrame(rows, "source: string, tokens: array<int>")
+    got = zipf_slope(df, top_v=10).collect()[0]
+    xs = [math.log(r) for r in range(1, 5)]
+    ys = [math.log(f) for f in (12, 9, 6, 3)]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx, sxy = sum(x * x for x in xs), sum(x * y for x, y in zip(xs, ys))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    assert got["n_terms"] == 4
+    assert got["slope"] == pytest.approx(slope, abs=1e-6)
+    assert got["intercept"] == pytest.approx(intercept, abs=1e-6)
+
+
+def test_zipf_slope_degenerate_group_is_null(spark):
+    df = spark.createDataFrame([("solo", [9]), ("solo", [9])],
+                               "source: string, tokens: array<int>")
+    row = zipf_slope(df).collect()[0]
+    assert row["n_terms"] == 1 and row["slope"] is None
+
+
+def test_zipf_slope_top_v_cap(spark):
+    df = spark.createDataFrame(
+        [("s", list(range(100)))], "source: string, tokens: array<int>"
+    )
+    assert zipf_slope(df, top_v=10).collect()[0]["n_terms"] == 10
+
+
+def test_token_prefix_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, list(range(40))),
+            (2, list(range(40)) + [99]),  # truncation variant of 1
+            (3, list(range(40))),         # exact dup of 1
+            (4, list(range(5))),          # too short to hold the prefix
+            (5, [7] * 40),                # unique prefix
+        ],
+        "doc_id: long, tokens: array<int>",
+    )
+    out = token_prefix_dups(df, k=32).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert (g["n_docs"], g["n_distinct_full"]) == (3, 2)
+    assert (g["min_doc"], g["max_doc"]) == (1, 3)
