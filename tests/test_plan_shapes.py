@@ -182,3 +182,36 @@ def test_infer_pass1_has_no_collect_set(spark):
     spec = infer_table_spec(df)
     assert "enum" not in spec["columns"]["hc"]
     assert sorted(spec["columns"]["lc"]["enum"]) == ["0", "1", "2"]
+
+
+def test_sequence_structure_single_projection_single_eval(spark):
+    """The structure verdict is a zero-shuffle scan-stage projection, and
+    the interpreted HOF filters must be evaluated once per row: the struct
+    lives in its own projection below the field-extraction one (multiple
+    refs to a non-cheap expr block CollapseProject), so the plan carries
+    exactly one `filter(` per check, not one per referencing column."""
+    plan = _plan(entry_mod.queries()["sequence_structure"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # n_oob's filter feeds vocab_ok, n_oob, and structure_ok; interior's
+    # feeds interior_special and structure_ok. One evaluation each (plus
+    # the decorating query's own exprs — count the validator's lambda var)
+    assert plan.count("namedlambdavariable()") <= 4  # 2 filters x (arg+use)
+
+
+def test_zipf_slope_one_shuffle_then_bounded_window(spark):
+    """explode -> one hash shuffle on (group, token) with map-side partial
+    aggregation; the rank window and OLS reduce run over <= vocab rows per
+    group. No Python anywhere."""
+    plan = _plan(entry_mod.queries()["zipf_slope"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine before the shuffle
+    assert "Generate explode" in plan
+
+
+def test_token_prefix_dups_uniform_key_groupby(spark):
+    plan = _plan(entry_mod.queries()["token_prefix_dups"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # keep-first state is bounded scalars: no collect_list/collect_set
+    assert "collect_" not in plan.lower()
+    assert "SortMergeJoin" not in plan  # single-table agg, no join at all
