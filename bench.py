@@ -160,6 +160,13 @@ def main() -> None:
         "c4_clean",
         "image_decode",
         "audio_decode",
+        "script_mojibake",
+        "classifier_score",
+        "corpus_overlap",
+        "token_ngram_diversity",
+        "sequence_structure",
+        "zipf_slope",
+        "token_prefix_dups",
     ]
     qs = entry.queries()
     for name in headline:
