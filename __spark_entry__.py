@@ -1754,6 +1754,56 @@ def q_token_prefix_dups(spark, sf_dir):
     return token_prefix_dups(_token_corpus(spark), k=16)
 
 
+def q_pii_redact(spark, sf_dir):
+    """Span-level PII redaction over the injected-PII corpus — the rewrite
+    stage after pii_scan's detection pass; typed placeholders, counts from
+    the original text. Chain of native regexp_replace in one scan-stage
+    projection."""
+    import os
+
+    from jsonschema_spark.operators.cleaning import pii_redact
+    from jsonschema_spark.sources.corpus import pii_corpus
+
+    path = _pii_corpus_path()
+    if not os.path.isdir(path):
+        pii_corpus(spark, 2_000, seed=9).write.mode("overwrite").parquet(path)
+    return pii_redact(spark.read.parquet(path))
+
+
+def q_cross_source_dups(spark, sf_dir):
+    """Cross-source duplication matrix over the token corpus (sources
+    derived as doc_id mod 3, mirrored in the oracle): distinct content
+    fingerprints shared by each unordered source pair. collect_set is
+    bounded by the source registry, never by duplicate count."""
+    from jsonschema_spark.operators.dedup import (
+        cross_source_dups,
+        token_content_hash,
+    )
+
+    df = _token_corpus(spark).withColumn(
+        "source", F.pmod(F.col("doc_id"), F.lit(3)).cast("string")
+    )
+    return cross_source_dups(
+        df, fingerprint=token_content_hash(F.col("tokens"))
+    )
+
+
+def q_vocab_prune(spark, sf_dir):
+    """Min-count vocabulary pruning with dense frequency-rank re-ids
+    applied scan-stage through a guarded map literal; output is the
+    remapped-array fingerprint + per-doc OOV count so the oracle verifies
+    every position of every rewritten sequence."""
+    from jsonschema_spark.operators.dedup import token_content_hash
+    from jsonschema_spark.operators.vocab import prune_vocab
+
+    out = prune_vocab(_token_corpus(spark), min_count=150)
+    return out.select(
+        "doc_id",
+        token_content_hash(F.col("tokens")).alias("remap_fp"),
+        "n_oov",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_parity": q_token_parity,
@@ -1784,9 +1834,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_structure": q_sequence_structure,
         "zipf_slope": q_zipf_slope,
         "token_prefix_dups": q_token_prefix_dups,
-        "token_stats": q_token_stats,
-        "embedding_topk": q_embedding_topk,
-        "embedding_topk_kernel": q_embedding_topk_kernel,
+        "pii_redact": q_pii_redact,
+        "cross_source_dups": q_cross_source_dups,
+        "vocab_prune": q_vocab_prune,
         "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -1811,7 +1861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r3-late additions, rotated into the 50-entry driver gate window.
     # Displaced to make room (all green in r01 AND r02, still sweep- and
     # pytest-covered): embedding_near_dup (the quarantined O(n^2)
-    # baseline), lang_id_counts, quality_score, doc_fingerprint.
+    # baseline), lang_id_counts, quality_score, doc_fingerprint,
+    # token_stats, embedding_topk, embedding_topk_kernel.
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
@@ -1819,6 +1870,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "embedding_topk": q_embedding_topk,
+        "embedding_topk_kernel": q_embedding_topk_kernel,
         "type_integer": q_type_integer,
         "enum_scalar": q_enum_scalar,
         "all_of": q_all_of,
@@ -3327,5 +3381,42 @@ def oracle_sql() -> dict[str, str]:
             f" FROM read_parquet('{_token_corpus_path()}/*.parquet')"
             " WHERE len(tokens) >= 16"
             " GROUP BY 1 HAVING count(*) > 1"
+        ),
+        "pii_redact": (
+            "SELECT doc_id,"
+            " regexp_replace(regexp_replace(regexp_replace(text,"
+            "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+            "  '[0-9]{3}-[0-9]{2}-[0-9]{4}', '<SSN>', 'g'),"
+            "  '[0-9]{9,}', '<NUM>', 'g') AS text_redacted,"
+            " CAST(len(regexp_extract_all(text,"
+            "   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))"
+            "  + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}'))"
+            "  + len(regexp_extract_all(text, '[0-9]{9,}')) AS INT)"
+            "  AS n_redacted"
+            f" FROM read_parquet('{_pii_corpus_path()}/*.parquet')"
+        ),
+        "cross_source_dups": (
+            "WITH d AS (SELECT DISTINCT md5(array_to_string(tokens, ',')) AS fp,"
+            "  CAST(doc_id % 3 AS VARCHAR) AS src"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet'))"
+            " SELECT a.src AS source_a, b.src AS source_b, count(*) AS n_shared"
+            " FROM d a JOIN d b ON a.fp = b.fp AND a.src < b.src"
+            " GROUP BY 1, 2"
+        ),
+        "vocab_prune": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " c AS (SELECT tok, count(*) AS freq FROM"
+            "  (SELECT unnest(tokens) AS tok FROM t) GROUP BY 1),"
+            " k AS (SELECT tok, row_number() OVER (ORDER BY freq DESC, tok ASC)"
+            "   AS new_id FROM c WHERE freq >= 150),"
+            " e AS (SELECT doc_id, unnest(tokens) AS tok,"
+            "   unnest(range(1, len(tokens) + 1)) AS ord FROM t),"
+            " r AS (SELECT e.doc_id, coalesce(k.new_id, 0) AS nid, e.ord,"
+            "   CASE WHEN k.tok IS NULL THEN 1 ELSE 0 END AS oov"
+            "  FROM e LEFT JOIN k ON e.tok = k.tok)"
+            " SELECT doc_id,"
+            "  md5(string_agg(CAST(nid AS VARCHAR), ',' ORDER BY ord)) AS remap_fp,"
+            "  CAST(sum(oov) AS INT) AS n_oov"
+            " FROM r GROUP BY 1"
         ),
     }

@@ -234,3 +234,46 @@ def gopher_quality(
         & (F.col("top2gram_frac") <= max_top2gram_frac)
         & (F.col("dup3gram_frac") <= max_dup3gram_frac),
     )
+
+
+# Default PII redaction table: (pattern, typed placeholder). Patterns are
+# literal-range regexes valid in both Java regex and RE2 so the DuckDB
+# oracle runs the identical strings; placeholders contain no digits or '@'
+# so one replacement can never create a later pattern's match (no cascade).
+PII_REDACTIONS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{3}-[0-9]{2}-[0-9]{4}", "<SSN>"),
+    (r"[0-9]{9,}", "<NUM>"),
+)
+
+
+def pii_redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    redactions=PII_REDACTIONS,
+) -> DataFrame:
+    """``(id, text_redacted, n_redacted)``: span-level PII removal — the
+    rewrite stage that follows ``pii_scan``'s detection pass (a corpus you
+    can't redact you can't ship). Each pattern is replaced globally with
+    its typed placeholder, applied in table order; ``n_redacted`` counts
+    matches on the ORIGINAL text so the number is independent of
+    replacement order.
+
+    Scale shape: a chain of native regexp_replace/regexp_count expressions
+    in one scan-stage projection — zero shuffle, zero Python; the rewrite
+    streams at parquet-decode speed like c4_clean.
+    """
+    text = F.col(text_col)
+    redacted = text
+    for pat, placeholder in redactions:
+        redacted = F.regexp_replace(redacted, pat, placeholder)
+    n = None
+    for pat, _ in redactions:
+        c = F.regexp_count(text, F.lit(pat))
+        n = c if n is None else n + c
+    return df.select(
+        F.col(id_col),
+        redacted.alias("text_redacted"),
+        n.cast("int").alias("n_redacted"),
+    )

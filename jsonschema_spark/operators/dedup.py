@@ -1183,3 +1183,53 @@ def token_prefix_dups(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def cross_source_dups(
+    df: DataFrame,
+    source_col: str = "source",
+    fingerprint: Column | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-source duplication matrix ``(source_a, source_b, n_shared)``:
+    for every unordered source pair, how many distinct content
+    fingerprints appear in BOTH — the provenance question behind mixing
+    weights (two "independent" crawls sharing 40% of their content must
+    not be weighted as independent evidence) and behind license audits
+    (content also present in a restricted source).
+
+    Scale shape: distinct (fingerprint, source) → one groupBy on the
+    uniform md5 key collecting the per-fingerprint source SET — bounded by
+    the number of distinct sources (a registry, 10s-1000s), NOT by
+    duplicate count, so the collect_set is safe where a doc-list one would
+    not be. Pair expansion is a pure HOF over that tiny sorted array
+    (O(s²) per fingerprint with s = sources containing it), then a final
+    map-side-combined count per pair. Document rows shuffle once.
+    """
+    if fingerprint is None:
+        fingerprint = content_hash(F.col(text_col))
+    sets = (
+        df.select(fingerprint.alias("fp"), F.col(source_col).alias("src"))
+        .distinct()
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("src")).alias("srcs"))
+        .filter(F.size("srcs") > 1)
+    )
+    s = F.col("srcs")
+    pairs = F.flatten(
+        F.transform(
+            index_range(F.size(s) - 1),
+            lambda i: F.transform(
+                F.slice(s, i + 1, F.size(s) - i),
+                lambda b: F.struct(
+                    F.element_at(s, i).alias("source_a"), b.alias("source_b")
+                ),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"),
+                 F.col("p.source_b").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -151,3 +151,22 @@ def test_c4_clean_line_rules(spark):
     assert out[3].has_lorem and not out[3].passes and out[3].n_kept == 4
     assert out[4].has_brace and not out[4].passes
     assert out[5].n_kept == 2 and not out[5].passes
+
+
+def test_pii_redact_spans_and_counts(spark):
+    from jsonschema_spark.operators.cleaning import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail bob@x.com or 123-45-6789 now 123456789012"),
+            (2, "clean prose with short digits 12345"),
+            (3, "two mails a@b.io c@d.net"),
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in pii_redact(df).collect()}
+    assert rows[1]["text_redacted"] == "mail <EMAIL> or <SSN> now <NUM>"
+    assert rows[1]["n_redacted"] == 3
+    assert rows[2]["text_redacted"].endswith("12345") and rows[2]["n_redacted"] == 0
+    assert rows[3]["text_redacted"] == "two mails <EMAIL> <EMAIL>"
+    assert rows[3]["n_redacted"] == 2

@@ -103,3 +103,62 @@ def test_token_prefix_dups(spark):
     g = out[0]
     assert (g["n_docs"], g["n_distinct_full"]) == (3, 2)
     assert (g["min_doc"], g["max_doc"]) == (1, 3)
+
+
+def test_cross_source_dups_matrix(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.dedup import (
+        cross_source_dups,
+        token_content_hash,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1, 2]), ("b", [1, 2]), ("c", [1, 2]),  # shared by a,b,c
+            ("a", [9]), ("b", [9]),                       # shared by a,b
+            ("c", [5]),                                   # unique
+            ("a", [1, 2]),                                # dup within a: no self-pair
+        ],
+        "source: string, tokens: array<int>",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_shared"]
+        for r in cross_source_dups(
+            df, fingerprint=token_content_hash(F.col("tokens"))
+        ).collect()
+    }
+    assert got == {("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1}
+
+
+def test_prune_vocab_dense_rank_and_oov(spark):
+    from jsonschema_spark.operators.vocab import prune_vocab, vocab_remap_table
+
+    df = spark.createDataFrame(
+        [(1, [5, 5, 5, 7, 7, 9]), (2, [7, 9, 11])],
+        "doc_id: long, tokens: array<int>",
+    )
+    remap = {
+        r["tok"]: (r["freq"], r["new_id"])
+        for r in vocab_remap_table(df, min_count=2).collect()
+    }
+    # 5 and 7 both occur 3x -> tie breaks on token id; 9 occurs 2x; 11 pruned
+    assert remap == {5: (3, 1), 7: (3, 2), 9: (2, 3)}
+    rows = {r["doc_id"]: r for r in prune_vocab(df, min_count=2).collect()}
+    assert rows[1]["tokens"] == [1, 1, 1, 2, 2, 3] and rows[1]["n_oov"] == 0
+    assert rows[2]["tokens"] == [2, 3, 0] and rows[2]["n_oov"] == 1
+
+
+def test_prune_vocab_all_pruned_and_guard(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.vocab import prune_vocab
+
+    df = spark.createDataFrame(
+        [(1, [5, 6]), (2, [7, 8])], "doc_id: long, tokens: array<int>"
+    )
+    rows = {r["doc_id"]: r for r in prune_vocab(df, min_count=2).collect()}
+    # nothing reaches min_count -> everything collapses to OOV
+    assert rows[1]["tokens"] == [0, 0] and rows[1]["n_oov"] == 2
+    with _pytest.raises(ValueError):
+        prune_vocab(df, min_count=1, max_map=1)
