@@ -1804,6 +1804,16 @@ def q_vocab_prune(spark, sf_dir):
     )
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Top token-bigram collocations by PMI over the token corpus — the
+    segmentation/merge-candidate signal BPE merges maximize; counts are
+    exact, ranking totally ordered (rounded pmi desc, tok_a, tok_b) so the
+    top-k cut is engine-stable."""
+    from jsonschema_spark.operators.stats import bigram_pmi
+
+    return bigram_pmi(_token_corpus(spark), min_count=3, top_k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_parity": q_token_parity,
@@ -1841,7 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
         "blob_stats": q_blob_stats,
-        "frame_sample_counts": q_frame_sample_counts,
+        "bigram_pmi": q_bigram_pmi,
         "source_violation_rates": q_source_violation_rates,
         "ntok_iqr_outliers": q_ntok_iqr_outliers,
         "monotonic_check": q_monotonic_check,
@@ -1873,6 +1883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "embedding_topk": q_embedding_topk,
         "embedding_topk_kernel": q_embedding_topk_kernel,
+        "frame_sample_counts": q_frame_sample_counts,
         "type_integer": q_type_integer,
         "enum_scalar": q_enum_scalar,
         "all_of": q_all_of,
@@ -3418,5 +3429,24 @@ def oracle_sql() -> dict[str, str]:
             "  md5(string_agg(CAST(nid AS VARCHAR), ',' ORDER BY ord)) AS remap_fp,"
             "  CAST(sum(oov) AS INT) AS n_oov"
             " FROM r GROUP BY 1"
+        ),
+        "bigram_pmi": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " u AS (SELECT tok, count(*) AS n_uni FROM"
+            "  (SELECT unnest(tokens) AS tok FROM t) GROUP BY 1),"
+            " p AS (SELECT tok_a, tok_b, count(*) AS n_pair FROM"
+            "  (SELECT unnest(tokens[1:len(tokens) - 1]) AS tok_a,"
+            "    unnest(tokens[2:len(tokens)]) AS tok_b FROM t)"
+            "  GROUP BY 1, 2 HAVING count(*) >= 3),"
+            " tot AS (SELECT sum(n_uni) AS n_tokens FROM u),"
+            " pt AS (SELECT sum(greatest(len(tokens) - 1, 0)) AS n_pairs_total"
+            "  FROM t)"
+            " SELECT tok_a, tok_b, n_pair,"
+            "  round(ln((n_pair / CAST(n_pairs_total AS DOUBLE))"
+            "   / ((ua.n_uni / CAST(n_tokens AS DOUBLE))"
+            "    * (ub.n_uni / CAST(n_tokens AS DOUBLE)))), 6) AS pmi"
+            " FROM p JOIN u ua ON p.tok_a = ua.tok"
+            "  JOIN u ub ON p.tok_b = ub.tok, tot, pt"
+            " ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50"
         ),
     }

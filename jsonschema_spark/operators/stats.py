@@ -301,3 +301,83 @@ def zipf_slope(
         F.when(denom > 0, F.round(slope, decimals)).alias("slope"),
         F.when(denom > 0, F.round(intercept, decimals)).alias("intercept"),
     )
+
+
+def bigram_pmi(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 5,
+    top_k: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` token-bigram collocations by pointwise mutual
+    information: ``(tok_a, tok_b, n_pair, pmi)`` with
+    ``pmi = ln(p(a,b) / (p(a) p(b)))`` over adjacent-pair and unigram
+    corpus frequencies. High-PMI pairs are segmentation/merge candidates
+    (the signal BPE merges maximize); a tokenizer leaving many very-high
+    PMI pairs unmergeid wastes sequence length. Pairs below ``min_count``
+    are dropped before ranking (rare-pair PMI is noise).
+
+    Scale shape: one explode for unigrams, one positional-pair explode for
+    bigrams, each into a map-side-combined count keyed by uniform token
+    ids; the unigram table (≤ vocab rows) broadcasts onto the bigram table
+    twice; final ranking is TakeOrderedAndProject over ≤ |bigram vocab|
+    rows. The corpus shuffles nothing but counts.
+
+    Determinism: counts are exact integers; the ranking orders by
+    (pmi DESC, tok_a ASC, tok_b ASC) so ties cannot reorder across
+    engines; PMI itself is a pure function of exact counts.
+    """
+    from ..functions.text import index_range
+
+    toks = F.col(tokens_col)
+    uni = (
+        df.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_uni"))
+    )
+    pair_arrays = F.transform(
+        index_range(F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("tok_a"),
+            F.element_at(toks, i + 1).alias("tok_b"),
+        ),
+    )
+    pairs = (
+        df.select(F.explode(pair_arrays).alias("p"))
+        .groupBy(F.col("p.tok_a").alias("tok_a"), F.col("p.tok_b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    totals = uni.agg(F.sum("n_uni").alias("n_tokens"))
+    n_pairs_total = df.agg(
+        F.sum(F.greatest(F.size(toks) - 1, F.lit(0))).alias("n_pairs_total")
+    )
+    joined = (
+        pairs.join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_a"),
+                                   F.col("n_uni").alias("na"))),
+            on="tok_a",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("tok").alias("tok_b"),
+                                   F.col("n_uni").alias("nb"))),
+            on="tok_b",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_pairs_total))
+    )
+    pmi = F.ln(
+        (F.col("n_pair").cast("double") / F.col("n_pairs_total"))
+        / (
+            (F.col("na").cast("double") / F.col("n_tokens"))
+            * (F.col("nb").cast("double") / F.col("n_tokens"))
+        )
+    )
+    return (
+        joined.select(
+            "tok_a", "tok_b", "n_pair", F.round(pmi, decimals).alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
+        .limit(top_k)
+    )

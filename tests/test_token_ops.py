@@ -162,3 +162,31 @@ def test_prune_vocab_all_pruned_and_guard(spark):
     assert rows[1]["tokens"] == [0, 0] and rows[1]["n_oov"] == 2
     with _pytest.raises(ValueError):
         prune_vocab(df, min_count=1, max_map=1)
+
+
+def test_bigram_pmi_closed_form(spark):
+    import math
+
+    from jsonschema_spark.operators.stats import bigram_pmi
+
+    # "1 2" always adjacent; 3/4 orders alternate -> (1,2) is the top pair
+    rows = [(i, [1, 2, 3, 4] if i % 2 == 0 else [1, 2, 4, 3]) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id: long, tokens: array<int>")
+    out = bigram_pmi(df, min_count=2, top_k=3).collect()
+    top = out[0]
+    assert (top["tok_a"], top["tok_b"], top["n_pair"]) == (1, 2, 20)
+    # n_pair=20 of 60 total pairs; p(1)=p(2)=20/80
+    expect = math.log((20 / 60) / ((20 / 80) * (20 / 80)))
+    assert abs(top["pmi"] - expect) < 1e-6
+    # total order under rounded-pmi ties: tok_a then tok_b ascending
+    assert [(r["tok_a"], r["tok_b"]) for r in out[1:]] == [(2, 3), (2, 4)]
+
+
+def test_bigram_pmi_min_count_floor(spark):
+    from jsonschema_spark.operators.stats import bigram_pmi
+
+    df = spark.createDataFrame(
+        [(1, [1, 2]), (2, [3, 4])], "doc_id: long, tokens: array<int>"
+    )
+    assert bigram_pmi(df, min_count=2).count() == 0
+    assert bigram_pmi(df, min_count=1).count() == 2
