@@ -1804,6 +1804,23 @@ def q_vocab_prune(spark, sf_dir):
     )
 
 
+def q_chunk_sequences(spark, sf_dir):
+    """Sliding context-window chunking (max 48, stride 32) of the token
+    corpus — the windowing transform every trainer applies to over-length
+    documents; every chunk's content is fingerprint-verified by the
+    oracle, which replays the window arithmetic in SQL."""
+    from jsonschema_spark.operators.dedup import token_content_hash
+    from jsonschema_spark.operators.packing import chunk_sequences
+
+    out = chunk_sequences(_token_corpus(spark), max_len=48, stride=32)
+    return out.select(
+        "id",
+        "chunk_idx",
+        token_content_hash(F.col("tokens")).alias("chunk_fp"),
+        "n_tok",
+    )
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Top token-bigram collocations by PMI over the token corpus — the
     segmentation/merge-candidate signal BPE merges maximize; counts are
@@ -1847,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "cross_source_dups": q_cross_source_dups,
         "vocab_prune": q_vocab_prune,
+        "chunk_sequences": q_chunk_sequences,
         "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -1872,7 +1890,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Displaced to make room (all green in r01 AND r02, still sweep- and
     # pytest-covered): embedding_near_dup (the quarantined O(n^2)
     # baseline), lang_id_counts, quality_score, doc_fingerprint,
-    # token_stats, embedding_topk, embedding_topk_kernel.
+    # token_stats, embedding_topk, embedding_topk_kernel,
+    # frame_sample_counts. With 51 never-gated queries and 50 gate slots,
+    # corpus_overlap (unit-tested incl. the estimator band; sweep PASS at
+    # sf0.01) waits just outside for the r4 rotation.
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
@@ -3448,5 +3469,21 @@ def oracle_sql() -> dict[str, str]:
             " FROM p JOIN u ua ON p.tok_a = ua.tok"
             "  JOIN u ub ON p.tok_b = ub.tok, tot, pt"
             " ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50"
+        ),
+        "chunk_sequences": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " k AS (SELECT doc_id, tokens, len(tokens) AS n,"
+            "  CASE WHEN len(tokens) <= 0 THEN 0"
+            "   WHEN len(tokens) <= 48 THEN 1"
+            "   ELSE CAST(ceil((len(tokens) - 48) / CAST(32 AS DOUBLE)) AS INT) + 1"
+            "  END AS n_chunks FROM t),"
+            " e AS (SELECT doc_id, tokens, n,"
+            "   CAST(unnest(range(n_chunks)) AS INT) AS chunk_idx FROM k)"
+            " SELECT doc_id AS id, chunk_idx,"
+            "  md5(array_to_string(tokens[1 + chunk_idx * 32 :"
+            "   least(chunk_idx * 32 + 48, n)], ',')) AS chunk_fp,"
+            "  CAST(least(chunk_idx * 32 + 48, n) - chunk_idx * 32 AS INT)"
+            "   AS n_tok"
+            " FROM e"
         ),
     }

@@ -157,3 +157,61 @@ def packing_efficiency(
             decimals,
         ).alias("fill_ratio"),
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_len: int = 64,
+    stride: int | None = None,
+) -> DataFrame:
+    """Context-window chunking — the inverse of packing: split every
+    sequence into windows of at most ``max_len`` tokens starting every
+    ``stride`` positions (default ``stride = max_len`` → disjoint chunks;
+    ``stride < max_len`` → sliding overlap so no next-token prediction
+    straddles a hard cut). Output ``(id, chunk_idx, tokens, n_tok)``
+    preserves lineage; chunk 0 starts at position 1, chunk i at
+    ``1 + i*stride``; the last chunk may be short; an empty sequence
+    yields no chunks. Chunk starts stop at the FIRST window that reaches
+    the final token (the sliding-window rule tokenizer overflow uses), so
+    no emitted window is fully contained in the previous one.
+
+    Scale shape: one scan-stage HOF builds the per-row chunk array, then
+    one ``posexplode`` emits chunk rows — embarrassingly parallel, zero
+    shuffle, zero Python; output size is input size × overlap factor, the
+    same blow-up any trainer pays materializing windows.
+    """
+    if stride is None:
+        stride = max_len
+    if stride < 1 or max_len < 1:
+        raise ValueError("max_len and stride must be >= 1")
+    from ..functions.text import index_range
+
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    # last start index K = ceil((n - max_len) / stride): the first window
+    # whose end reaches token n; short sequences get exactly one chunk
+    n_chunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= max_len, F.lit(1))
+        .otherwise(
+            F.ceil((n - F.lit(max_len)).cast("double") / F.lit(float(stride)))
+            .cast("int")
+            + F.lit(1)
+        )
+    )
+    chunks = F.transform(
+        index_range(n_chunks),
+        lambda i: F.slice(toks, (i - 1) * stride + 1, max_len),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), chunks.alias("_chunks"))
+        .select("id", F.posexplode("_chunks").alias("chunk_idx", tokens_col))
+        .select(
+            "id",
+            "chunk_idx",
+            F.col(tokens_col),
+            F.size(tokens_col).alias("n_tok"),
+        )
+    )

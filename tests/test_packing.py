@@ -83,3 +83,48 @@ def test_efficiency_report(spark):
     assert rep["total_tokens"] == 8000
     assert rep["n_oversize"] == 0
     assert rep["fill_ratio"] == 1.0
+
+
+def test_chunk_sequences_disjoint(spark):
+    from jsonschema_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame(
+        [(1, list(range(1, 11))), (2, [1, 2, 3]), (3, [])],
+        "doc_id: long, tokens: array<int>",
+    )
+    rows = chunk_sequences(df, max_len=4).orderBy("id", "chunk_idx").collect()
+    got = [(r["id"], r["chunk_idx"], r["tokens"]) for r in rows]
+    assert got == [
+        (1, 0, [1, 2, 3, 4]),
+        (1, 1, [5, 6, 7, 8]),
+        (1, 2, [9, 10]),
+        (2, 0, [1, 2, 3]),
+    ]  # empty doc 3 yields no chunks
+
+
+def test_chunk_sequences_sliding_overlap(spark):
+    from jsonschema_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame(
+        [(1, list(range(1, 11)))], "doc_id: long, tokens: array<int>"
+    )
+    rows = chunk_sequences(df, max_len=8, stride=2).orderBy("chunk_idx").collect()
+    # last start is the FIRST window reaching token 10 — no contained dups
+    assert [r["tokens"] for r in rows] == [
+        [1, 2, 3, 4, 5, 6, 7, 8],
+        [3, 4, 5, 6, 7, 8, 9, 10],
+    ]
+    # every token covered, adjacent windows overlap by max_len - stride
+    assert rows[0]["n_tok"] == rows[1]["n_tok"] == 8
+
+
+def test_chunk_sequences_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.packing import chunk_sequences
+
+    df = spark.createDataFrame([(1, [1])], "doc_id: long, tokens: array<int>")
+    with _pytest.raises(ValueError):
+        chunk_sequences(df, max_len=0)
+    with _pytest.raises(ValueError):
+        chunk_sequences(df, max_len=4, stride=0)
