@@ -92,3 +92,58 @@ def prune_vocab(
     return df.select(
         F.col(id_col), remapped.alias(tokens_col), n_oov.alias("n_oov")
     )
+
+
+def prune_vocab_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_count: int = 2,
+    oov_id: int = 0,
+) -> DataFrame:
+    """The large-vocabulary form of ``prune_vocab`` (same output contract,
+    bit-identical results — pinned by test): instead of a driver-collected
+    map literal, the remap table stays distributed and the apply pass is
+    posexplode → join on the uniform token id → per-doc rebuild.
+
+    Use when the surviving vocabulary exceeds ``REMAP_LITERAL_MAX`` (BPE
+    merges at 10^6-10^7 ids): nothing is ever collected to the driver.
+    Costs two shuffles of the corpus (explode join + rebuild groupBy) that
+    the literal form avoids — which is exactly why the literal form is the
+    default below the size gate. The rebuild's collect_list is bounded by
+    a single document's length (the same per-group contract as
+    strip_boilerplate's rebuild), and AQE broadcasts the remap side
+    whenever it actually fits.
+    """
+    remap = vocab_remap_table(df, tokens_col, min_count).select("tok", "new_id")
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.col(tokens_col)).alias("_pos", "tok"),
+    )
+    joined = exploded.join(remap, on="tok", how="left")
+    rebuilt = joined.groupBy("_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_pos").isNotNull(),
+                        F.struct(
+                            F.col("_pos").alias("p"),
+                            F.coalesce(
+                                F.col("new_id"), F.lit(int(oov_id))
+                            ).alias("t"),
+                        ),
+                    )
+                )
+            ),
+            lambda s: s.getField("t"),
+        ).alias(tokens_col),
+        F.sum(
+            (F.col("_pos").isNotNull() & F.col("new_id").isNull()).cast("int")
+        ).alias("n_oov"),
+    )
+    return rebuilt.select(
+        F.col("_id").alias(id_col),
+        F.col(tokens_col).cast("array<int>"),
+        F.col("n_oov").cast("int"),
+    )

@@ -190,3 +190,34 @@ def test_bigram_pmi_min_count_floor(spark):
     )
     assert bigram_pmi(df, min_count=2).count() == 0
     assert bigram_pmi(df, min_count=1).count() == 2
+
+
+def test_prune_vocab_join_matches_literal_form(spark):
+    from jsonschema_spark.operators.vocab import prune_vocab, prune_vocab_join
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    df = token_neardup_corpus(spark, 300, seed=5)
+    lit_rows = {
+        r["doc_id"]: (r["tokens"], r["n_oov"])
+        for r in prune_vocab(df, min_count=40).collect()
+    }
+    join_rows = {
+        r["doc_id"]: (r["tokens"], r["n_oov"])
+        for r in prune_vocab_join(df, min_count=40).collect()
+    }
+    assert lit_rows == join_rows
+    assert len(lit_rows) == 300
+    # the floor actually bit: some OOV exists and some survivors exist
+    assert any(n for _, n in lit_rows.values())
+    assert any(any(t != 0 for t in toks) for toks, _ in lit_rows.values())
+
+
+def test_prune_vocab_join_preserves_empty_docs(spark):
+    from jsonschema_spark.operators.vocab import prune_vocab_join
+
+    df = spark.createDataFrame(
+        [(1, [5, 5]), (2, [])], "doc_id: long, tokens: array<int>"
+    )
+    rows = {r["doc_id"]: r for r in prune_vocab_join(df, min_count=2).collect()}
+    assert rows[2]["tokens"] == [] and rows[2]["n_oov"] == 0
+    assert rows[1]["tokens"] == [1, 1]
