@@ -1821,6 +1821,15 @@ def q_chunk_sequences(spark, sf_dir):
     )
 
 
+def q_dup_gram_scale(spark, sf_dir):
+    """Dyadic longest-duplicated-n-gram bracket per sequence — the
+    severity axis of the duplicate-n-gram family (how LONG the repeats
+    run, not just how much repeats); pure scan-stage probes."""
+    from jsonschema_spark.operators.stats import dup_gram_scale
+
+    return dup_gram_scale(_token_corpus(spark))
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Top token-bigram collocations by PMI over the token corpus — the
     segmentation/merge-candidate signal BPE merges maximize; counts are
@@ -1865,6 +1874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dups": q_cross_source_dups,
         "vocab_prune": q_vocab_prune,
         "chunk_sequences": q_chunk_sequences,
+        "dup_gram_scale": q_dup_gram_scale,
         "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -1891,9 +1901,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest-covered): embedding_near_dup (the quarantined O(n^2)
     # baseline), lang_id_counts, quality_score, doc_fingerprint,
     # token_stats, embedding_topk, embedding_topk_kernel,
-    # frame_sample_counts. With 51 never-gated queries and 50 gate slots,
-    # corpus_overlap (unit-tested incl. the estimator band; sweep PASS at
-    # sf0.01) waits just outside for the r4 rotation.
+    # frame_sample_counts. With 52 never-gated queries and 50 gate slots,
+    # classifier_score and corpus_overlap (both unit-tested — the latter
+    # incl. the estimator band — and sweep-PASS at sf0.01) wait just
+    # outside for the r4 rotation.
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
@@ -1996,6 +2007,25 @@ def _char_class_count_sql(char_class: str, alias: str) -> str:
     return (
         f"CAST(length(t) - length(regexp_replace(t, '{char_class}', '', 'g'))"
         f" AS INT) AS {alias}"
+    )
+
+
+def _dup_gram_scale_sql() -> str:
+    """DuckDB twin of operators.stats.dup_gram_scale: the same dyadic
+    duplicate-n-gram probes as a CASE cascade (largest scale first —
+    mirrors the Spark when-chain's overwrite order)."""
+
+    def _dup(n: int) -> str:
+        grams = (
+            f"list_transform(range(1, len(tokens) - {n} + 2),"
+            f" i -> array_to_string(tokens[i:i + {n - 1}], ','))"
+        )
+        return f"len(list_distinct({grams})) < len({grams})"
+
+    cases = " ".join(f"WHEN {_dup(n)} THEN {n}" for n in (32, 16, 8, 4, 2, 1))
+    return (
+        f"SELECT doc_id AS id, CASE {cases} ELSE 0 END AS max_dup_scale"
+        f" FROM read_parquet('{_token_corpus_path()}/*.parquet')"
     )
 
 
@@ -3470,6 +3500,7 @@ def oracle_sql() -> dict[str, str]:
             "  JOIN u ub ON p.tok_b = ub.tok, tot, pt"
             " ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50"
         ),
+        "dup_gram_scale": _dup_gram_scale_sql(),
         "chunk_sequences": (
             f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
             " k AS (SELECT doc_id, tokens, len(tokens) AS n,"

@@ -381,3 +381,43 @@ def bigram_pmi(
         .orderBy(F.col("pmi").desc(), F.col("tok_a").asc(), F.col("tok_b").asc())
         .limit(top_k)
     )
+
+
+def dup_gram_scale(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    scales: tuple[int, ...] = (1, 2, 4, 8, 16, 32),
+) -> DataFrame:
+    """``(id, max_dup_scale)``: the largest probed n (dyadic ladder) at
+    which the sequence still contains a DUPLICATED exact n-gram; 0 when
+    even single tokens are all distinct. Because a repeated n-gram implies
+    repeated (n-1)-grams, "has a duplicate n-gram" is monotone in n, so
+    the dyadic probe brackets the true longest repeated substring length
+    within a factor of 2 at O(|scales| · n_tok) cost — the cheap
+    self-repetition severity scale behind Rae et al. 2021 §A1.1's
+    duplicate-n-gram family (their fractions say *how much* repeats; this
+    says *how long* the repeats run — a generation loop scores high here
+    even when its duplicate fraction is modest).
+
+    Scale shape: one scan-stage projection; each probe is an exact
+    comma-joined gram array (let-bound — HOFs get no CSE) compared
+    distinct-vs-total. Zero shuffle, zero Python.
+    """
+    from ..functions.text import index_range, let_
+
+    toks = F.col(tokens_col)
+
+    def _has_dup(n: int) -> Column:
+        grams = F.transform(
+            index_range(F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), ","),
+        )
+        return let_(
+            grams, lambda g: F.size(F.array_distinct(g)) < F.size(g)
+        )
+
+    out = F.lit(0)
+    for n in sorted(scales):
+        out = F.when(_has_dup(n), F.lit(int(n))).otherwise(out)
+    return df.select(F.col(id_col).alias("id"), out.alias("max_dup_scale"))

@@ -221,3 +221,21 @@ def test_prune_vocab_join_preserves_empty_docs(spark):
     rows = {r["doc_id"]: r for r in prune_vocab_join(df, min_count=2).collect()}
     assert rows[2]["tokens"] == [] and rows[2]["n_oov"] == 0
     assert rows[1]["tokens"] == [1, 1]
+
+
+def test_dup_gram_scale_ladder(spark):
+    from jsonschema_spark.operators.stats import dup_gram_scale
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4]),      # all distinct
+            (2, [1, 2, 1, 3]),      # only a repeated unigram
+            (3, [1, 2, 9, 1, 2]),   # repeated bigram, no longer run
+            (4, [5, 6, 7, 8] * 3),  # period-4 loop -> 8-gram repeats
+            (5, list(range(50)) * 2),  # 50-token repeat -> capped at 32
+            (6, []),
+        ],
+        "doc_id: long, tokens: array<int>",
+    )
+    got = {r["id"]: r["max_dup_scale"] for r in dup_gram_scale(df).collect()}
+    assert got == {1: 0, 2: 1, 3: 2, 4: 8, 5: 32, 6: 0}
