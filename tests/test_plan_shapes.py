@@ -215,3 +215,30 @@ def test_token_prefix_dups_uniform_key_groupby(spark):
     # keep-first state is bounded scalars: no collect_list/collect_set
     assert "collect_" not in plan.lower()
     assert "SortMergeJoin" not in plan  # single-table agg, no join at all
+
+
+def test_pii_redact_single_projection(spark):
+    plan = _plan(entry_mod.queries()["pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_chunk_sequences_no_shuffle(spark):
+    plan = _plan(entry_mod.queries()["chunk_sequences"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate posexplode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cross_source_dups_bounded_state(spark):
+    # collect_set is over SOURCES (bounded registry), and pair expansion
+    # is a Generate over that tiny array — no join anywhere in the plan
+    plan = _plan(entry_mod.queries()["cross_source_dups"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bigram_pmi_broadcast_unigrams_topk(spark):
+    plan = _plan(entry_mod.queries()["bigram_pmi"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
