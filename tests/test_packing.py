@@ -128,3 +128,35 @@ def test_chunk_sequences_rejects_bad_params(spark):
         chunk_sequences(df, max_len=0)
     with _pytest.raises(ValueError):
         chunk_sequences(df, max_len=4, stride=0)
+
+
+def test_chunk_sequences_disjoint_reconstruction_property(spark):
+    """Disjoint chunking is a partition: concatenating a doc's chunks in
+    chunk_idx order reproduces the original token sequence exactly."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.packing import chunk_sequences
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    df = token_neardup_corpus(spark, 200, seed=11)
+    rebuilt = (
+        chunk_sequences(df, max_len=16)
+        .groupBy("id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "tokens"))
+                    ),
+                    lambda s: s.getField("tokens"),
+                )
+            ).alias("rebuilt")
+        )
+    )
+    bad = (
+        df.join(rebuilt, df.doc_id == rebuilt.id)
+        .filter(F.col("tokens") != F.col("rebuilt"))
+        .count()
+    )
+    assert bad == 0
+    assert rebuilt.count() == 200
