@@ -1701,32 +1701,61 @@ def q_token_ngram_diversity(spark, sf_dir):
     return token_ngram_diversity(_token_corpus(spark), n=2)
 
 
-def q_sequence_structure(spark, sf_dir):
-    """Per-sequence structural validation (BOS/EOS placement, interior
-    special tokens, vocab range) — the token-payload accept/reject walk.
-    The raw corpus has no special tokens, so the query synthesizes the
-    full truth table deterministically on doc_id residues (same pattern as
+def _decorated_tokens() -> Column:
+    """Token-corpus decoration for the structure-validation queries: the
+    raw corpus has no special tokens, so this synthesizes the full truth
+    table deterministically on doc_id residues (same pattern as
     q_script_mojibake): base ids shift to [10, 509] (clear of specials),
     BOS dropped at %7, EOS dropped at %5, an interior PAD injected at %13,
-    an out-of-vocab id at %11."""
-    from jsonschema_spark.operators.checks import sequence_structure
-
-    df = _token_corpus(spark)
+    an out-of-vocab id at %11. Mirrored verbatim in the DuckDB oracles."""
     did = F.col("doc_id")
     empty = F.array().cast("array<int>")
 
     def _maybe(cond, val):
         return F.when(cond, F.array(F.lit(val).cast("int"))).otherwise(empty)
 
-    decorated = F.concat(
+    return F.concat(
         _maybe(F.pmod(did, F.lit(7)) != 0, 1),
         F.transform(F.col("tokens"), lambda t: t + F.lit(10)),
         _maybe(F.pmod(did, F.lit(13)) == 0, 0),
         _maybe(F.pmod(did, F.lit(11)) == 0, 99999),
         _maybe(F.pmod(did, F.lit(5)) != 0, 2),
     )
+
+
+def q_sequence_structure(spark, sf_dir):
+    """Per-sequence structural validation (BOS/EOS placement, interior
+    special tokens, vocab range) — the token-payload accept/reject walk
+    over the residue-decorated corpus (see _decorated_tokens)."""
+    from jsonschema_spark.operators.checks import sequence_structure
+
+    df = _token_corpus(spark)
     return sequence_structure(
-        df.select("doc_id", decorated.alias("tokens")), vocab_size=32_000
+        df.select("doc_id", _decorated_tokens().alias("tokens")),
+        vocab_size=32_000,
+    )
+
+
+def q_repair_sequences(spark, sf_dir):
+    """Fix-mode twin of q_sequence_structure over the same decorated
+    corpus: strip misplaced markers, remap OOV to unk, re-frame with
+    BOS/EOS; the repaired output passes sequence_structure by construction
+    (property-pinned in tests). Every repaired array fingerprint-verified
+    by the oracle."""
+    from jsonschema_spark.operators.checks import repair_sequences
+    from jsonschema_spark.operators.dedup import token_content_hash
+
+    df = _token_corpus(spark)
+    out = repair_sequences(
+        df.select("doc_id", _decorated_tokens().alias("tokens")),
+        vocab_size=32_000,
+    )
+    return out.select(
+        "doc_id",
+        token_content_hash(F.col("tokens")).alias("repaired_fp"),
+        "n_stripped",
+        "n_remapped",
+        "changed",
     )
 
 
@@ -1875,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_prune": q_vocab_prune,
         "chunk_sequences": q_chunk_sequences,
         "dup_gram_scale": q_dup_gram_scale,
+        "repair_sequences": q_repair_sequences,
         "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -3501,6 +3531,10 @@ def oracle_sql() -> dict[str, str]:
             " ORDER BY pmi DESC, tok_a ASC, tok_b ASC LIMIT 50"
         ),
         "dup_gram_scale": _dup_gram_scale_sql(),
+        "repair_sequences": (
+            """WITH d AS (SELECT doc_id,  CASE WHEN doc_id % 7 <> 0 THEN [1] ELSE CAST([] AS INT[]) END  || list_transform(tokens, x -> x + 10)  || CASE WHEN doc_id % 13 = 0 THEN [0] ELSE CAST([] AS INT[]) END  || CASE WHEN doc_id % 11 = 0 THEN [99999] ELSE CAST([] AS INT[]) END  || CASE WHEN doc_id % 5 <> 0 THEN [2] ELSE CAST([] AS INT[]) END  AS t FROM read_parquet('{TOK}/*.parquet')), r AS (SELECT doc_id, t,  list_filter(t, x -> NOT list_contains([1, 2, 0], x)) AS core FROM d), f AS (SELECT doc_id, t, core,  [1] || list_transform(core, x -> CASE WHEN x >= 0 AND x < 32000   THEN x ELSE 3 END) || [2] AS fixed FROM r) SELECT doc_id, md5(array_to_string(fixed, ',')) AS repaired_fp,  CAST(len(t) - len(core) AS INT) AS n_stripped,  CAST(len(list_filter(core, x -> x < 0 OR x >= 32000)) AS INT)   AS n_remapped,  fixed <> t AS changed FROM f"""
+            .replace("{TOK}", _token_corpus_path())
+        ),
         "chunk_sequences": (
             f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
             " k AS (SELECT doc_id, tokens, len(tokens) AS n,"

@@ -314,3 +314,72 @@ def sequence_structure(
             & (rep.getField("interior_special") == 0)
         ).alias("structure_ok"),
     )
+
+
+def repair_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    vocab_size: int = 32_000,
+    bos_id: int = 1,
+    eos_id: int = 2,
+    pad_id: int = 0,
+    unk_id: int = 3,
+) -> DataFrame:
+    """Fix-mode counterpart of ``sequence_structure``: rewrite every
+    sequence into canonical form instead of rejecting it —
+
+    1. strip ALL marker ids (BOS/EOS/PAD) wherever they occur,
+    2. replace out-of-vocab ids with ``unk_id``,
+    3. re-frame as ``[bos_id] + core + [eos_id]``.
+
+    Returns ``(id, tokens, n_stripped, n_remapped, changed)``;
+    ``n_stripped`` counts removed marker tokens (including correctly
+    placed ones — they are re-added canonically, and counting them makes
+    the number "markers seen", which is what drift dashboards want),
+    ``n_remapped`` counts OOV replacements, ``changed`` is False exactly
+    when the input was already canonical. An empty input becomes
+    ``[bos_id, eos_id]``. By construction the output passes
+    ``sequence_structure`` with the same ids (property-pinned in tests).
+
+    Scale shape: scan-stage array expressions bound once in a lower
+    projection (the same two-projection CollapseProject shape as
+    ``sequence_structure``) — zero shuffle, zero Python.
+    """
+    toks = F.col(tokens_col)
+    markers = F.array(
+        F.lit(int(bos_id)), F.lit(int(eos_id)), F.lit(int(pad_id))
+    )
+    core = F.filter(toks, lambda t: ~F.array_contains(markers, t))
+
+    def _report(c: Column) -> Column:
+        fixed = F.concat(
+            F.array(F.lit(int(bos_id)).cast("int")),
+            F.transform(
+                c,
+                lambda t: F.when(
+                    (t >= 0) & (t < F.lit(int(vocab_size))), t
+                ).otherwise(F.lit(int(unk_id))),
+            ),
+            F.array(F.lit(int(eos_id)).cast("int")),
+        )
+        return F.struct(
+            fixed.alias("tokens"),
+            (F.size(toks) - F.size(c)).cast("int").alias("n_stripped"),
+            F.size(
+                F.filter(c, lambda t: (t < 0) | (t >= F.lit(int(vocab_size))))
+            ).alias("n_remapped"),
+        )
+
+    rep = F.col("_r")
+    return (
+        df.select(F.col(id_col), toks, _report(core).alias("_r"))
+        .select(
+            id_col,
+            rep.getField("tokens").alias("_fixed"),
+            rep.getField("n_stripped").alias("n_stripped"),
+            rep.getField("n_remapped").alias("n_remapped"),
+            (rep.getField("tokens") != toks).alias("changed"),
+        )
+        .withColumnRenamed("_fixed", tokens_col)
+    )

@@ -239,3 +239,55 @@ def test_dup_gram_scale_ladder(spark):
     )
     got = {r["id"]: r["max_dup_scale"] for r in dup_gram_scale(df).collect()}
     assert got == {1: 0, 2: 1, 3: 2, 4: 8, 5: 32, 6: 0}
+
+
+def test_repair_sequences_canonicalizes(spark):
+    from jsonschema_spark.operators.checks import repair_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, [1, 5, 6, 2]),      # canonical -> unchanged
+            (2, [5, 6]),            # bare -> framed
+            (3, [1, 5, 2, 6, 2]),   # interior EOS stripped
+            (4, [1, 99999, 6, 2]),  # OOV -> unk
+            (5, []),                # empty -> [bos, eos]
+            (6, [0, 0, 7, 0]),      # pads stripped
+        ],
+        "doc_id: long, tokens: array<int>",
+    )
+    rows = {r["doc_id"]: r for r in repair_sequences(df).collect()}
+    assert rows[1]["tokens"] == [1, 5, 6, 2] and not rows[1]["changed"]
+    assert rows[2]["tokens"] == [1, 5, 6, 2] and rows[2]["changed"]
+    assert rows[3]["tokens"] == [1, 5, 6, 2] and rows[3]["n_stripped"] == 3
+    assert rows[4]["tokens"] == [1, 3, 6, 2] and rows[4]["n_remapped"] == 1
+    assert rows[5]["tokens"] == [1, 2]
+    assert rows[6]["tokens"] == [1, 7, 2] and rows[6]["n_stripped"] == 3
+
+
+def test_repair_output_always_passes_structure(spark):
+    """Closure property: repair_sequences ∘ anything |= sequence_structure."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.checks import (
+        repair_sequences,
+        sequence_structure,
+    )
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    base = token_neardup_corpus(spark, 300, seed=13)
+    # adversarial decoration: random-ish specials and OOV everywhere
+    mangled = base.select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit(2).cast("int")),  # EOS first
+            F.transform(
+                F.col("tokens"),
+                lambda t: F.when(F.pmod(t, F.lit(9)) == 0, F.lit(99999)).otherwise(t),
+            ),
+            F.array(F.lit(0).cast("int"), F.lit(1).cast("int")),  # PAD+BOS tail
+        ).alias("tokens"),
+    )
+    repaired = repair_sequences(mangled)
+    verdicts = sequence_structure(repaired.select("doc_id", "tokens"))
+    assert verdicts.filter("NOT structure_ok").count() == 0
+    assert verdicts.count() == 300
