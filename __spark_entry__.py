@@ -1931,10 +1931,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pytest-covered): embedding_near_dup (the quarantined O(n^2)
     # baseline), lang_id_counts, quality_score, doc_fingerprint,
     # token_stats, embedding_topk, embedding_topk_kernel,
-    # frame_sample_counts. With 52 never-gated queries and 50 gate slots,
-    # classifier_score and corpus_overlap (both unit-tested — the latter
-    # incl. the estimator band — and sweep-PASS at sf0.01) wait just
-    # outside for the r4 rotation.
+    # frame_sample_counts. With 53 never-gated queries and 50 gate slots,
+    # script_mojibake, classifier_score, and corpus_overlap (all
+    # unit-tested — tests/test_text_qa.py, incl. the overlap estimator
+    # band — and sweep-PASS at sf0.01) wait just outside for the r4
+    # rotation.
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,

@@ -167,6 +167,13 @@ def main() -> None:
         "sequence_structure",
         "zipf_slope",
         "token_prefix_dups",
+        "pii_redact",
+        "cross_source_dups",
+        "vocab_prune",
+        "chunk_sequences",
+        "bigram_pmi",
+        "dup_gram_scale",
+        "repair_sequences",
     ]
     qs = entry.queries()
     for name in headline:
