@@ -91,6 +91,69 @@ def cmd_validate(args) -> int:
     return 0
 
 
+def cmd_repair(args) -> int:
+    """Fix-mode pass: canonicalize every sequence (strip misplaced
+    BOS/EOS/PAD markers, remap out-of-vocab ids to unk, re-frame) and
+    write the repaired corpus; prints one JSON line with before/after
+    structure-verdict counts and total repair work. The repaired output
+    passes sequence_structure by construction."""
+    spark = _build_session(args)
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.checks import (
+        repair_sequences,
+        sequence_structure,
+    )
+
+    if args.input == "synthetic":
+        from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+        df = token_neardup_corpus(spark, args.rows, seed=args.seed)
+    else:
+        df = spark.read.parquet(args.input)
+
+    ids = dict(
+        vocab_size=args.vocab_size, bos_id=args.bos, eos_id=args.eos,
+        pad_id=args.pad,
+    )
+    before = (
+        sequence_structure(df, **ids)
+        .agg(F.sum((~F.col("structure_ok")).cast("long")))
+        .collect()[0][0]
+    )
+    t0 = time.time()
+    repaired = repair_sequences(df, unk_id=args.unk, **ids)
+    other_cols = [c for c in df.columns if c != "tokens"]
+    out = df.select(other_cols).join(
+        repaired.select("doc_id", "tokens", "n_stripped", "n_remapped",
+                        "changed"),
+        on="doc_id",
+    )
+    out.write.mode("overwrite").parquet(args.out)
+    back = spark.read.parquet(args.out)
+    summary = back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("changed").cast("long")).alias("n_changed"),
+        F.sum("n_stripped").alias("n_stripped_total"),
+        F.sum("n_remapped").alias("n_remapped_total"),
+    ).collect()[0]
+    after = (
+        sequence_structure(back, **ids)
+        .agg(F.sum((~F.col("structure_ok")).cast("long")))
+        .collect()[0][0]
+    )
+    print(json.dumps({
+        "n_rows": summary["n_rows"],
+        "n_changed": int(summary["n_changed"] or 0),
+        "n_stripped_total": int(summary["n_stripped_total"] or 0),
+        "n_remapped_total": int(summary["n_remapped_total"] or 0),
+        "violations_before": int(before or 0),
+        "violations_after": int(after or 0),
+        "wall_sec": round(time.time() - t0, 3),
+    }))
+    return 0 if (after or 0) == 0 else 1
+
+
 def cmd_throughput(args) -> int:
     """One timed validation pass (no sinks) — the scaling-protocol probe.
     Prints {rows, tokens, wall_sec, sequences_per_sec, tokens_per_sec}.
@@ -159,6 +222,19 @@ def main(argv=None) -> int:
     pv.add_argument("--cores", type=int, default=None)
     pv.add_argument("--dim", action="append", help="name=parquet_path")
     pv.set_defaults(fn=cmd_validate)
+
+    pr = sub.add_parser("repair")
+    pr.add_argument("--input", default="synthetic")
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--rows", type=int, default=10_000)
+    pr.add_argument("--seed", type=int, default=5)
+    pr.add_argument("--cores", type=int, default=None)
+    pr.add_argument("--vocab-size", type=int, default=32_000)
+    pr.add_argument("--bos", type=int, default=1)
+    pr.add_argument("--eos", type=int, default=2)
+    pr.add_argument("--pad", type=int, default=0)
+    pr.add_argument("--unk", type=int, default=3)
+    pr.set_defaults(fn=cmd_repair)
 
     pt = sub.add_parser("throughput")
     pt.add_argument("--input", default="synthetic")

@@ -63,3 +63,22 @@ def test_validate_cli_and_resume(tmp_path, spark):
     summary2 = json.loads((results / "summary.json").read_text())
     assert summary2["resumed_units_skipped"] > 0
     assert summary2["n_rows"] == 5000
+
+
+def test_repair_cli(tmp_path):
+    out = tmp_path / "repaired.parquet"
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "jsonschema_spark", "repair",
+            "--out", str(out), "--rows", "500", "--cores", "4",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    summary = json.loads(res.stdout.strip().splitlines()[-1])
+    assert summary["n_rows"] == 500
+    # the raw synthetic corpus has no BOS/EOS framing: every row repairs,
+    # and the repaired output validates clean (exit code asserts it too)
+    assert summary["n_changed"] == 500
+    assert summary["violations_after"] == 0
+    assert summary["violations_before"] == 500
