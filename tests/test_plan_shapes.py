@@ -242,3 +242,15 @@ def test_bigram_pmi_broadcast_unigrams_topk(spark):
     plan = _plan(entry_mod.queries()["bigram_pmi"](spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_dup_gram_scale_no_shuffle(spark):
+    plan = _plan(entry_mod.queries()["dup_gram_scale"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repair_sequences_no_shuffle(spark):
+    plan = _plan(entry_mod.queries()["repair_sequences"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
