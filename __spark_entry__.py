@@ -1859,6 +1859,43 @@ def q_dup_gram_scale(spark, sf_dir):
     return dup_gram_scale(_token_corpus(spark))
 
 
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-based source re-mixing (p_g ∝ count_g^0.5) over a
+    deterministically skewed 4:2:1 source derivation — the multilingual
+    up/down-sampling rule; membership is content-addressed, so the oracle
+    recomputes the identical sample from the same counts."""
+    from jsonschema_spark.operators.sampling import temperature_mix
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "src3",
+        F.when(F.pmod(F.col("doc_id"), F.lit(7)) < 4, F.lit("a"))
+        .when(F.pmod(F.col("doc_id"), F.lit(7)) < 6, F.lit("b"))
+        .otherwise(F.lit("c")),
+    )
+    return temperature_mix(df, "src3", "doc_id", alpha=0.5).select(
+        "doc_id", "src3"
+    )
+
+
+def q_positional_entropy(spark, sf_dir):
+    """Per-position token entropy over the first 32 positions of the
+    token corpus with an injected 3-token template header — the frozen-
+    prefix detector (cross-document signal at a fixed position that
+    within-document repetition metrics cannot see): positions 1-3 read
+    entropy 0, the organic tail reads ~ln(vocab-coverage)."""
+    from jsonschema_spark.operators.stats import positional_entropy
+
+    df = _token_corpus(spark).select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit(7).cast("int"), F.lit(8).cast("int"),
+                    F.lit(9).cast("int")),
+            F.col("tokens"),
+        ).alias("tokens"),
+    )
+    return positional_entropy(df, max_pos=32)
+
+
 def q_bigram_pmi(spark, sf_dir):
     """Top token-bigram collocations by PMI over the token corpus — the
     segmentation/merge-candidate signal BPE merges maximize; counts are
@@ -1905,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sequences": q_chunk_sequences,
         "dup_gram_scale": q_dup_gram_scale,
         "repair_sequences": q_repair_sequences,
+        "temperature_mix": q_temperature_mix,
+        "positional_entropy": q_positional_entropy,
         "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -3511,6 +3550,35 @@ def oracle_sql() -> dict[str, str]:
             "  md5(string_agg(CAST(nid AS VARCHAR), ',' ORDER BY ord)) AS remap_fp,"
             "  CAST(sum(oov) AS INT) AS n_oov"
             " FROM r GROUP BY 1"
+        ),
+        "temperature_mix": (
+            "WITH src AS (SELECT doc_id,"
+            "   CASE WHEN doc_id % 7 < 4 THEN 'a'"
+            "    WHEN doc_id % 7 < 6 THEN 'b' ELSE 'c' END AS src3"
+            "  FROM documents),"
+            " counts AS (SELECT src3, count(*) AS cnt FROM src GROUP BY 1),"
+            " props AS (SELECT src3, cnt,"
+            "   round(pow(cnt, 0.5) / sum(pow(cnt, 0.5)) OVER (), 6) AS p"
+            "  FROM counts),"
+            " cap AS (SELECT min(floor(cnt / p)) AS total FROM props),"
+            " thr AS (SELECT src3,"
+            "   round(least(CAST(1.0 AS DOUBLE), total * p / cnt) * 10000)"
+            "    AS keep FROM props CROSS JOIN cap)"
+            " SELECT s.doc_id, s.src3 FROM src s JOIN thr USING (src3)"
+            " WHERE CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)),"
+            "   1, 15)) AS BIGINT) % 10000 < keep"
+        ),
+        "positional_entropy": (
+            "WITH t AS (SELECT [7, 8, 9] || tokens AS tokens"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " e AS (SELECT unnest(tokens[1:32]) AS tok,"
+            "   CAST(unnest(range(1, least(len(tokens), 32) + 1)) AS INT)"
+            "    AS pos FROM t),"
+            " c AS (SELECT pos, tok, count(*) AS cnt FROM e GROUP BY 1, 2)"
+            " SELECT pos, sum(cnt) AS n_seqs, count(*) AS n_distinct,"
+            "  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)"
+            "   AS entropy"
+            " FROM c GROUP BY 1"
         ),
         "bigram_pmi": (
             f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"

@@ -171,3 +171,43 @@ def mix_to_proportions(
         .filter(hash_bucket(F.col(id_col), buckets) < F.col("_keep"))
         .drop("_keep")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    alpha: float = 0.7,
+    total: int | None = None,
+    buckets: int = 10_000,
+    decimals: int = 6,
+) -> DataFrame:
+    """Temperature-based source re-mixing: target proportions are the
+    observed group shares raised to ``alpha`` and renormalized —
+    ``p_g ∝ count_g^alpha`` — the standard multilingual/multisource
+    up/down-sampling rule (alpha=1 keeps natural proportions, alpha=0
+    flattens to uniform, alpha≈0.7 is the usual compromise that keeps
+    head sources from drowning the tail). Delegates the selection to
+    :func:`mix_to_proportions`, so every keep decision stays
+    content-addressed and engine-replayable.
+
+    The per-group counts collected to the driver are bounded by the
+    source registry (the same contract as every mixing op here).
+    """
+    if alpha < 0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r["g"]: r["c"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    powered = {g: float(c) ** alpha for g, c in counts.items()}
+    z = sum(w for _, w in sorted(powered.items()))  # order-stable float sum
+    # proportions rounded to `decimals` so an external engine replaying the
+    # rule from the same counts lands on bit-identical doubles (libm pow
+    # can differ by an ulp across engines; the round collapses that)
+    proportions = {g: round(w / z, decimals) for g, w in powered.items()}
+    return mix_to_proportions(
+        df, group_col, id_col, proportions, total=total, buckets=buckets
+    )

@@ -421,3 +421,41 @@ def dup_gram_scale(
     for n in sorted(scales):
         out = F.when(_has_dup(n), F.lit(int(n))).otherwise(out)
     return df.select(F.col(id_col).alias("id"), out.alias("max_dup_scale"))
+
+
+def positional_entropy(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    max_pos: int = 64,
+    decimals: int = 6,
+) -> DataFrame:
+    """``(pos, n_seqs, n_distinct, entropy)`` for positions 1..max_pos:
+    the Shannon entropy (nats) of the token distribution at each absolute
+    sequence position. A healthy corpus has near-flat per-position
+    entropy; a template-injected or boilerplate-framed corpus shows a
+    low-entropy prefix (every document starts with the same tokens) that
+    document-level repetition metrics cannot see — the signal is ACROSS
+    documents at a fixed position, not within one.
+
+    Scale shape: posexplode of the first ``max_pos`` tokens only (the
+    slice prunes the rest in the scan), one map-side-combined groupBy on
+    (pos, token) — shuffle bounded by max_pos × vocab regardless of
+    corpus size — then an entropy agg over ≤ vocab rows per position.
+    """
+    toks = F.col(tokens_col)
+    exploded = df.select(
+        F.posexplode(F.slice(toks, 1, max_pos)).alias("pos0", "tok")
+    ).select((F.col("pos0") + 1).alias("pos"), "tok")
+    counts = exploded.groupBy("pos", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.groupBy("pos")
+        .agg(
+            F.sum("cnt").alias("n_seqs"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.ln(F.sum("cnt"))
+                - F.sum(F.col("cnt") * F.ln(F.col("cnt"))) / F.sum("cnt"),
+                decimals,
+            ).alias("entropy"),
+        )
+    )

@@ -196,3 +196,55 @@ def test_near_dup_exact_guard_raises_on_large_input(spark):
     assert near_dup_pairs_exact(
         df.limit(5), "doc_id", "text", max_rows=None
     ).count() == 10
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from jsonschema_spark.operators.sampling import temperature_mix
+
+    df = (
+        spark.range(1400)
+        .withColumnRenamed("id", "doc_id")
+        .withColumn(
+            "src",
+            F.when(F.col("doc_id") < 1000, F.lit("big")).otherwise(F.lit("small")),
+        )
+    )
+    # alpha=1 keeps natural proportions
+    nat = {
+        r["src"]: r["n"]
+        for r in temperature_mix(df, "src", "doc_id", alpha=1.0)
+        .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    nat_ratio = nat["big"] / nat["small"]
+    assert 2.1 <= nat_ratio <= 2.9  # ~1000/400
+    # alpha=0 targets uniform
+    flat = {
+        r["src"]: r["n"]
+        for r in temperature_mix(df, "src", "doc_id", alpha=0.0)
+        .groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.9 <= flat["big"] / flat["small"] <= 1.1
+    # determinism: selection is content-addressed
+    a = {r["doc_id"] for r in temperature_mix(df, "src", "doc_id", alpha=0.7).collect()}
+    b = {r["doc_id"] for r in temperature_mix(df, "src", "doc_id", alpha=0.7).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        temperature_mix(df, "src", "doc_id", alpha=-1)
+
+
+def test_positional_entropy_template_prefix(spark):
+    import math
+
+    from jsonschema_spark.operators.stats import positional_entropy
+
+    df = spark.createDataFrame(
+        [(i, [42, 1 + (i % 2), 1 + (i % 4), 99]) for i in range(64)],
+        "doc_id: long, tokens: array<int>",
+    )
+    rows = {r["pos"]: r for r in positional_entropy(df, max_pos=10).collect()}
+    assert rows[1]["entropy"] == 0.0 and rows[1]["n_distinct"] == 1
+    assert rows[2]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+    assert rows[3]["entropy"] == pytest.approx(math.log(4), abs=1e-6)
+    assert rows[4]["entropy"] == 0.0
+    assert rows[1]["n_seqs"] == 64
+    assert 5 not in rows  # positions past every sequence emit nothing
