@@ -1859,6 +1859,16 @@ def q_dup_gram_scale(spark, sf_dir):
     return dup_gram_scale(_token_corpus(spark))
 
 
+def q_bigram_ppl(spark, sf_dir):
+    """Bigram-LM perplexity of every non-reference sequence against the
+    add-k conditionals trained on the doc_id%5==0 reference slice — the
+    model-order step from unigram toward CCNet's KenLM, token-native."""
+    from jsonschema_spark.operators.relevance import bigram_perplexity
+
+    df = _token_corpus(spark)
+    return bigram_perplexity(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based source re-mixing (p_g ∝ count_g^0.5) over a
     deterministically skewed 4:2:1 source derivation — the multilingual
@@ -1944,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_sequences": q_repair_sequences,
         "temperature_mix": q_temperature_mix,
         "positional_entropy": q_positional_entropy,
+        "bigram_ppl": q_bigram_ppl,
         "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -3550,6 +3561,26 @@ def oracle_sql() -> dict[str, str]:
             "  md5(string_agg(CAST(nid AS VARCHAR), ',' ORDER BY ord)) AS remap_fp,"
             "  CAST(sum(oov) AS INT) AS n_oov"
             " FROM r GROUP BY 1"
+        ),
+        "bigram_ppl": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " ref AS (SELECT * FROM t WHERE doc_id % 5 = 0),"
+            " rp AS (SELECT unnest(tokens[1:len(tokens) - 1]) AS a,"
+            "   unnest(tokens[2:len(tokens)]) AS b FROM ref),"
+            " bg AS (SELECT a, b, count(*) AS nb FROM rp GROUP BY 1, 2),"
+            " h AS (SELECT a, count(*) AS na FROM rp GROUP BY 1),"
+            " vt AS (SELECT count(DISTINCT tok) AS v FROM"
+            "  (SELECT unnest(tokens) AS tok FROM ref)),"
+            " sp AS (SELECT doc_id AS id,"
+            "   unnest(tokens[1:len(tokens) - 1]) AS a,"
+            "   unnest(tokens[2:len(tokens)]) AS b"
+            "  FROM t WHERE doc_id % 5 <> 0),"
+            " j AS (SELECT id, -ln((coalesce(nb, 0) + 0.5)"
+            "   / (coalesce(na, 0) + 0.5 * v)) AS nll"
+            "  FROM sp LEFT JOIN bg USING (a, b) LEFT JOIN h USING (a)"
+            "  CROSS JOIN vt)"
+            " SELECT id, count(*) AS n_bigrams, round(avg(nll), 6) AS xent,"
+            "  round(exp(avg(nll)), 6) AS ppl FROM j GROUP BY 1"
         ),
         "temperature_mix": (
             "WITH src AS (SELECT doc_id,"

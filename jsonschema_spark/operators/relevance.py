@@ -332,3 +332,73 @@ def dsir_select(
         df, is_target, id_col, text_col, buckets, smoothing, decimals
     )
     return w.orderBy(F.desc("weight"), F.asc(id_col)).limit(k)
+
+
+def bigram_perplexity(
+    df: DataFrame,
+    is_reference: Column,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    smoothing: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Token-native bigram-LM quality scoring — the next model order up
+    from :func:`unigram_perplexity` toward CCNet's 5-gram KenLM: train
+    add-k-smoothed conditionals ``p(b|a) = (B(a,b)+k) / (H(a)+k·V)`` on
+    the reference slice (``B`` = bigram counts, ``H`` = history counts =
+    Σ_b B(a,b), ``V`` = distinct reference token ids, so unseen histories
+    back off to the uniform 1/V), then score every non-reference sequence
+    by mean negative log-likelihood over its adjacent pairs. Returns
+    ``(id, n_bigrams, xent, ppl)`` for sequences with at least one bigram
+    (a 0/1-token sequence has no conditional to price).
+
+    Scale shape: reference counts are two map-side-combined aggs keyed by
+    uniform token ids; ``V`` is one scalar. Scoring explodes adjacent
+    pairs (no pre-shuffle), joins the bigram table on its uniform (a, b)
+    key — AQE broadcasts it when it fits, shuffle-join otherwise — and
+    broadcasts the ≤|vocab| history table; the final per-doc agg moves ~1
+    row per document. Unseen bigrams/histories coalesce to count 0, so
+    out-of-domain mass is priced, not dropped (same contract as the
+    unigram model).
+    """
+    from ..functions.text import index_range
+
+    toks = F.col(tokens_col)
+    pairs_arr = F.transform(
+        index_range(F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"),
+            F.element_at(toks, i + 1).alias("b"),
+        ),
+    )
+    ref = df.filter(is_reference)
+    ref_pairs = ref.select(F.explode(pairs_arr).alias("p")).select("p.a", "p.b")
+    bigrams = ref_pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nb"))
+    hist = ref_pairs.groupBy("a").agg(F.count(F.lit(1)).alias("na"))
+    v = (
+        ref.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    k = float(smoothing)
+    scored = (
+        df.filter(~is_reference)
+        .select(F.col(id_col).alias("id"), F.explode(pairs_arr).alias("p"))
+        .select("id", "p.a", "p.b")
+    )
+    p = (F.coalesce(F.col("nb"), F.lit(0)) + F.lit(k)) / (
+        F.coalesce(F.col("na"), F.lit(0)) + F.lit(k * float(v))
+    )
+    return (
+        scored.join(bigrams, on=["a", "b"], how="left")
+        .join(F.broadcast(hist), on="a", how="left")
+        .select("id", (-F.ln(p)).alias("nll"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.avg("nll").alias("_x"))
+        .select(
+            "id",
+            "n_bigrams",
+            F.round(F.col("_x"), decimals).alias("xent"),
+            F.round(F.exp(F.col("_x")), decimals).alias("ppl"),
+        )
+    )

@@ -259,3 +259,29 @@ class TestTokenSketchPsi:
             r["psi_term"] for r in token_sketch_psi(cur, base, buckets=64).collect()
         )
         assert total > 0.25  # canonical "significant drift" PSI threshold
+
+
+def test_bigram_perplexity_closed_forms(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.relevance import bigram_perplexity
+
+    # reference doc 0 = "1 2 1 2 1 2": B(1,2)=3, B(2,1)=2, H(1)=3, H(2)=2, V=2
+    df = spark.createDataFrame(
+        [(0, [1, 2, 1, 2, 1, 2]), (1, [1, 2]), (2, [9, 9]), (3, [5])],
+        "doc_id: long, tokens: array<int>",
+    )
+    rows = {
+        r["id"]: r
+        for r in bigram_perplexity(df, F.col("doc_id") == 0).collect()
+    }
+    p12 = (3 + 0.5) / (3 + 0.5 * 2)      # seen bigram, seen history
+    p99 = (0 + 0.5) / (0 + 0.5 * 2)      # unseen everything -> uniform 1/V
+    assert rows[1]["ppl"] == pytest.approx(1 / p12, abs=1e-6)
+    assert rows[2]["ppl"] == pytest.approx(1 / p99, abs=1e-6)
+    # in-domain scores strictly better than out-of-domain
+    assert rows[1]["xent"] < rows[2]["xent"]
+    # single-token doc has no conditional to price
+    assert 3 not in rows and 0 not in rows
