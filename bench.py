@@ -174,6 +174,9 @@ def main() -> None:
         "bigram_pmi",
         "dup_gram_scale",
         "repair_sequences",
+        "temperature_mix",
+        "positional_entropy",
+        "bigram_ppl",
     ]
     qs = entry.queries()
     for name in headline:
