@@ -129,6 +129,10 @@ def cmd_repair(args) -> int:
                         "changed"),
         on="doc_id",
     )
+    if "n_tok" in out.columns:
+        # repair changes sequence lengths; a stale n_tok would violate the
+        # length-consistency check the validate job runs on this output
+        out = out.withColumn("n_tok", F.size("tokens"))
     out.write.mode("overwrite").parquet(args.out)
     back = spark.read.parquet(args.out)
     summary = back.agg(

@@ -82,3 +82,30 @@ def test_repair_cli(tmp_path):
     assert summary["n_changed"] == 500
     assert summary["violations_after"] == 0
     assert summary["violations_before"] == 500
+
+
+def test_repair_cli_refreshes_n_tok(tmp_path, spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    src = tmp_path / "in.parquet"
+    token_neardup_corpus(spark, 200, seed=5).withColumn(
+        "n_tok", F.size("tokens")
+    ).write.parquet(str(src))
+    out = tmp_path / "out.parquet"
+    res = subprocess.run(
+        [
+            sys.executable, "-m", "jsonschema_spark", "repair",
+            "--input", str(src), "--out", str(out), "--cores", "4",
+        ],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert res.returncode == 0, res.stderr[-800:]
+    import duckdb
+
+    stale = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out}/*.parquet')"
+        " WHERE n_tok <> len(tokens)"
+    ).fetchone()[0]
+    assert stale == 0
