@@ -1869,6 +1869,18 @@ def q_bigram_ppl(spark, sf_dir):
     return bigram_perplexity(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
 
 
+def q_winnow_dups(spark, sf_dir):
+    """Winnowing-fingerprint near-copy pairs (Schleimer et al. MOSS
+    sketch) over documents — verbatim-passage overlap below any Jaccard
+    threshold; portable md5 hashes so the oracle replays every window
+    minimum, doc-frequency ceiling keeps template fingerprints out of the
+    pair join."""
+    from jsonschema_spark.operators.dedup import winnow_near_dup
+
+    df = _t(spark, sf_dir, "documents")
+    return winnow_near_dup(df, k=12, window=8, min_shared=3, max_doc_freq=64, portable=True)
+
+
 def q_temperature_mix(spark, sf_dir):
     """Temperature-based source re-mixing (p_g ∝ count_g^0.5) over a
     deterministically skewed 4:2:1 source derivation — the multilingual
@@ -1955,6 +1967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "positional_entropy": q_positional_entropy,
         "bigram_ppl": q_bigram_ppl,
+        "winnow_dups": q_winnow_dups,
         "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
         "ivf_topk": q_ivf_topk,
@@ -3561,6 +3574,22 @@ def oracle_sql() -> dict[str, str]:
             "  md5(string_agg(CAST(nid AS VARCHAR), ',' ORDER BY ord)) AS remap_fp,"
             "  CAST(sum(oov) AS INT) AS n_oov"
             " FROM r GROUP BY 1"
+        ),
+        "winnow_dups": (
+            f"WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),"
+            " h AS (SELECT doc_id, list_transform(range(1, len(t) - 10),"
+            "   i -> CAST(concat('0x', substr(md5(substr(t, i, 12)), 1, 15))"
+            "    AS BIGINT)) AS hs FROM n),"
+            " wn AS (SELECT doc_id, list_sort(list_distinct("
+            "   list_transform(range(1, len(hs) - 6),"
+            "    j -> list_min(hs[j:j + 7])))) AS fps FROM h),"
+            " e AS (SELECT DISTINCT doc_id AS id, unnest(fps) AS w FROM wn),"
+            " el AS (SELECT w FROM e GROUP BY w"
+            "   HAVING count(*) > 1 AND count(*) <= 64)"
+            " SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared"
+            " FROM e a JOIN el ON a.w = el.w JOIN e b"
+            "  ON a.w = b.w AND a.id < b.id"
+            " GROUP BY 1, 2 HAVING count(*) >= 3"
         ),
         "bigram_ppl": (
             f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"

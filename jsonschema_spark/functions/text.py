@@ -258,14 +258,17 @@ def fingerprint(col: Column) -> Column:
     return F.md5(normalized(col))
 
 
-def rolling_hashes(col: Column, k: int = 5) -> Column:
+def rolling_hashes(col: Column, k: int = 5, portable: bool = False) -> Column:
     """Rolling character k-gram hash sequence of the normalized text —
-    input to winnowing. xxhash64 per k-gram, computed positionally."""
+    input to winnowing. xxhash64 per k-gram by default (fast path);
+    ``portable=True`` switches to portable_hash60 (md5-based) so an
+    external SQL engine can replay every hash exactly."""
     def _hashes(norm: Column) -> Column:
         n_grams = F.length(norm) - F.lit(k - 1)
+        h = portable_hash60 if portable else F.xxhash64
         return F.transform(
             index_range(n_grams),
-            lambda i: F.xxhash64(norm.substr(i, F.lit(k))),
+            lambda i: h(norm.substr(i, F.lit(k))),
         )
 
     # let-bound: the regex normalization runs once, not once per k-gram
@@ -274,7 +277,8 @@ def rolling_hashes(col: Column, k: int = 5) -> Column:
     )
 
 
-def winnow(col: Column, k: int = 5, window: int = 4) -> Column:
+def winnow(col: Column, k: int = 5, window: int = 4,
+           portable: bool = False) -> Column:
     """Winnowing document fingerprint (Schleimer et al., SIGMOD'03): the
     distinct set of per-window minima over the rolling k-gram hash sequence.
     Robust to local edits; the standard near-copy sketch for text corpora."""
@@ -286,7 +290,7 @@ def winnow(col: Column, k: int = 5, window: int = 4) -> Column:
         )
         return F.array_sort(F.array_distinct(mins))
 
-    return let_(rolling_hashes(col, k), _winnow)
+    return let_(rolling_hashes(col, k, portable=portable), _winnow)
 
 
 # Unicode script ranges as explicit code-point classes. Explicit ranges

@@ -1233,3 +1233,59 @@ def cross_source_dups(
                  F.col("p.source_b").alias("source_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def winnow_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    max_doc_freq: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """Near-copy pairs by winnowing-fingerprint overlap (Schleimer et al.
+    SIGMOD'03 — the MOSS sketch): ``(id_a, id_b, n_shared)`` for document
+    pairs sharing at least ``min_shared`` winnow fingerprints. Where
+    MinHash estimates SET similarity of shingles, winnowing guarantees
+    any sufficiently long verbatim passage leaves a shared fingerprint —
+    the right detector for quotation/plagiarism-style partial copies that
+    sit below a Jaccard threshold.
+
+    Scale shape (same discipline as shared_ngram_pairs): one explode into
+    distinct (fingerprint, id); fingerprints above ``max_doc_freq``
+    documents are boilerplate and are DROPPED before pairing (the
+    in-code ceiling that keeps template-heavy corpora from going
+    quadratic), the survivors pair through a self-equi-join on the
+    uniform hash key (AQE skew split applies), and the pair count is one
+    map-side-combined agg. ``portable=True`` uses md5-based hashes so an
+    external SQL engine replays every fingerprint.
+    """
+    from jsonschema_spark.functions.text import winnow
+
+    w = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                winnow(F.col(text_col), k=k, window=window, portable=portable)
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    eligible = (
+        w.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter((F.col("_df") > 1) & (F.col("_df") <= max_doc_freq))
+        .select("w")
+    )
+    ww = w.join(eligible, on="w")
+    a = ww.select(F.col("w"), F.col("id").alias("id_a"))
+    b = ww.select(F.col("w"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, on="w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -843,3 +843,38 @@ def test_semantic_decontaminate(spark, embeddings):
     probe_id = bench.limit(1).collect()[0].vec_id
     res = semantic_decontaminate(probe, bench, threshold=0.99).collect()[0]
     assert res.best_bench_id == probe_id and res.contaminated
+
+
+def test_winnow_near_dup_pairs(spark):
+    from jsonschema_spark.operators.dedup import winnow_near_dup
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog in the morning sun"),
+            (2, "THE QUICK brown fox jumps over the lazy dog in the evening rain"),
+            (3, "completely unrelated content about spark physical plans and shuffles"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = winnow_near_dup(df, min_shared=3, portable=True).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+    assert got[0]["n_shared"] >= 3
+    # xxhash64 fast path finds the same pair (different fingerprints, same verdict)
+    fast = winnow_near_dup(df, min_shared=3, portable=False).collect()
+    assert [(r["id_a"], r["id_b"]) for r in fast] == [(1, 2)]
+
+
+def test_winnow_near_dup_doc_freq_ceiling(spark):
+    from jsonschema_spark.operators.dedup import winnow_near_dup
+
+    # one boilerplate sentence shared by MANY docs: with the ceiling below
+    # the replication count, no pair survives (fingerprints are template)
+    df = spark.createDataFrame(
+        [(i, "subscribe to our newsletter for weekly updates today") for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    assert winnow_near_dup(df, min_shared=1, max_doc_freq=5,
+                           portable=True).count() == 0
+    # raising the ceiling re-admits them
+    assert winnow_near_dup(df, min_shared=1, max_doc_freq=16,
+                           portable=True).count() == 45
