@@ -177,6 +177,7 @@ def main() -> None:
         "temperature_mix",
         "positional_entropy",
         "bigram_ppl",
+        "winnow_dups",
     ]
     qs = entry.queries()
     for name in headline:
