@@ -1869,6 +1869,60 @@ def q_bigram_ppl(spark, sf_dir):
     return bigram_perplexity(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
 
 
+def q_vocab_coverage(spark, sf_dir):
+    """Token-mass coverage of the top-k vocabulary ids (k = 10/50/200)
+    over the token corpus — the vocab-size headroom curve; ranking and
+    cumulative sums run over ≤ |vocab| rows, never the corpus."""
+    from jsonschema_spark.operators.stats import vocab_coverage
+
+    return vocab_coverage(_token_corpus(spark), ks=(10, 50, 200))
+
+
+def q_embedding_norm_qa(spark, sf_dir):
+    """Per-vector embedding QA (NaN/zero/ragged-dimension detection) —
+    the gate every similarity/ANN pass needs before trusting cosine.
+    The testdata vectors are clean, so damage is injected deterministically
+    on vec_id residues (zero vector at %13, truncated dim at %17, NaN
+    first element at %19), mirrored in the oracle."""
+    from jsonschema_spark.operators.similarity import embedding_norm_qa
+
+    df = _t(spark, sf_dir, "embeddings")
+    vid = F.col("vec_id")
+    v = F.col("embedding")
+    damaged = (
+        F.when(F.pmod(vid, F.lit(13)) == 0, F.transform(v, lambda x: F.lit(0.0).cast("float")))
+        .when(F.pmod(vid, F.lit(17)) == 0, F.slice(v, 1, 63))
+        .when(
+            F.pmod(vid, F.lit(19)) == 0,
+            F.concat(
+                F.array(F.lit(float("nan")).cast("float")), F.slice(v, 2, 63)
+            ),
+        )
+        .otherwise(v)
+    )
+    return embedding_norm_qa(
+        df.select("vec_id", damaged.alias("embedding")), expected_dim=64
+    )
+
+
+def q_structure_scorecard(spark, sf_dir):
+    """Per-source structure-violation scorecard: sequence_structure
+    verdicts rolled up through Wilson confidence bounds (source derived as
+    doc_id mod 3) — the acceptance-gate view a corpus owner actually
+    reads; composition of two already-proven operators."""
+    from jsonschema_spark.operators.checks import (
+        sequence_structure,
+        wilson_rates,
+    )
+
+    df = _token_corpus(spark)
+    verdicts = sequence_structure(
+        df.select("doc_id", _decorated_tokens().alias("tokens")),
+        vocab_size=32_000,
+    ).withColumn("source", F.pmod(F.col("doc_id"), F.lit(3)).cast("string"))
+    return wilson_rates(verdicts, "source", ~F.col("structure_ok"))
+
+
 def q_winnow_dups(spark, sf_dir):
     """Winnowing-fingerprint near-copy pairs (Schleimer et al. MOSS
     sketch) over documents — verbatim-passage overlap below any Jaccard
@@ -1967,6 +2021,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix": q_temperature_mix,
         "positional_entropy": q_positional_entropy,
         "bigram_ppl": q_bigram_ppl,
+        "vocab_coverage": q_vocab_coverage,
+        "embedding_norm_qa": q_embedding_norm_qa,
+        "structure_scorecard": q_structure_scorecard,
         "winnow_dups": q_winnow_dups,
         "token_ngram_diversity": q_token_ngram_diversity,
         "ann_topk": q_ann_topk,
@@ -3574,6 +3631,70 @@ def oracle_sql() -> dict[str, str]:
             "  md5(string_agg(CAST(nid AS VARCHAR), ',' ORDER BY ord)) AS remap_fp,"
             "  CAST(sum(oov) AS INT) AS n_oov"
             " FROM r GROUP BY 1"
+        ),
+        "vocab_coverage": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " c AS (SELECT tok, count(*) AS cnt FROM"
+            "  (SELECT unnest(tokens) AS tok FROM t) GROUP BY 1),"
+            " r AS (SELECT row_number() OVER (ORDER BY cnt DESC, tok ASC)"
+            "   AS rank, sum(cnt) OVER (ORDER BY cnt DESC, tok ASC"
+            "    ROWS UNBOUNDED PRECEDING) AS cum FROM c),"
+            " tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),"
+            " ks AS (SELECT CAST(unnest([10, 50, 200]) AS INT) AS k),"
+            " at_k AS (SELECT k, CAST(max(cum) AS BIGINT) AS covered"
+            "  FROM r JOIN ks ON r.rank <= ks.k GROUP BY k)"
+            " SELECT ks.k, coalesce(covered, 0) AS covered_tokens,"
+            "  total AS total_tokens,"
+            "  CASE WHEN total > 0 THEN round(coalesce(covered, 0)"
+            "   / CAST(total AS DOUBLE), 6) END AS coverage"
+            " FROM ks LEFT JOIN at_k USING (k) CROSS JOIN tot"
+        ),
+        "embedding_norm_qa": (
+            "WITH d AS (SELECT vec_id,"
+            "  CASE WHEN vec_id % 13 = 0 THEN"
+            "    list_transform(embedding, x -> CAST(0.0 AS FLOAT))"
+            "   WHEN vec_id % 17 = 0 THEN embedding[1:63]"
+            "   WHEN vec_id % 19 = 0 THEN"
+            "    [CAST('NaN' AS FLOAT)] || embedding[2:64]"
+            "   ELSE embedding END AS v FROM embeddings)"
+            " SELECT vec_id, CAST(len(v) AS INT) AS dim,"
+            "  round(sqrt(coalesce(list_sum(list_transform("
+            "   list_filter(v, x -> NOT isnan(x) AND x IS NOT NULL),"
+            "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)), 6)"
+            "   AS norm,"
+            "  CAST(len(list_filter(v, x -> isnan(x))) AS INT) AS n_nan,"
+            "  CAST(len(list_filter(v, x -> x IS NULL)) AS INT) AS n_null,"
+            "  len(v) = 64 AS dim_ok,"
+            "  (v IS NOT NULL AND len(v) = 64"
+            "   AND len(list_filter(v, x -> isnan(x))) = 0"
+            "   AND len(list_filter(v, x -> x IS NULL)) = 0"
+            "   AND sqrt(coalesce(list_sum(list_transform("
+            "    list_filter(v, x -> NOT isnan(x) AND x IS NOT NULL),"
+            "    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 0.0)) > 0)"
+            "   AS usable"
+            " FROM d"
+        ),
+        "structure_scorecard": (
+            "WITH d AS (SELECT doc_id,  CASE WHEN doc_id % 7 <> 0 THEN [1] ELSE CAST([] AS INT[]) END  || list_transform(tokens, x -> x + 10)  || CASE WHEN doc_id % 13 = 0 THEN [0] ELSE CAST([] AS INT[]) END  || CASE WHEN doc_id % 11 = 0 THEN [99999] ELSE CAST([] AS INT[]) END  || CASE WHEN doc_id % 5 <> 0 THEN [2] ELSE CAST([] AS INT[]) END  AS t"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " s AS (SELECT CAST(doc_id % 3 AS VARCHAR) AS source,"
+            "  NOT (len(list_filter(t, x -> x < 0 OR x >= 32000)) = 0"
+            "   AND len(t) >= 1 AND t[1] = 1 AND t[-1] = 2"
+            "   AND len(list_filter(t, (x, i) -> list_contains([1, 2, 0], x)"
+            "    AND i > 1 AND i < len(t))) = 0) AS fail FROM d),"
+            " agg AS (SELECT source, count(*) AS n,"
+            "   CAST(count(*) FILTER (WHERE fail) AS BIGINT) AS fails"
+            "  FROM s GROUP BY 1),"
+            " w AS (SELECT source, n, fails, fails / CAST(n AS DOUBLE) AS p,"
+            "   1.96 * 1.96 AS z2, CAST(n AS DOUBLE) AS nd FROM agg)"
+            " SELECT source, n, fails, round(p, 6) AS rate,"
+            "  round(greatest((p + z2 / (2 * nd)) / (1 + z2 / nd)"
+            "   - 1.96 * sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd))"
+            "     / (1 + z2 / nd), 0.0), 6) AS wilson_lo,"
+            "  round(least((p + z2 / (2 * nd)) / (1 + z2 / nd)"
+            "   + 1.96 * sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd))"
+            "     / (1 + z2 / nd), 1.0), 6) AS wilson_hi"
+            " FROM w"
         ),
         "winnow_dups": (
             f"WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),"

@@ -424,3 +424,52 @@ def semantic_decontaminate(
         F.round(F.col("b.best_cos"), 6).alias("best_cos"),
         (F.col("b.best_cos") >= threshold).alias("contaminated"),
     )
+
+
+def embedding_norm_qa(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    expected_dim: int | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-vector QA ``(id, dim, norm, n_nan, n_null, dim_ok, usable)`` —
+    the embedding column's analogue of sequence_structure: a similarity /
+    ANN / dedup pass silently corrupts on NaN elements (cosine → NaN,
+    which every comparison drops), zero vectors (cosine undefined), null
+    elements, and ragged dimensions (kernel matmuls crash or misalign).
+    ``usable`` = finite, non-zero, dimension as expected.
+
+    Scale shape: pure scan-stage array expressions (size/filter/
+    aggregate), zero shuffle, zero Python — QA rides the same scan as the
+    operator it gates. Null vectors yield dim null / usable false.
+    """
+    v = F.col(vec_col)
+    n_nan = F.size(F.filter(v, lambda x: F.isnan(x)))
+    n_null = F.size(F.filter(v, lambda x: x.isNull()))
+    nrm = F.sqrt(
+        F.aggregate(
+            F.filter(v, lambda x: ~F.isnan(x) & x.isNotNull()),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    dim_ok = (
+        F.lit(True) if expected_dim is None else (F.size(v) == expected_dim)
+    )
+    usable = (
+        v.isNotNull()
+        & dim_ok
+        & (n_nan == 0)
+        & (n_null == 0)
+        & (nrm > 0)
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(v).alias("dim"),
+        F.round(nrm, decimals).alias("norm"),
+        n_nan.alias("n_nan"),
+        n_null.alias("n_null"),
+        dim_ok.alias("dim_ok"),
+        F.coalesce(usable, F.lit(False)).alias("usable"),
+    )

@@ -459,3 +459,66 @@ def positional_entropy(
             ).alias("entropy"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    ks: tuple[int, ...] = (100, 1_000, 10_000),
+    decimals: int = 6,
+) -> DataFrame:
+    """``(k, covered_tokens, total_tokens, coverage)`` for each k in
+    ``ks``: the fraction of the corpus's token MASS covered by its k most
+    frequent token ids — the vocab-size headroom curve (a tokenizer whose
+    top-1k ids already cover 99% of mass is oversized for the corpus; a
+    flat curve says ids are being wasted). Rank ties break on token id,
+    so the curve is a pure function of the corpus on any engine.
+
+    Scale shape: one explode → map-side-combined count per id (the only
+    corpus-sized stage), then ranking and cumulative sums over ≤ |vocab|
+    rows — the window runs on the tiny aggregate, never on the corpus.
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens_col).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = counts.select(
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        ).alias("rank"),
+        F.sum("cnt").over(w).alias("cum"),
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    ks_df = df.sparkSession.createDataFrame(
+        [(int(k),) for k in sorted(ks)], "k: int"
+    )
+    # per k: the cumulative mass at rank = min(k, |vocab|)
+    at_k = (
+        ranked.crossJoin(F.broadcast(ks_df))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("cum").alias("covered_tokens"))
+    )
+    return (
+        ks_df.join(at_k, on="k", how="left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+            F.col("total").alias("total_tokens"),
+            F.when(
+                F.col("total") > 0,
+                F.round(
+                    F.coalesce("covered_tokens", F.lit(0))
+                    / F.col("total").cast("double"),
+                    decimals,
+                ),
+            ).alias("coverage"),
+        )
+    )

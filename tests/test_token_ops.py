@@ -291,3 +291,38 @@ def test_repair_output_always_passes_structure(spark):
     verdicts = sequence_structure(repaired.select("doc_id", "tokens"))
     assert verdicts.filter("NOT structure_ok").count() == 0
     assert verdicts.count() == 300
+
+
+def test_vocab_coverage_closed_form(spark):
+    from jsonschema_spark.operators.stats import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, [1] * 6 + [2] * 3 + [3])], "doc_id: long, tokens: array<int>"
+    )
+    rows = {r["k"]: r for r in vocab_coverage(df, ks=(1, 2, 5)).collect()}
+    assert rows[1]["covered_tokens"] == 6 and rows[1]["coverage"] == 0.6
+    assert rows[2]["covered_tokens"] == 9 and rows[2]["coverage"] == 0.9
+    assert rows[5]["covered_tokens"] == 10 and rows[5]["coverage"] == 1.0
+
+
+def test_embedding_norm_qa_flags(spark):
+    from jsonschema_spark.operators.similarity import embedding_norm_qa
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0]),
+            (2, [0.0, 0.0]),
+            (3, [float("nan"), 1.0]),
+            (4, [1.0]),
+            (5, None),
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    rows = {r["vec_id"]: r for r in embedding_norm_qa(df, expected_dim=2).collect()}
+    assert rows[1]["usable"] and rows[1]["norm"] == 5.0
+    assert not rows[2]["usable"] and rows[2]["norm"] == 0.0
+    assert not rows[3]["usable"] and rows[3]["n_nan"] == 1
+    # NaN elements are excluded from the norm, not propagated
+    assert rows[3]["norm"] == 1.0
+    assert not rows[4]["usable"] and not rows[4]["dim_ok"]
+    assert not rows[5]["usable"] and rows[5]["dim"] is None
