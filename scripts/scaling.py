@@ -31,6 +31,7 @@ JOB_SCRIPTS = {
     "simhash": "simhash_scaling_job.py",
     "ppl": "ppl_scaling_job.py",
     "cc": "cc_scaling_job.py",
+    "tokenstats": "tokenstats_scaling_job.py",
 }
 
 
