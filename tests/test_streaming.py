@@ -236,3 +236,43 @@ def test_streaming_drift_monitor(spark, stream_dir, tmp_path):
     )
     assert len(reports2) == 1
     assert reports2[0]["drifted"] and reports2[0]["psi"] > 0.25
+
+
+def test_streaming_sequence_structure_matches_batch(spark, tmp_path):
+    """The token-structure validator is a stateless projection, so it must
+    run unchanged on a stream and agree row-for-row with the batch engine
+    (pins that no streaming-incompatible construct sneaks into it)."""
+    from jsonschema_spark.operators.checks import sequence_structure
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    d = tmp_path / "tok_in"
+    df = token_neardup_corpus(spark, 2_000, seed=5)
+    df.filter(F.pmod("doc_id", F.lit(2)) == 0).write.mode("append").parquet(str(d))
+    df.filter(F.pmod("doc_id", F.lit(2)) == 1).write.mode("append").parquet(str(d))
+
+    # vocab 499 over uniform ids 0..499: only id 499 is OOV, so both
+    # verdict classes are populated (~85% of docs lack it entirely)
+    kwargs = dict(vocab_size=499, bos_id=None, eos_id=None, pad_id=None)
+    stream = spark.readStream.schema("doc_id long, tokens array<int>").parquet(
+        str(d)
+    )
+    q = (
+        sequence_structure(stream, **kwargs)
+        .writeStream.format("memory")
+        .queryName("seq_struct_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: (r["structure_ok"], r["n_oob"])
+        for r in spark.sql("SELECT * FROM seq_struct_stream").collect()
+    }
+    want = {
+        r["doc_id"]: (r["structure_ok"], r["n_oob"])
+        for r in sequence_structure(df, **kwargs).collect()
+    }
+    assert got == want and len(got) == 2_000
+    assert any(ok for ok, _ in got.values()) and any(
+        not ok for ok, _ in got.values()
+    )
