@@ -1869,6 +1869,19 @@ def q_bigram_ppl(spark, sf_dir):
     return bigram_perplexity(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
 
 
+def q_trigram_sbo(spark, sf_dir):
+    """Stupid-Backoff trigram scoring (Brants et al. 2007) of every
+    non-reference sequence against raw trigram/bigram/unigram counts from
+    the doc_id%5==0 reference slice — the web-scale LM ranker (pure
+    counting, fixed backoff penalty, no discount tuning), one model order
+    above bigram_ppl. Reports backoff-tier hit counts alongside the mean
+    negative log score."""
+    from jsonschema_spark.operators.relevance import trigram_stupid_backoff
+
+    df = _token_corpus(spark)
+    return trigram_stupid_backoff(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Token-mass coverage of the top-k vocabulary ids (k = 10/50/200)
     over the token corpus — the vocab-size headroom curve; ranking and
@@ -2059,6 +2072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
+        "trigram_sbo": q_trigram_sbo,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
@@ -3731,6 +3745,44 @@ def oracle_sql() -> dict[str, str]:
             "  CROSS JOIN vt)"
             " SELECT id, count(*) AS n_bigrams, round(avg(nll), 6) AS xent,"
             "  round(exp(avg(nll)), 6) AS ppl FROM j GROUP BY 1"
+        ),
+        "trigram_sbo": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " ref AS (SELECT * FROM t WHERE doc_id % 5 = 0),"
+            " rt AS (SELECT unnest(tokens[1:len(tokens) - 2]) AS a,"
+            "   unnest(tokens[2:len(tokens) - 1]) AS b,"
+            "   unnest(tokens[3:len(tokens)]) AS c FROM ref),"
+            " tg AS (SELECT a, b, c, count(*) AS nt FROM rt GROUP BY 1, 2, 3),"
+            " rp AS (SELECT unnest(tokens[1:len(tokens) - 1]) AS a,"
+            "   unnest(tokens[2:len(tokens)]) AS b FROM ref),"
+            " bg AS (SELECT a, b, count(*) AS np FROM rp GROUP BY 1, 2),"
+            " u AS (SELECT tok, count(*) AS nu FROM"
+            "  (SELECT unnest(tokens) AS tok FROM ref) GROUP BY 1),"
+            " tot AS (SELECT CAST(sum(nu) AS BIGINT) AS n, count(*) AS v FROM u),"
+            " sp AS (SELECT doc_id AS id,"
+            "   unnest(tokens[1:len(tokens) - 2]) AS a,"
+            "   unnest(tokens[2:len(tokens) - 1]) AS b,"
+            "   unnest(tokens[3:len(tokens)]) AS c"
+            "  FROM t WHERE doc_id % 5 <> 0),"
+            " j AS (SELECT id, coalesce(tg.nt, 0) AS nt, b2.np AS n_ab,"
+            "   coalesce(b3.np, 0) AS n_bc, ub.nu AS n_b,"
+            "   coalesce(uc.nu, 0) AS n_c"
+            "  FROM sp LEFT JOIN tg USING (a, b, c)"
+            "   LEFT JOIN bg b2 ON sp.a = b2.a AND sp.b = b2.b"
+            "   LEFT JOIN bg b3 ON sp.b = b3.a AND sp.c = b3.b"
+            "   LEFT JOIN u ub ON sp.b = ub.tok"
+            "   LEFT JOIN u uc ON sp.c = uc.tok),"
+            " s AS (SELECT id, nt, n_bc,"
+            "   CASE WHEN nt > 0 THEN nt / n_ab"
+            "    WHEN n_bc > 0 THEN (CAST(0.4 AS DOUBLE) * n_bc) / n_b"
+            f"    ELSE (CAST({0.4 * 0.4!r} AS DOUBLE) * (n_c + 0.5))"
+            "     / (n + 0.5 * v) END AS sc"
+            "  FROM j CROSS JOIN tot)"
+            " SELECT id, count(*) AS n_trigrams,"
+            "  count(*) FILTER (WHERE nt > 0) AS n_hit3,"
+            "  count(*) FILTER (WHERE nt = 0 AND n_bc > 0) AS n_hit2,"
+            "  round(avg(-ln(sc)), 6) AS xent"
+            " FROM s GROUP BY 1"
         ),
         "temperature_mix": (
             "WITH src AS (SELECT doc_id,"

@@ -402,3 +402,153 @@ def bigram_perplexity(
             F.round(F.exp(F.col("_x")), decimals).alias("ppl"),
         )
     )
+
+
+def trigram_stupid_backoff(
+    df: DataFrame,
+    is_reference: Column,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    alpha: float = 0.4,
+    smoothing: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Stupid-Backoff trigram scoring (Brants et al. 2007, "Large Language
+    Models in Machine Translation") — the web-scale LM ranker: raw-count
+    relative frequencies with a fixed backoff penalty instead of
+    normalized discounting, which is exactly what makes it trainable by
+    pure counting at 10^12 tokens (no held-out EM, no discount tuning).
+
+    Per trigram position, the score is
+
+        S(c | a, b) = T(a,b,c) / B(a,b)            if T(a,b,c) > 0
+                    = alpha * B(b,c) / U(b)        elif B(b,c) > 0
+                    = alpha^2 * (U(c)+k)/(N+k*V)   otherwise
+
+    with T/B/U the raw trigram/bigram/unigram counts on the reference
+    slice, N total reference tokens, V distinct reference token ids and
+    ``k`` an add-k floor on the unigram base so out-of-vocabulary tokens
+    are priced, not scored zero (Brants' S(w)=U(w)/N is kept for seen
+    tokens up to the +k shift; the floor only matters for unseen ids).
+    Scores are not normalized probabilities — the mean negative log score
+    (``xent``) is a ranking key, not a true cross-entropy.
+
+    Returns ``(id, n_trigrams, n_hit3, n_hit2, xent)`` for non-reference
+    sequences with >= 1 trigram: how many positions were priced by the
+    full trigram, how many fell back to the bigram, and the mean -log S.
+    The hit-tier counts are the model-coverage diagnostic Brants reports
+    (backoff-tier usage tracks domain match better than xent alone).
+
+    Scale shape: the three count tables are map-side-combined aggs keyed
+    by uniform token ids. Scoring explodes trigram positions (no
+    pre-shuffle) and joins count tables on their gram keys — the trigram
+    and bigram tables via AQE (broadcast when small, shuffle-join
+    otherwise; at 10^12 tokens these are the classic distributed LM shard
+    joins), the vocab-bounded unigram table explicitly broadcast. N and V
+    are one 2-scalar collect. Final per-doc agg moves ~1 row/doc.
+    """
+    from ..functions.text import index_range
+
+    toks = F.col(tokens_col)
+    tri_arr = F.transform(
+        index_range(F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"),
+            F.element_at(toks, i + 1).alias("b"),
+            F.element_at(toks, i + 2).alias("c"),
+        ),
+    )
+    pair_arr = F.transform(
+        index_range(F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"),
+            F.element_at(toks, i + 1).alias("b"),
+        ),
+    )
+    ref = df.filter(is_reference)
+    tri = (
+        ref.select(F.explode(tri_arr).alias("g"))
+        .select("g.a", "g.b", "g.c")
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    big = (
+        ref.select(F.explode(pair_arr).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("np"))
+    )
+    uni = (
+        ref.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("nu"))
+    )
+    totals = uni.agg(
+        F.sum("nu").alias("n"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    n_total, v = int(totals.n), int(totals.v)
+    k = float(smoothing)
+    a2 = alpha * alpha
+    scored = (
+        df.filter(~is_reference)
+        .select(F.col(id_col).alias("id"), F.explode(tri_arr).alias("g"))
+        .select("id", "g.a", "g.b", "g.c")
+    )
+    nt = F.coalesce(F.col("nt"), F.lit(0))
+    n_bc = F.coalesce(F.col("n_bc"), F.lit(0))
+    score = (
+        F.when(nt > 0, F.col("nt") / F.col("n_ab"))
+        .when(n_bc > 0, F.lit(alpha) * F.col("n_bc") / F.col("n_b"))
+        .otherwise(
+            F.lit(a2)
+            * (F.coalesce(F.col("n_c"), F.lit(0)) + F.lit(k))
+            / F.lit(n_total + k * v)
+        )
+    )
+    return (
+        scored.join(tri, on=["a", "b", "c"], how="left")
+        .join(
+            big.select(
+                F.col("a"), F.col("b"), F.col("np").alias("n_ab")
+            ),
+            on=["a", "b"],
+            how="left",
+        )
+        .join(
+            big.select(
+                F.col("a").alias("b"), F.col("b").alias("c"),
+                F.col("np").alias("n_bc"),
+            ),
+            on=["b", "c"],
+            how="left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("t").alias("b"), F.col("nu").alias("n_b"))
+            ),
+            on="b",
+            how="left",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("t").alias("c"), F.col("nu").alias("n_c"))
+            ),
+            on="c",
+            how="left",
+        )
+        .select(
+            "id",
+            nt.alias("_nt"),
+            n_bc.alias("_nbc"),
+            (-F.ln(score)).alias("_nll"),
+        )
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count(F.when(F.col("_nt") > 0, 1)).alias("n_hit3"),
+            F.count(
+                F.when((F.col("_nt") == 0) & (F.col("_nbc") > 0), 1)
+            ).alias("n_hit2"),
+            F.round(F.avg("_nll"), decimals).alias("xent"),
+        )
+    )

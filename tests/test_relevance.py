@@ -285,3 +285,41 @@ def test_bigram_perplexity_closed_forms(spark):
     assert rows[1]["xent"] < rows[2]["xent"]
     # single-token doc has no conditional to price
     assert 3 not in rows and 0 not in rows
+
+
+def test_trigram_stupid_backoff_closed_forms(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.relevance import trigram_stupid_backoff
+
+    # reference doc 0 = "1 2 3 1 2 3 1 2 3":
+    #   T(1,2,3)=3 T(2,3,1)=2 T(3,1,2)=2  B(1,2)=3 B(2,3)=3 B(3,1)=2
+    #   U(1)=3 U(2)=3 U(3)=3  N=9 V=3
+    df = spark.createDataFrame(
+        [
+            (0, [1, 2, 3, 1, 2, 3, 1, 2, 3]),
+            (1, [1, 2, 3]),        # seen trigram: S = T(1,2,3)/B(1,2) = 1
+            (2, [9, 2, 3]),        # unseen trigram, seen bigram (2,3):
+                                   #   S = 0.4 * B(2,3)/U(2) = 0.4
+            (3, [9, 9, 9]),        # full backoff to the unigram base:
+                                   #   S = 0.16 * (0+0.5)/(9+0.5*3)
+            (4, [5, 6]),           # no trigram position -> absent
+        ],
+        "doc_id: long, tokens: array<int>",
+    )
+    rows = {
+        r["id"]: r
+        for r in trigram_stupid_backoff(df, F.col("doc_id") == 0).collect()
+    }
+    import math
+
+    assert rows[1]["n_trigrams"] == 1 and rows[1]["n_hit3"] == 1
+    assert rows[1]["xent"] == pytest.approx(0.0, abs=1e-6)
+    assert rows[2]["n_hit3"] == 0 and rows[2]["n_hit2"] == 1
+    assert rows[2]["xent"] == pytest.approx(-math.log(0.4), abs=1e-6)
+    base = (0.4 * 0.4) * 0.5 / (9 + 0.5 * 3)
+    assert rows[3]["n_hit3"] == 0 and rows[3]["n_hit2"] == 0
+    assert rows[3]["xent"] == pytest.approx(-math.log(base), abs=1e-6)
+    # in-domain strictly better than out-of-domain, tier by tier
+    assert rows[1]["xent"] < rows[2]["xent"] < rows[3]["xent"]
+    assert 4 not in rows and 0 not in rows
