@@ -823,6 +823,22 @@ def q_ivf_topk(spark, sf_dir):
     return ivf_topk(df, "embedding", _vec0(spark, sf_dir), 10, centroids, n_probe=3)
 
 
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings (the
+    same seeded 8-list/2-iter run the ivf_topk oracle replays), then report
+    members whose cosine to a smaller-id member of the same cluster clears
+    the threshold — semantic duplicates under keep-first. Clustering bounds
+    the pair space to O(sum c_i^2); the oracle replays training + the
+    within-cluster pair join end to end. Threshold 0.4 (not the paper's
+    ~0.99) because the synthetic embeddings are near-orthogonal (max
+    pairwise cosine ~0.51 at sf0.01) — same operator, non-vacuous rows."""
+    from jsonschema_spark.operators.similarity import ivf_train, semdedup
+
+    df = _t(spark, sf_dir, "embeddings")
+    centroids = ivf_train(df, "embedding", n_lists=8, iters=2)
+    return semdedup(df, "embedding", centroids, threshold=0.4)
+
+
 def q_blob_stats(spark, sf_dir):
     """Multimodal blob profile over deterministic fake payloads."""
     from jsonschema_spark.operators.multimodal import attach_fake_blob, blob_stats
@@ -2073,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
         "trigram_sbo": q_trigram_sbo,
+        "semdedup": q_semdedup,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
@@ -2275,20 +2292,18 @@ def _diverse_sample_oracle_sql(
     )
 
 
-def _ivf_oracle_sql(
-    n_lists: int = 8, iters: int = 2, n_probe: int = 3, seed: int = 29,
-    dim: int = 64, k: int = 10,
-) -> str:
-    """DuckDB replay of the ENTIRE IVF pipeline: portable-hash init ordering
-    (similarity.ivf_train), `iters` Lloyd iterations (assign = argmax cosine
-    with smallest-centroid tiebreak; update = per-dimension mean, empty
-    clusters keep their centroid), probe selection (top n_probe centroids by
-    query cosine, reversed-argsort tiebreak = larger cid first), then exact
-    rerank within the probed lists."""
+def _ivf_train_ctes(
+    n_lists: int = 8, iters: int = 2, seed: int = 29, dim: int = 64,
+) -> list[str]:
+    """Shared DuckDB CTE prefix replaying similarity.ivf_train end to end:
+    portable-hash init ordering, `iters` Lloyd iterations (assign = argmax
+    cosine with smallest-centroid tiebreak; update = per-dimension mean,
+    empty clusters keep their centroid), ending with `af` = the final
+    per-vector cluster assignment. Used by both the ivf_topk and semdedup
+    oracles so the two queries replay the identical training run."""
     h = _hex60(f"CAST(vec_id AS VARCHAR) || '#{seed}'")
     parts = [
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),",
-        " q AS (SELECT v AS qv FROM e WHERE vec_id = 0),",
         " c0 AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v AS cv"
         f"  FROM (SELECT vec_id, v, {h} AS h FROM e) ORDER BY h, vec_id LIMIT {n_lists}),",
     ]
@@ -2313,20 +2328,54 @@ def _ivf_oracle_sql(
         )
         prev = f"c{it}"
     parts.append(
-        f" probes AS (SELECT cid FROM {prev}, q"
-        f"  ORDER BY list_cosine_similarity(cv, qv) DESC, cid DESC LIMIT {n_probe}),"
-    )
-    parts.append(
         " af AS (SELECT vec_id, v, cid FROM ("
         "  SELECT e.vec_id, e.v, c.cid, row_number() OVER ("
         "   PARTITION BY e.vec_id"
         "   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn"
         f"  FROM e, {prev} c) WHERE rn = 1)"
     )
+    return parts
+
+
+def _ivf_oracle_sql(
+    n_lists: int = 8, iters: int = 2, n_probe: int = 3, seed: int = 29,
+    dim: int = 64, k: int = 10,
+) -> str:
+    """DuckDB replay of the ENTIRE IVF pipeline: the shared training CTEs
+    (_ivf_train_ctes), probe selection (top n_probe centroids by query
+    cosine, reversed-argsort tiebreak = larger cid first), then exact
+    rerank within the probed lists."""
+    parts = _ivf_train_ctes(n_lists, iters, seed, dim)
+    parts.append(", q AS (SELECT v AS qv FROM e WHERE vec_id = 0),")
+    parts.append(
+        f" probes AS (SELECT cid FROM c{iters}, q"
+        f"  ORDER BY list_cosine_similarity(cv, qv) DESC, cid DESC LIMIT {n_probe})"
+    )
     parts.append(
         " SELECT vec_id, round(list_cosine_similarity(v, qv), 6) AS score"
         " FROM af, q WHERE cid IN (SELECT cid FROM probes)"
         f" ORDER BY score DESC, vec_id LIMIT {k}"
+    )
+    return "".join(parts)
+
+
+def _semdedup_oracle_sql(
+    n_lists: int = 8, iters: int = 2, seed: int = 29, dim: int = 64,
+    threshold: float = 0.99,
+) -> str:
+    """DuckDB replay of SemDeDup over the same k-means run as the IVF
+    oracle: within-cluster smaller-id pair cosines, thresholded on the
+    ROUNDED score (the operator's boundary contract)."""
+    parts = _ivf_train_ctes(n_lists, iters, seed, dim)
+    parts.append(
+        ", p AS (SELECT a.vec_id AS vec_id, CAST(a.cid AS BIGINT) AS cid,"
+        "   round(list_cosine_similarity(a.v, b.v), 6) AS s"
+        "  FROM af a JOIN af b"
+        "   ON a.cid = b.cid AND b.vec_id < a.vec_id)"
+    )
+    parts.append(
+        " SELECT vec_id, cid, count(*) AS n_dups, max(s) AS score"
+        f" FROM p WHERE s >= {threshold} GROUP BY 1, 2"
     )
     return "".join(parts)
 
@@ -3096,6 +3145,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_topk": _ann_oracle_sql(),
         "ivf_topk": _ivf_oracle_sql(),
+        "semdedup": _semdedup_oracle_sql(threshold=0.4),
         "diverse_sample": _diverse_sample_oracle_sql(),
         "lang_id_counts": (
             "WITH r AS (SELECT"

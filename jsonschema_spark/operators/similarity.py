@@ -473,3 +473,64 @@ def embedding_norm_qa(
         dim_ok.alias("dim_ok"),
         F.coalesce(usable, F.lit(False)).alias("usable"),
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    decimals: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): k-means-cluster the
+    embedding space, then mark as semantic duplicates the members whose
+    cosine to another member of the SAME cluster exceeds ``threshold``.
+    Clustering bounds the pair space — O(sum c_i^2) instead of O(n^2) —
+    which is the entire reason the method works at web scale; the paper
+    prunes LAION/C4 with exactly this shape.
+
+    Keep-first policy: a vector is reported (= would be dropped) iff some
+    SMALLER-id member of its cluster is within ``threshold``; the smallest
+    id of every semantic group therefore survives, matching the keep-first
+    convention of the exact/minhash dedup operators here. Returns
+    ``(vec_id, cid, n_dups, score)``: the cluster id, how many smaller-id
+    neighbors exceeded the threshold, and the best such cosine (rounded;
+    the threshold is applied to the ROUNDED score so any engine draws the
+    same boundary).
+
+    Scale shape: assignment is the IVF Arrow matmul kernel
+    (:func:`ivf_assign`); the assigned table is localCheckpoint'd before
+    the self-join (Spark reuses no exchanges across self-join aliases —
+    CLAUDE.md rule #4 — and the kernel must not run twice). The pair join
+    is an equi-join on the cluster id, so AQE's skew split handles hot
+    clusters; at 10^12 rows production shards oversized clusters by a
+    salted sub-key first (same policy as the band joins in dedup.py). The
+    per-doc agg moves ~1 row per duplicate, never the corpus.
+    """
+    assigned = ivf_assign(
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        "v",
+        centroids,
+    ).localCheckpoint(eager=False)
+    a, b = assigned.alias("a"), assigned.alias("b")
+    s = F.round(_pair_cosine(F.col("a.v"), F.col("b.v")), decimals)
+    return (
+        a.join(
+            b,
+            (F.col("a._list") == F.col("b._list"))
+            & (F.col("b.id") < F.col("a.id")),
+        )
+        .select(
+            F.col("a.id").alias(id_col),
+            F.col("a._list").cast("long").alias("cid"),
+            s.alias("s"),
+        )
+        .filter(F.col("s") >= threshold)
+        .groupBy(id_col, "cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("s").alias("score"),
+        )
+    )

@@ -878,3 +878,34 @@ def test_winnow_near_dup_doc_freq_ceiling(spark):
     # raising the ceiling re-admits them
     assert winnow_near_dup(df, min_shared=1, max_doc_freq=16,
                            portable=True).count() == 45
+
+
+def test_semdedup_keep_first_within_clusters(spark):
+    """Two tight semantic groups + isolated points: every non-minimal
+    member of a group is reported against smaller-id neighbors; group
+    minima and isolated vectors survive; no cross-cluster pair can fire."""
+    import numpy as np
+    from jsonschema_spark.operators.similarity import ivf_train, semdedup
+
+    rng = np.random.RandomState(3)
+    base_a = rng.standard_normal(16)
+    base_b = rng.standard_normal(16)
+    rows = []
+    for i in range(4):  # group A: ids 0-3, near-identical
+        rows.append((i, (base_a + 0.01 * rng.standard_normal(16)).tolist()))
+    for i in range(3):  # group B: ids 10-12, near-identical
+        rows.append((10 + i, (base_b + 0.01 * rng.standard_normal(16)).tolist()))
+    for i in range(8):  # isolated noise: ids 100+
+        rows.append((100 + i, rng.standard_normal(16).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = ivf_train(df, "embedding", n_lists=4, iters=2)
+    out = {r.vec_id: r for r in semdedup(
+        df, "embedding", centroids, threshold=0.95).collect()}
+    # group minima survive (never reported)
+    assert 0 not in out and 10 not in out
+    # every other group member is reported with the right neighbor count
+    assert set(out) == {1, 2, 3, 11, 12}
+    assert out[3].n_dups == 3 and out[1].n_dups == 1
+    assert out[12].n_dups == 2
+    for r in out.values():
+        assert r.score >= 0.95
