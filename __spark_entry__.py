@@ -1898,6 +1898,18 @@ def q_trigram_sbo(spark, sf_dir):
     return trigram_stupid_backoff(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
 
 
+def q_padding_waste(spark, sf_dir):
+    """Length-bucketed padding-waste decision table over the token corpus
+    (max_len 96, bucket width 16): pad tokens burned by pad-to-max vs
+    pad-to-bucket-longest per bucket — the planning report a trainer reads
+    before choosing padding, bucketing, or packing. Reads only sequence
+    lengths; one tiny groupBy."""
+    from jsonschema_spark.operators.packing import padding_waste
+
+    df = _token_corpus(spark).select(F.size("tokens").alias("n_tok"))
+    return padding_waste(df, "n_tok", max_len=96, bucket_width=16)
+
+
 def q_vocab_coverage(spark, sf_dir):
     """Token-mass coverage of the top-k vocabulary ids (k = 10/50/200)
     over the token corpus — the vocab-size headroom curve; ranking and
@@ -2090,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_overlap": q_corpus_overlap,
         "trigram_sbo": q_trigram_sbo,
         "semdedup": q_semdedup,
+        "padding_waste": q_padding_waste,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
@@ -3833,6 +3846,23 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) FILTER (WHERE nt = 0 AND n_bc > 0) AS n_hit2,"
             "  round(avg(-ln(sc)), 6) AS xent"
             " FROM s GROUP BY 1"
+        ),
+        "padding_waste": (
+            f"WITH t AS (SELECT len(tokens) AS n FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " e AS (SELECT CAST(least(n, 96) AS BIGINT) AS eff FROM t WHERE n >= 1),"
+            " b AS (SELECT eff, CAST(floor((eff - 1) / 16) AS BIGINT) AS bucket_id FROM e),"
+            " a AS (SELECT bucket_id, count(*) AS n_seqs,"
+            "   CAST(sum(eff) AS BIGINT) AS sum_tok,"
+            "   CAST(max(eff) AS BIGINT) AS max_tok FROM b GROUP BY 1)"
+            " SELECT bucket_id, least((bucket_id + 1) * 16, 96) AS bucket_hi,"
+            "  n_seqs, sum_tok, max_tok,"
+            "  n_seqs * max_tok - sum_tok AS pad_bucketed,"
+            "  n_seqs * 96 - sum_tok AS pad_fixed,"
+            "  round((n_seqs * max_tok - sum_tok)"
+            "   / (n_seqs * max_tok), 6) AS waste_bucketed,"
+            "  round((n_seqs * 96 - sum_tok)"
+            "   / (n_seqs * 96), 6) AS waste_fixed"
+            " FROM a"
         ),
         "temperature_mix": (
             "WITH src AS (SELECT doc_id,"

@@ -215,3 +215,64 @@ def chunk_sequences(
             F.size(tokens_col).alias("n_tok"),
         )
     )
+
+
+def padding_waste(
+    df: DataFrame,
+    tok_col: str = "n_tok",
+    max_len: int = 2048,
+    bucket_width: int = 128,
+    decimals: int = 6,
+) -> DataFrame:
+    """Padding-waste analysis of length-bucketed batching — the planning
+    twin of :func:`pack_assignments`: when a trainer pads each batch to a
+    fixed ``max_len`` vs. to the longest sequence in its length bucket,
+    how many pad tokens does each policy burn? This is the standard
+    decision table for choosing between padding, bucketing, and packing
+    (waste_fixed >> waste_bucketed >> packing's 1 - fill_ratio).
+
+    Sequences longer than ``max_len`` are counted at ``max_len`` (they
+    would be truncated or chunked upstream — chunk_sequences' job);
+    null/empty sequences are dropped (sequence_structure's job to flag).
+    Per bucket ``floor((min(n_tok, max_len) - 1) / bucket_width)``
+    returns ``(bucket_id, bucket_hi, n_seqs, sum_tok, max_tok,
+    pad_bucketed, pad_fixed, waste_bucketed, waste_fixed)`` — pad counts
+    are exact integers, the two waste columns are the rounded pad
+    fractions of each policy's padded volume.
+
+    Scale shape: one map-side-combined groupBy over ~max_len/width
+    buckets; nothing else moves. The analysis reads only ``n_tok`` —
+    column pruning keeps the token arrays unscanned.
+    """
+    eff = F.least(F.col(tok_col), F.lit(max_len)).cast("long")
+    bucket = F.floor((eff - 1) / F.lit(bucket_width)).cast("long")
+    agg = (
+        df.filter(F.col(tok_col) >= 1)
+        .select(eff.alias("eff"), bucket.alias("bucket_id"))
+        .groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("eff").alias("sum_tok"),
+            F.max("eff").alias("max_tok"),
+        )
+    )
+    bucket_hi = F.least(
+        (F.col("bucket_id") + 1) * F.lit(bucket_width), F.lit(max_len)
+    )
+    pad_b = F.col("n_seqs") * F.col("max_tok") - F.col("sum_tok")
+    pad_f = F.col("n_seqs") * F.lit(max_len) - F.col("sum_tok")
+    return agg.select(
+        "bucket_id",
+        bucket_hi.alias("bucket_hi"),
+        "n_seqs",
+        "sum_tok",
+        "max_tok",
+        pad_b.alias("pad_bucketed"),
+        pad_f.alias("pad_fixed"),
+        F.round(
+            pad_b / (F.col("n_seqs") * F.col("max_tok")), decimals
+        ).alias("waste_bucketed"),
+        F.round(
+            pad_f / (F.col("n_seqs") * F.lit(max_len)), decimals
+        ).alias("waste_fixed"),
+    )

@@ -160,3 +160,33 @@ def test_chunk_sequences_disjoint_reconstruction_property(spark):
     )
     assert bad == 0
     assert rebuilt.count() == 200
+
+
+def test_padding_waste_closed_forms(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.packing import padding_waste
+
+    # widths 4, max_len 8: lengths 1,3 -> bucket 0; 5,7 -> bucket 1;
+    # 9 and 20 clamp to 8 -> bucket 1
+    df = spark.createDataFrame(
+        [(1,), (3,), (5,), (7,), (9,), (20,), (0,), (None,)],
+        "n_tok: int",
+    )
+    rows = {
+        r.bucket_id: r
+        for r in padding_waste(df, "n_tok", max_len=8, bucket_width=4).collect()
+    }
+    assert set(rows) == {0, 1}
+    b0 = rows[0]
+    assert (b0.bucket_hi, b0.n_seqs, b0.sum_tok, b0.max_tok) == (4, 2, 4, 3)
+    assert b0.pad_bucketed == 2 * 3 - 4 and b0.pad_fixed == 2 * 8 - 4
+    assert b0.waste_bucketed == pytest.approx(2 / 6, abs=1e-6)
+    b1 = rows[1]
+    # clamp: 9 and 20 count as 8
+    assert (b1.bucket_hi, b1.n_seqs, b1.sum_tok, b1.max_tok) == (8, 4, 28, 8)
+    assert b1.pad_bucketed == 4 * 8 - 28 and b1.pad_fixed == 4 * 8 - 28
+    # bucketed padding never wastes more than fixed padding
+    for r in rows.values():
+        assert r.pad_bucketed <= r.pad_fixed
