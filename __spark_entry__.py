@@ -1898,6 +1898,17 @@ def q_trigram_sbo(spark, sf_dir):
     return trigram_stupid_backoff(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
 
 
+def q_stratified_split(spark, sf_dir):
+    """Exact-quota stratified train/val/test split of documents by source
+    (80/10/10): within every source, docs ordered by portable id hash,
+    first 80% to train — every stratum within one row of target
+    proportions, byte-identical across partitionings and engines."""
+    from jsonschema_spark.operators.sampling import stratified_split
+
+    df = _t(spark, sf_dir, "documents")
+    return stratified_split(df, "source", "doc_id", 80, 10)
+
+
 def q_padding_waste(spark, sf_dir):
     """Length-bucketed padding-waste decision table over the token corpus
     (max_len 96, bucket width 16): pad tokens burned by pad-to-max vs
@@ -2103,6 +2114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_sbo": q_trigram_sbo,
         "semdedup": q_semdedup,
         "padding_waste": q_padding_waste,
+        "stratified_split": q_stratified_split,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
@@ -3846,6 +3858,18 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) FILTER (WHERE nt = 0 AND n_bc > 0) AS n_hit2,"
             "  round(avg(-ln(sc)), 6) AS xent"
             " FROM s GROUP BY 1"
+        ),
+        "stratified_split": (
+            "WITH d AS (SELECT doc_id, source,"
+            f"""  {_hex60("CAST(doc_id AS VARCHAR) || '#17'")} AS h FROM documents),"""
+            " r AS (SELECT doc_id, source AS strata,"
+            "   row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn,"
+            "   count(*) OVER (PARTITION BY source) AS n FROM d)"
+            " SELECT doc_id, strata,"
+            "  CASE WHEN rn <= floor(n * (80 / CAST(100 AS DOUBLE))) THEN 'train'"
+            "   WHEN rn <= floor(n * (90 / CAST(100 AS DOUBLE))) THEN 'val'"
+            "   ELSE 'test' END AS split"
+            " FROM r"
         ),
         "padding_waste": (
             f"WITH t AS (SELECT len(tokens) AS n FROM read_parquet('{_token_corpus_path()}/*.parquet')),"

@@ -211,3 +211,74 @@ def temperature_mix(
     return mix_to_proportions(
         df, group_col, id_col, proportions, total=total, buckets=buckets
     )
+
+
+def stratified_split(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    seed: int = 17,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-stratum train/val/test split with EXACT quotas: inside every
+    stratum, rows are ordered by a portable content hash of the id (plus
+    the id as tiebreak) and the first ``floor(n * train_pct / 100)`` go
+    to train, the next block to val, the remainder to test. Every stratum
+    therefore lands within one row of the target proportions — the
+    stratification guarantee a hash-threshold split only gives in
+    expectation. Content-addressed order → the assignment is identical
+    across partitionings, re-runs, and engines. Percents are integers so
+    the quota boundary is a multiple of 1/100 — far from the double
+    rounding error of the floor, on any engine.
+
+    Returns ``(doc_id, strata, split)`` with split in
+    {'train','val','test'}.
+
+    Scale shape (exact=True): one shuffle — a rank window partitioned by
+    the stratum (tens of strata, so AQE's skew split matters for hot
+    strata; at 10^12 rows per stratum the window sort dominates).
+    ``exact=False`` is the production alternative at that scale: pure
+    hash thresholds in the scan stage, zero shuffle, proportions exact
+    only in expectation (±0.01% at 10^8 rows/stratum) — same contract as
+    :func:`hash_sample`. Splits from the two modes differ; pick one per
+    corpus and pin it.
+
+    Complements ``leakage_safe_split`` (components.py), which routes
+    whole duplicate-groups to one split but does not stratify: run that
+    first where near-dups exist, then this over the survivors.
+    """
+    h = portable_hash60(
+        F.concat(F.col(id_col).cast("string"), F.lit(f"#{seed}"))
+    )
+    cut = F.lit(train_pct) / F.lit(100.0)
+    cut2 = F.lit(train_pct + val_pct) / F.lit(100.0)
+    if not exact:
+        b = F.pmod(h, F.lit(10_000))
+        split = (
+            F.when(b < F.lit(train_pct * 100), F.lit("train"))
+            .when(b < F.lit((train_pct + val_pct) * 100), F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+        return df.select(
+            F.col(id_col),
+            F.col(strata_col).alias("strata"),
+            split.alias("split"),
+        )
+    w = Window.partitionBy("strata").orderBy("_h", id_col)
+    wn = Window.partitionBy("strata")
+    ranked = df.select(
+        F.col(id_col), F.col(strata_col).alias("strata"), h.alias("_h")
+    ).select(
+        F.col(id_col),
+        "strata",
+        F.row_number().over(w).alias("_r"),
+        F.count(F.lit(1)).over(wn).alias("_n"),
+    )
+    split = (
+        F.when(F.col("_r") <= F.floor(F.col("_n") * cut), F.lit("train"))
+        .when(F.col("_r") <= F.floor(F.col("_n") * cut2), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return ranked.select(F.col(id_col), "strata", split.alias("split"))

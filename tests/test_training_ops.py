@@ -909,3 +909,30 @@ def test_semdedup_keep_first_within_clusters(spark):
     assert out[12].n_dups == 2
     for r in out.values():
         assert r.score >= 0.95
+
+
+def test_stratified_split_exact_quotas(spark):
+    """Every stratum splits within one row of 80/10/10; assignment is
+    identical across partitionings; hash mode matches on proportions in
+    expectation and runs without a window."""
+    from jsonschema_spark.operators.sampling import stratified_split
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = stratified_split(df, "source", "doc_id", 80, 10).collect()
+    counts = {}
+    for r in out:
+        counts.setdefault(r.strata, {}).setdefault(r.split, 0)
+        counts[r.strata][r.split] += 1
+    assert counts["big"] == {"train": 80, "val": 10, "test": 10}
+    assert counts["small"] == {"train": 8, "val": 1, "test": 1}
+    # partitioning-invariant
+    again = stratified_split(
+        df.repartition(7), "source", "doc_id", 80, 10
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # hash mode: no exchange in the plan, full coverage, all three splits
+    fast = stratified_split(df, "source", "doc_id", 80, 10, exact=False)
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert fast.count() == 110
