@@ -781,9 +781,11 @@ def q_embedding_topk_kernel(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Exact pairwise embedding cosine pairs >= 0.3 (oracle baseline for
-    the LSH-blocked variant, which is rows-only)."""
-    from jsonschema_spark.operators.similarity import _pair_cosine
+    the LSH-blocked variant, which is rows-only). Pair-dense, so the
+    cosine runs in the Arrow einsum kernel, not the interpreted HOF."""
+    from jsonschema_spark.operators.similarity import _make_pair_cosine_kernel
 
+    kernel = _make_pair_cosine_kernel()
     df = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     a, b = df.alias("a"), df.alias("b")
     return (
@@ -792,7 +794,7 @@ def q_embedding_near_dup(spark, sf_dir):
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
             F.round(
-                _pair_cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+                kernel(F.col("a.embedding"), F.col("b.embedding")), 6
             ).alias("score"),
         )
         .filter(F.col("score") >= 0.3)
@@ -2107,7 +2109,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # script_mojibake, classifier_score, and corpus_overlap (all
     # unit-tested — tests/test_text_qa.py, incl. the overlap estimator
     # band — and sweep-PASS at sf0.01) wait just outside for the r4
-    # rotation.
+    # rotation, followed by the late additions trigram_sbo, semdedup,
+    # padding_waste, and stratified_split (each unit-tested and
+    # sweep-PASS at sf0.01).
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,

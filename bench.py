@@ -178,6 +178,10 @@ def main() -> None:
         "positional_entropy",
         "bigram_ppl",
         "winnow_dups",
+        "trigram_sbo",
+        "semdedup",
+        "padding_waste",
+        "stratified_split",
     ]
     qs = entry.queries()
     for name in headline:

@@ -283,6 +283,29 @@ def embedding_near_dup_pairs(
     )
 
 
+def _make_pair_cosine_kernel():
+    """Arrow kernel twin of :func:`_pair_cosine` for pair-dense plans
+    (SemDeDup's within-cluster join): one einsum row-wise dot per batch
+    instead of an interpreted 64-step HOF fold per pair (~10x). No
+    expansion matrices — the only (batch x dim) arrays are the stacked
+    input vectors themselves (CLAUDE.md rule #8)."""
+
+    @pandas_udf(T.DoubleType())
+    def _pc(va: pd.Series, vb: pd.Series) -> pd.Series:
+        a = np.stack(va.values).astype("float64")
+        b = np.stack(vb.values).astype("float64")
+        num = np.einsum("ij,ij->i", a, b)
+        denom = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+            np.einsum("ij,ij->i", b, b)
+        )
+        out = np.divide(
+            num, denom, out=np.zeros_like(num), where=denom != 0
+        )
+        return pd.Series(out)
+
+    return _pc
+
+
 def _pair_cosine(va: Column, vb: Column) -> Column:
     d = F.aggregate(
         F.zip_with(va, vb, lambda x, y: x.cast("double") * y),
@@ -501,36 +524,69 @@ def semdedup(
     same boundary).
 
     Scale shape: assignment is the IVF Arrow matmul kernel
-    (:func:`ivf_assign`); the assigned table is localCheckpoint'd before
-    the self-join (Spark reuses no exchanges across self-join aliases —
-    CLAUDE.md rule #4 — and the kernel must not run twice). The pair join
-    is an equi-join on the cluster id, so AQE's skew split handles hot
-    clusters; at 10^12 rows production shards oversized clusters by a
-    salted sub-key first (same policy as the band joins in dedup.py). The
-    per-doc agg moves ~1 row per duplicate, never the corpus.
+    (:func:`ivf_assign`); then ONE shuffle routes each vector ONCE to its
+    cluster's task, and a blocked per-cluster matmul inside
+    ``applyInPandas`` emits only the duplicate rows — no (pair, vec_a,
+    vec_b) materialization, so shuffle volume is O(n·dim), not
+    O(Σc_i²·dim) like a within-cluster self-join would move. Per-group
+    memory is bounded by one reused (block x c_i) score buffer (CLAUDE.md
+    rule #8 — no fresh per-pair temporaries). groupBy-apply cannot be
+    AQE-skew-split, so cluster size is the operator's own knob: pick
+    ``n_lists ~ n / target_cluster_size`` (the paper runs ~100k clusters
+    on LAION) and salt-shard any residual hot cluster upstream, the same
+    policy as dedup.py's band joins.
     """
     assigned = ivf_assign(
         df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
         "v",
         centroids,
-    ).localCheckpoint(eager=False)
-    a, b = assigned.alias("a"), assigned.alias("b")
-    s = F.round(_pair_cosine(F.col("a.v"), F.col("b.v")), decimals)
-    return (
-        a.join(
-            b,
-            (F.col("a._list") == F.col("b._list"))
-            & (F.col("b.id") < F.col("a.id")),
-        )
-        .select(
-            F.col("a.id").alias(id_col),
-            F.col("a._list").cast("long").alias("cid"),
-            s.alias("s"),
-        )
-        .filter(F.col("s") >= threshold)
-        .groupBy(id_col, "cid")
-        .agg(
-            F.count(F.lit(1)).alias("n_dups"),
-            F.max("s").alias("score"),
-        )
     )
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type),
+            T.StructField("cid", T.LongType()),
+            T.StructField("n_dups", T.LongType()),
+            T.StructField("score", T.DoubleType()),
+        ]
+    )
+    block = 1024
+
+    def _cluster_dups(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id", kind="mergesort")
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {id_col: [], "cid": [], "n_dups": [], "score": []}
+            ).astype({"cid": "int64", "n_dups": "int64", "score": "float64"})
+        cid = int(pdf["_list"].iloc[0])
+        mat = np.stack(pdf["v"].values).astype("float64")
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        np.maximum(nrm, 1e-300, out=nrm)
+        mat /= nrm[:, None]
+        buf = np.empty((min(block, n), n))
+        ids, dups, scores = [], [], []
+        id_vals = pdf["id"].to_numpy()
+        for s in range(1, n, block):
+            e = min(s + block, n)
+            scores_blk = np.dot(mat[s:e], mat[:e].T, out=buf[: e - s, :e])
+            np.round(scores_blk, decimals, out=scores_blk)
+            for r in range(e - s):
+                i = s + r
+                row = scores_blk[r, :i]
+                hits = row >= threshold
+                k = int(np.count_nonzero(hits))
+                if k:
+                    ids.append(id_vals[i])
+                    dups.append(k)
+                    scores.append(float(row[hits].max()))
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "cid": np.full(len(ids), cid, dtype="int64"),
+                "n_dups": np.asarray(dups, dtype="int64"),
+                "score": np.asarray(scores, dtype="float64"),
+            }
+        )
+
+    return assigned.groupBy("_list").applyInPandas(_cluster_dups, out_schema)
