@@ -254,3 +254,55 @@ def test_repair_sequences_no_shuffle(spark):
     plan = _plan(entry_mod.queries()["repair_sequences"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_padding_waste_prunes_to_length_only(spark):
+    """The analysis needs only sequence lengths: on the demo corpus that
+    means the scan reads just `tokens` (for size()) with doc_id pruned —
+    on the north-rule table, which carries n_tok, the arrays stay
+    unscanned. One partial->final agg shuffle, no Python."""
+    plan = _plan(entry_mod.queries()["padding_waste"](spark, SF_DIR))
+    read = plan.split("ReadSchema")[1][:300]
+    assert "doc_id" not in read
+    assert plan.count("Exchange") <= 2  # partial agg -> final agg
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # given an n_tok column, the token arrays are never scanned
+    import tempfile
+
+    from jsonschema_spark.operators.packing import padding_waste
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(5, [1, 2])], "n_tok int, tokens array<int>"
+        ).write.mode("overwrite").parquet(f"{d}/t")
+        plan2 = _plan(
+            padding_waste(
+                spark.read.parquet(f"{d}/t"), "n_tok", max_len=8, bucket_width=4
+            )
+        )
+        assert "tokens" not in plan2.split("ReadSchema")[1][:200]
+
+
+def test_stratified_split_exact_one_window_shuffle(spark):
+    plan = _plan(entry_mod.queries()["stratified_split"](spark, SF_DIR))
+    # one hash exchange for the per-stratum window, nothing else
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_trigram_sbo_broadcast_unigrams_no_cartesian(spark):
+    plan = _plan(entry_mod.queries()["trigram_sbo"](spark, SF_DIR))
+    # vocab-bounded unigram tables broadcast; no cartesian anywhere
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_semdedup_single_cluster_shuffle_arrow_only(spark):
+    """Vectors move ONCE (groupBy cluster id -> applyInPandas); the only
+    Python is the Arrow assignment kernel + the per-cluster matmul —
+    no pair join, no row-at-a-time Python."""
+    plan = _plan(entry_mod.queries()["semdedup"](spark, SF_DIR))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
