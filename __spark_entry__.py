@@ -1911,6 +1911,23 @@ def q_stratified_split(spark, sf_dir):
     return stratified_split(df, "source", "doc_id", 80, 10)
 
 
+def q_unimax_alloc(spark, sf_dir):
+    """UniMax epoch-capped uniform budget allocation (Chung et al. 2023)
+    over the same skewed 3-way pseudo-source derivation temperature_mix
+    uses (doc_id%7 → 4/7, 2/7, 1/7): budget 600 docs, 2-epoch cap — the
+    small source caps out, its refused budget spills uniformly onto the
+    other two. Integer-exact waterfilling."""
+    from jsonschema_spark.operators.sampling import unimax_alloc
+
+    df = _t(spark, sf_dir, "documents").select(
+        F.when(F.pmod(F.col("doc_id"), 7) < 4, F.lit("a"))
+        .when(F.pmod(F.col("doc_id"), 7) < 6, F.lit("b"))
+        .otherwise(F.lit("c"))
+        .alias("src3")
+    )
+    return unimax_alloc(df, "src3", budget=600, epoch_cap=2)
+
+
 def q_padding_waste(spark, sf_dir):
     """Length-bucketed padding-waste decision table over the token corpus
     (max_len 96, bucket width 16): pad tokens burned by pad-to-max vs
@@ -2110,8 +2127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # unit-tested — tests/test_text_qa.py, incl. the overlap estimator
     # band — and sweep-PASS at sf0.01) wait just outside for the r4
     # rotation, followed by the late additions trigram_sbo, semdedup,
-    # padding_waste, and stratified_split (each unit-tested and
-    # sweep-PASS at sf0.01).
+    # padding_waste, stratified_split, and unimax_alloc (each unit-tested
+    # and sweep-PASS at sf0.01).
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
@@ -2119,6 +2136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": q_semdedup,
         "padding_waste": q_padding_waste,
         "stratified_split": q_stratified_split,
+        "unimax_alloc": q_unimax_alloc,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
@@ -3862,6 +3880,29 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) FILTER (WHERE nt = 0 AND n_bc > 0) AS n_hit2,"
             "  round(avg(-ln(sc)), 6) AS xent"
             " FROM s GROUP BY 1"
+        ),
+        "unimax_alloc": (
+            "WITH src AS (SELECT CASE WHEN doc_id % 7 < 4 THEN 'a'"
+            "   WHEN doc_id % 7 < 6 THEN 'b' ELSE 'c' END AS strata"
+            "  FROM documents),"
+            " c AS (SELECT strata, count(*) AS n_docs, count(*) * 2 AS cap"
+            "  FROM src GROUP BY 1),"
+            " w AS (SELECT strata, n_docs, cap,"
+            "   sum(cap) OVER (ORDER BY cap, strata"
+            "    ROWS UNBOUNDED PRECEDING) AS cum,"
+            "   row_number() OVER (ORDER BY cap, strata) AS i,"
+            "   count(*) OVER () AS m FROM c),"
+            " f AS (SELECT *, (cap * (m - i) + cum) <= 600 AS capped FROM w),"
+            " g AS (SELECT *,"
+            "   sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER () AS k,"
+            "   coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0) AS cs"
+            "  FROM f),"
+            " q AS (SELECT strata, n_docs, cap,"
+            "   CASE WHEN capped THEN cap ELSE least(cap,"
+            "    CAST(floor((600 - cs) / greatest(m - k, 1)) AS BIGINT))"
+            "    END AS quota FROM g)"
+            " SELECT strata, n_docs, cap, quota,"
+            "  round(quota / n_docs, 6) AS epochs FROM q"
         ),
         "stratified_split": (
             "WITH d AS (SELECT doc_id, source,"

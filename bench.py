@@ -182,6 +182,7 @@ def main() -> None:
         "semdedup",
         "padding_waste",
         "stratified_split",
+        "unimax_alloc",
     ]
     qs = entry.queries()
     for name in headline:

@@ -282,3 +282,88 @@ def stratified_split(
         .otherwise(F.lit("test"))
     )
     return ranked.select(F.col(id_col), "strata", split.alias("split"))
+
+
+def unimax_alloc(
+    df: DataFrame,
+    strata_col: str = "source",
+    budget: int = 1_000_000,
+    epoch_cap: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """UniMax allocation (Chung et al. 2023, "UniMax: Fairer and More
+    Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): spread a total training budget UNIFORMLY across
+    sources, except no source may repeat more than ``epoch_cap`` epochs —
+    the budget its cap refuses spills uniformly onto the remaining
+    sources (water-filling). The fairness alternative to temperature
+    mixing (`temperature_mix`): low-resource sources get an equal share
+    up to their cap instead of a power-law-discounted one.
+
+    Closed form, exact in integers: sort sources ascending by capacity
+    ``cap_g = n_docs_g * epoch_cap``; source i is capped iff
+    ``cap_i * (m - i) + cumsum(cap)_i <= budget`` (capped sources form a
+    prefix of the sorted order); every uncapped source gets
+    ``floor((budget - sum(capped caps)) / (m - k))`` docs. Up to m-1
+    budget docs stay unassigned by the floor — documented, never
+    redistributed, so the whole table is integer-exact on any engine
+    (the only division is mirrored IEEE-double).
+
+    Returns ``(strata, n_docs, cap, quota, epochs)`` with
+    ``epochs = quota / n_docs`` rounded — the per-source repetition
+    factor a trainer feeds its sampler.
+
+    Scale shape: one map-side-combined groupBy count; every window runs
+    over the ≤|source-registry| count table, never the corpus. The
+    selection of actual docs is a separate concern: feed the quotas to
+    ``stratified_split``-style hash-rank selection or ``source_cap``.
+    """
+    m_w = Window.partitionBy()
+    ord_w = Window.orderBy("cap", "strata")
+    cum_w = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts = (
+        df.groupBy(F.col(strata_col).alias("strata"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "strata",
+            "n_docs",
+            (F.col("n_docs") * F.lit(epoch_cap)).alias("cap"),
+        )
+    )
+    b = F.lit(budget)
+    w = counts.select(
+        "strata",
+        "n_docs",
+        "cap",
+        F.sum("cap").over(cum_w).alias("cum"),
+        F.row_number().over(ord_w).alias("i"),
+        F.count(F.lit(1)).over(m_w).alias("m"),
+    ).select(
+        "*",
+        (
+            (F.col("cap") * (F.col("m") - F.col("i")) + F.col("cum")) <= b
+        ).alias("capped"),
+    )
+    g = w.select(
+        "*",
+        F.sum(F.col("capped").cast("long")).over(m_w).alias("k"),
+        F.coalesce(
+            F.sum(F.when(F.col("capped"), F.col("cap"))).over(m_w), F.lit(0)
+        ).alias("cs"),
+    )
+    quota = F.when(F.col("capped"), F.col("cap")).otherwise(
+        F.least(
+            F.col("cap"),
+            F.floor(
+                (b - F.col("cs"))
+                / F.greatest(F.col("m") - F.col("k"), F.lit(1))
+            ),
+        )
+    )
+    return g.select(
+        "strata",
+        "n_docs",
+        "cap",
+        quota.alias("quota"),
+        F.round(quota / F.col("n_docs"), decimals).alias("epochs"),
+    )

@@ -936,3 +936,30 @@ def test_stratified_split_exact_quotas(spark):
     plan = fast._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert fast.count() == 110
+
+
+def test_unimax_alloc_waterfill(spark):
+    """Small source caps at epoch_cap; refused budget spills uniformly;
+    all-capped and nobody-capped regimes are exact."""
+    from jsonschema_spark.operators.sampling import unimax_alloc
+
+    rows = (
+        [(i, "big") for i in range(60)]
+        + [(100 + i, "mid") for i in range(30)]
+        + [(200 + i, "tiny") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    # budget 120, cap 2 epochs: caps 120/60/20; uniform share 40 ->
+    # tiny capped at 20; spill -> (120-20)/2 = 50 each, under caps
+    out = {r.strata: r for r in unimax_alloc(
+        df, "source", budget=120, epoch_cap=2).collect()}
+    assert out["tiny"].quota == 20 and out["tiny"].epochs == 2.0
+    assert out["big"].quota == 50 and out["mid"].quota == 50
+    # budget exceeds every cap: everyone capped at cap
+    out2 = {r.strata: r for r in unimax_alloc(
+        df, "source", budget=10_000, epoch_cap=2).collect()}
+    assert all(out2[s].quota == out2[s].cap for s in out2)
+    # tight budget: nobody capped, uniform floor share
+    out3 = {r.strata: r for r in unimax_alloc(
+        df, "source", budget=30, epoch_cap=2).collect()}
+    assert all(r.quota == 10 for r in out3.values())
