@@ -564,28 +564,47 @@ def semdedup(
         nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
         np.maximum(nrm, 1e-300, out=nrm)
         mat /= nrm[:, None]
-        buf = np.empty((min(block, n), n))
+        # full-width rows so the reused out= slice stays C-contiguous (a
+        # column-sliced view is rejected by BLAS once a cluster exceeds
+        # the block); the j >= i half is masked out block-at-a-time — no
+        # per-row Python, and both scratch buffers are reused across
+        # blocks (rule #8).
+        bcap = min(block, n)
+        buf = np.empty((bcap, n))
+        mask = np.empty((bcap, n), dtype=bool)
+        tri = np.empty((bcap, n), dtype=bool)
+        col = np.arange(n)
         ids, dups, scores = [], [], []
         id_vals = pdf["id"].to_numpy()
         for s in range(1, n, block):
             e = min(s + block, n)
-            scores_blk = np.dot(mat[s:e], mat[:e].T, out=buf[: e - s, :e])
-            np.round(scores_blk, decimals, out=scores_blk)
-            for r in range(e - s):
-                i = s + r
-                row = scores_blk[r, :i]
-                hits = row >= threshold
-                k = int(np.count_nonzero(hits))
-                if k:
-                    ids.append(id_vals[i])
-                    dups.append(k)
-                    scores.append(float(row[hits].max()))
+            bs = e - s
+            blk = np.dot(mat[s:e], mat.T, out=buf[:bs])
+            np.round(blk, decimals, out=blk)
+            m = mask[:bs]
+            np.greater_equal(blk, threshold, out=m)
+            # keep only the strict lower triangle: column j < row index i
+            t = tri[:bs]
+            np.less(col[None, :], np.arange(s, e)[:, None], out=t)
+            np.logical_and(m, t, out=m)
+            k = m.sum(axis=1)
+            hit = k > 0
+            if hit.any():
+                np.copyto(blk, -2.0, where=~m)  # cosine >= threshold > -2
+                ids.append(id_vals[s:e][hit])
+                dups.append(k[hit])
+                scores.append(blk.max(axis=1)[hit])
+        if not ids:
+            return pd.DataFrame(
+                {id_col: [], "cid": [], "n_dups": [], "score": []}
+            ).astype({"cid": "int64", "n_dups": "int64", "score": "float64"})
+        out_ids = np.concatenate(ids)
         return pd.DataFrame(
             {
-                id_col: ids,
-                "cid": np.full(len(ids), cid, dtype="int64"),
-                "n_dups": np.asarray(dups, dtype="int64"),
-                "score": np.asarray(scores, dtype="float64"),
+                id_col: out_ids,
+                "cid": np.full(len(out_ids), cid, dtype="int64"),
+                "n_dups": np.concatenate(dups).astype("int64"),
+                "score": np.concatenate(scores).astype("float64"),
             }
         )
 

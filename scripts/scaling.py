@@ -32,6 +32,7 @@ JOB_SCRIPTS = {
     "ppl": "ppl_scaling_job.py",
     "cc": "cc_scaling_job.py",
     "tokenstats": "tokenstats_scaling_job.py",
+    "semdedup": "semdedup_scaling_job.py",
 }
 
 
