@@ -1911,6 +1911,41 @@ def q_stratified_split(spark, sf_dir):
     return stratified_split(df, "source", "doc_id", 80, 10)
 
 
+def q_split_leakage_audit(spark, sf_dir):
+    """Cross-split near-duplicate leakage audit — the check a corpus owner
+    runs BEFORE training to see why naive hash splitting is not enough:
+    exact-verified MinHash near-dup pairs (token 3-gram Jaccard >= 0.8)
+    joined against a zero-shuffle 80/10/10 hash split, aggregated to the
+    (split, split) pair matrix. Off-diagonal rows are train/eval
+    contamination that leakage_safe_split (which routes whole duplicate
+    components to one split) would eliminate. AQE broadcasts the small
+    pair table against the split assignment."""
+    from jsonschema_spark.operators.dedup import minhash_near_dup
+    from jsonschema_spark.operators.sampling import stratified_split
+
+    df = _token_corpus(spark)
+    pairs = minhash_near_dup(
+        df, "doc_id", "tokens", threshold=0.8,
+        elements=F.col("tokens"), shingle_sep=",",
+    )
+    splits = stratified_split(
+        df.withColumn("_one", F.lit("all")), "_one", "doc_id",
+        80, 10, exact=False,
+    )
+    sa = splits.select(F.col("doc_id").alias("id_a"), F.col("split").alias("sa"))
+    sb = splits.select(F.col("doc_id").alias("id_b"), F.col("split").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def q_unimax_alloc(spark, sf_dir):
     """UniMax epoch-capped uniform budget allocation (Chung et al. 2023)
     over the same skewed 3-way pseudo-source derivation temperature_mix
@@ -2137,6 +2172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "padding_waste": q_padding_waste,
         "stratified_split": q_stratified_split,
         "unimax_alloc": q_unimax_alloc,
+        "split_leakage_audit": q_split_leakage_audit,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
@@ -3880,6 +3916,33 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) FILTER (WHERE nt = 0 AND n_bc > 0) AS n_hit2,"
             "  round(avg(-ln(sc)), 6) AS xent"
             " FROM s GROUP BY 1"
+        ),
+        "split_leakage_audit": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(tokens)-2, 0)),"
+            "   i -> CAST(tokens[i] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+1] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+2] AS VARCHAR)))) AS g FROM t),"
+            " p AS (SELECT id_a, id_b FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6)"
+            "    AS jaccard"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            "  WHERE jaccard >= 0.8),"
+            " sp AS (SELECT doc_id,"
+            "   CASE WHEN hb < 8000 THEN 'train' WHEN hb < 9000 THEN 'val'"
+            "    ELSE 'test' END AS split FROM (SELECT doc_id,"
+            f"""   {_hex60("CAST(doc_id AS VARCHAR) || '#17'")} % 10000"""
+            "     AS hb FROM t))"
+            " SELECT least(sa.split, sb.split) AS split_a,"
+            "  greatest(sa.split, sb.split) AS split_b,"
+            "  count(*) AS n_pairs"
+            " FROM p JOIN sp sa ON p.id_a = sa.doc_id"
+            "  JOIN sp sb ON p.id_b = sb.doc_id"
+            " GROUP BY 1, 2"
         ),
         "unimax_alloc": (
             "WITH src AS (SELECT CASE WHEN doc_id % 7 < 4 THEN 'a'"

@@ -183,6 +183,7 @@ def main() -> None:
         "padding_waste",
         "stratified_split",
         "unimax_alloc",
+        "split_leakage_audit",
     ]
     qs = entry.queries()
     for name in headline:
