@@ -963,3 +963,74 @@ def test_unimax_alloc_waterfill(spark):
     out3 = {r.strata: r for r in unimax_alloc(
         df, "source", budget=30, epoch_cap=2).collect()}
     assert all(r.quota == 10 for r in out3.values())
+
+
+def test_new_ops_invariants_random(spark):
+    """Property checks over a randomized corpus for the session's
+    allocation/split/packing operators: quotas respect budget and caps,
+    split proportions land within one row per stratum, padding-waste
+    identities hold bucket by bucket, and semdedup's report is invariant
+    under repartitioning (content-addressed, not layout-addressed)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.packing import padding_waste
+    from jsonschema_spark.operators.sampling import (
+        stratified_split,
+        unimax_alloc,
+    )
+
+    rng = np.random.RandomState(41)
+    rows = [
+        (int(i), ["s0", "s1", "s2", "s3"][int(rng.randint(4))],
+         int(rng.randint(1, 300)))
+        for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+
+    alloc = unimax_alloc(df, "source", budget=500, epoch_cap=3).collect()
+    assert sum(r.quota for r in alloc) <= 500
+    for r in alloc:
+        assert 0 <= r.quota <= r.cap == 3 * r.n_docs
+        assert r.epochs <= 3.0
+
+    split = stratified_split(df, "source", "doc_id", 70, 20).collect()
+    per = {}
+    for r in split:
+        per.setdefault(r.strata, []).append(r.split)
+    for strata, splits in per.items():
+        n = len(splits)
+        assert splits.count("train") == int(np.floor(n * 0.7))
+        assert (
+            splits.count("train") + splits.count("val")
+            == int(np.floor(n * 0.9))
+        )
+
+    waste = padding_waste(df, "n_tok", max_len=256, bucket_width=32).collect()
+    assert sum(r.n_seqs for r in waste) == 800
+    for r in waste:
+        assert 0 <= r.pad_bucketed <= r.pad_fixed
+        assert r.max_tok <= r.bucket_hi
+        assert r.n_seqs * r.max_tok == r.sum_tok + r.pad_bucketed
+
+    from jsonschema_spark.operators.similarity import ivf_train, semdedup
+
+    emb = df.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda d: (
+                (F.pmod(F.xxhash64(F.pmod("vec_id", F.lit(20)), d), 1000)
+                 - 500).cast("double") / 500.0
+                + (F.pmod(F.xxhash64("vec_id", d), 1000) - 500)
+                .cast("double") / 5000.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    cent = ivf_train(emb, "embedding", n_lists=8, iters=1)
+    a = semdedup(emb, "embedding", cent, threshold=0.95).collect()
+    b = semdedup(
+        emb.repartition(13), "embedding", cent, threshold=0.95
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0  # the planted 20-way structure is found
