@@ -1911,6 +1911,17 @@ def q_stratified_split(spark, sf_dir):
     return stratified_split(df, "source", "doc_id", 80, 10)
 
 
+def q_embedding_quant_qa(spark, sf_dir):
+    """Per-dimension int8 linear-quantization QA over the embeddings
+    table: min/max calibration, scale, and round-trip reconstruction
+    error per dimension — the audit before switching a 10^12-vector
+    index to int8 storage. No explode: two map-side-combined aggs of
+    2·dim element_at expressions each."""
+    from jsonschema_spark.operators.similarity import embedding_quant_qa
+
+    return embedding_quant_qa(_t(spark, sf_dir, "embeddings"), "embedding")
+
+
 def q_split_leakage_audit(spark, sf_dir):
     """Cross-split near-duplicate leakage audit — the check a corpus owner
     runs BEFORE training to see why naive hash splitting is not enough:
@@ -2173,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_split": q_stratified_split,
         "unimax_alloc": q_unimax_alloc,
         "split_leakage_audit": q_split_leakage_audit,
+        "embedding_quant_qa": q_embedding_quant_qa,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
@@ -3916,6 +3928,24 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) FILTER (WHERE nt = 0 AND n_bc > 0) AS n_hit2,"
             "  round(avg(-ln(sc)), 6) AS xent"
             " FROM s GROUP BY 1"
+        ),
+        "embedding_quant_qa": (
+            "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+            " x AS (SELECT CAST(d + 1 AS BIGINT) AS d, x FROM"
+            "  (SELECT unnest(v) AS x, unnest(range(64)) AS d FROM e)),"
+            " mm AS (SELECT d, min(x) AS lo, max(x) AS hi FROM x GROUP BY 1),"
+            " er AS (SELECT x.d,"
+            "   max(CASE WHEN hi = lo THEN 0.0 ELSE abs(x.x - (lo +"
+            "    round((x.x - lo) / ((hi - lo) / 255.0))"
+            "     * ((hi - lo) / 255.0))) END) AS mx,"
+            "   avg(CASE WHEN hi = lo THEN 0.0 ELSE abs(x.x - (lo +"
+            "    round((x.x - lo) / ((hi - lo) / 255.0))"
+            "     * ((hi - lo) / 255.0))) END) AS mn"
+            "  FROM x JOIN mm ON x.d = mm.d GROUP BY 1)"
+            " SELECT er.d, round(lo, 6) AS lo, round(hi, 6) AS hi,"
+            "  round((hi - lo) / 255.0, 6) AS scale,"
+            "  round(mx, 6) AS max_abs_err, round(mn, 6) AS mean_abs_err"
+            " FROM er JOIN mm ON er.d = mm.d"
         ),
         "split_leakage_audit": (
             f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"

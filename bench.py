@@ -184,6 +184,7 @@ def main() -> None:
         "stratified_split",
         "unimax_alloc",
         "split_leakage_audit",
+        "embedding_quant_qa",
     ]
     qs = entry.queries()
     for name in headline:

@@ -609,3 +609,86 @@ def semdedup(
         )
 
     return assigned.groupBy("_list").applyInPandas(_cluster_dups, out_schema)
+
+
+def embedding_quant_qa(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    bits: int = 8,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-dimension linear-quantization QA for embedding compression
+    (the int8 storage path every vector index takes at 10^12 vectors):
+    calibrate a min/max affine quantizer per dimension, then report the
+    reconstruction error a round-trip through the quantized code costs.
+    Returns one row per dimension ``(d, lo, hi, scale, max_abs_err,
+    mean_abs_err)`` (1-based d, floats rounded) — the table a corpus
+    owner reads to decide whether int8 (or int4) is safe for their
+    recall target.
+
+    Scale shape: NO explode — pass 1 is a single map-side-combined agg
+    of 2·dim ``element_at`` min/max expressions (dim·2 cells move); the
+    1-row calibration broadcasts back (crossJoin of a 1-row table) and
+    pass 2 aggregates 2·dim error expressions the same way. Two scans of
+    the vector column total, each shuffling only the dim-sized cell set.
+    Quantization here is measurement, not mutation — writing the codes
+    is the sink's job.
+    """
+    dim = dim or _dim_of(df, vec_col)
+    levels = (1 << bits) - 1
+    mm = df.agg(
+        *[
+            a
+            for d in range(1, dim + 1)
+            for a in (
+                F.min(F.element_at(F.col(vec_col), d).cast("double")).alias(
+                    f"_lo_{d}"
+                ),
+                F.max(F.element_at(F.col(vec_col), d).cast("double")).alias(
+                    f"_hi_{d}"
+                ),
+            )
+        ]
+    )
+    with_cal = df.crossJoin(F.broadcast(mm))
+    err_aggs = []
+    for d in range(1, dim + 1):
+        x = F.element_at(F.col(vec_col), d).cast("double")
+        lo, hi = F.col(f"_lo_{d}"), F.col(f"_hi_{d}")
+        scale = (hi - lo) / F.lit(float(levels))
+        deq = lo + F.round((x - lo) / scale) * scale
+        err = F.when(hi == lo, F.lit(0.0)).otherwise(F.abs(x - deq))
+        err_aggs += [
+            F.max(err).alias(f"_mx_{d}"),
+            F.avg(err).alias(f"_mn_{d}"),
+        ]
+    one = with_cal.agg(*err_aggs).crossJoin(F.broadcast(mm))
+    scale_out = (F.col("hi") - F.col("lo")) / F.lit(float(levels))
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).cast("long").alias("d"),
+                            F.col(f"_lo_{d}").alias("lo"),
+                            F.col(f"_hi_{d}").alias("hi"),
+                            F.col(f"_mx_{d}").alias("mx"),
+                            F.col(f"_mn_{d}").alias("mn"),
+                        )
+                        for d in range(1, dim + 1)
+                    ]
+                )
+            ).alias("r")
+        )
+        .select("r.d", "r.lo", "r.hi", "r.mx", "r.mn")
+        .select(
+            "d",
+            F.round("lo", decimals).alias("lo"),
+            F.round("hi", decimals).alias("hi"),
+            F.round(scale_out, decimals).alias("scale"),
+            F.round("mx", decimals).alias("max_abs_err"),
+            F.round("mn", decimals).alias("mean_abs_err"),
+        )
+    )

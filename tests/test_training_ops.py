@@ -1034,3 +1034,27 @@ def test_new_ops_invariants_random(spark):
     ).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert len(a) > 0  # the planted 20-way structure is found
+
+
+def test_embedding_quant_qa_closed_forms(spark):
+    from jsonschema_spark.operators.similarity import embedding_quant_qa
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 10.0]), (1, [5.0, 10.0]), (2, [10.0, 10.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.d: r for r in embedding_quant_qa(df, "embedding").collect()}
+    assert set(rows) == {1, 2}
+    d1, d2 = rows[1], rows[2]
+    # constant dimension: degenerate quantizer, zero error
+    assert (d2.lo, d2.hi, d2.scale) == (10.0, 10.0, 0.0)
+    assert d2.max_abs_err == 0.0 and d2.mean_abs_err == 0.0
+    # active dimension: endpoints reconstruct exactly; the midpoint error
+    # is bounded by half a step
+    assert (d1.lo, d1.hi) == (0.0, 10.0)
+    step = 10.0 / 255
+    assert d1.scale == pytest.approx(step, abs=1e-6)
+    assert 0 < d1.max_abs_err <= step / 2 + 5e-7  # +rounding
+    # quantization error can never exceed half a step on any dimension
+    for r in rows.values():
+        assert r.max_abs_err <= r.scale / 2 + 5e-7  # +rounding
