@@ -1911,6 +1911,30 @@ def q_stratified_split(spark, sf_dir):
     return stratified_split(df, "source", "doc_id", 80, 10)
 
 
+def q_vocab_richness(spark, sf_dir):
+    """Good-Turing coverage + bias-corrected Chao1 unseen-vocabulary
+    estimate from the frequency-of-frequencies spectrum of the token
+    corpus — the 'is more crawl still buying vocabulary?' one-row
+    planning answer."""
+    from jsonschema_spark.operators.stats import vocab_richness
+
+    return vocab_richness(_token_corpus(spark))
+
+
+def q_vocab_diversity(spark, sf_dir):
+    """Per-source Hill-number diversity ladder (vocab, exp-Shannon,
+    inverse-Simpson) over the token corpus with a 4-way pseudo-source —
+    the effective-vocabulary fingerprint for comparing mixture
+    components; hill2 is an exact integer ratio for cross-engine parity."""
+    from jsonschema_spark.operators.stats import vocab_diversity
+
+    df = _token_corpus(spark).select(
+        F.pmod(F.col("doc_id"), F.lit(4)).cast("string").alias("src4"),
+        "tokens",
+    )
+    return vocab_diversity(df, "src4")
+
+
 def q_embedding_quant_qa(spark, sf_dir):
     """Per-dimension int8 linear-quantization QA over the embeddings
     table: min/max calibration, scale, and round-trip reconstruction
@@ -2185,6 +2209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_alloc": q_unimax_alloc,
         "split_leakage_audit": q_split_leakage_audit,
         "embedding_quant_qa": q_embedding_quant_qa,
+        "vocab_richness": q_vocab_richness,
+        "vocab_diversity": q_vocab_diversity,
         "embedding_near_dup": q_embedding_near_dup,
         "lang_id_counts": q_lang_id_counts,
         "quality_score": q_quality_score,
@@ -3928,6 +3954,32 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) FILTER (WHERE nt = 0 AND n_bc > 0) AS n_hit2,"
             "  round(avg(-ln(sc)), 6) AS xent"
             " FROM s GROUP BY 1"
+        ),
+        "vocab_richness": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " c AS (SELECT tok, count(*) AS n FROM"
+            "  (SELECT unnest(tokens) AS tok FROM t) GROUP BY 1),"
+            " ff AS (SELECT n, count(*) AS fk FROM c GROUP BY 1),"
+            " s AS (SELECT CAST(sum(n * fk) AS BIGINT) AS n_tokens,"
+            "   CAST(sum(fk) AS BIGINT) AS vocab,"
+            "   CAST(coalesce(sum(CASE WHEN n = 1 THEN fk END), 0)"
+            "    AS BIGINT) AS f1,"
+            "   CAST(coalesce(sum(CASE WHEN n = 2 THEN fk END), 0)"
+            "    AS BIGINT) AS f2 FROM ff)"
+            " SELECT n_tokens, vocab, f1, f2,"
+            "  round(vocab + (f1 * (f1 - 1)) / (2 * (f2 + 1)), 6) AS chao1,"
+            "  round(1.0 - f1 / n_tokens, 6) AS coverage FROM s"
+        ),
+        "vocab_diversity": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " c AS (SELECT CAST(doc_id % 4 AS VARCHAR) AS src4, tok,"
+            "   count(*) AS n FROM (SELECT doc_id, unnest(tokens) AS tok"
+            "    FROM t) GROUP BY 1, 2)"
+            " SELECT src4 AS source, CAST(sum(n) AS BIGINT) AS n_tokens,"
+            "  count(*) AS vocab,"
+            "  round(exp(ln(sum(n)) - sum(n * ln(n)) / sum(n)), 6) AS hill1,"
+            "  round((sum(n) * sum(n)) / sum(n * n), 6) AS hill2"
+            " FROM c GROUP BY 1"
         ),
         "embedding_quant_qa": (
             "WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"

@@ -185,6 +185,8 @@ def main() -> None:
         "unimax_alloc",
         "split_leakage_audit",
         "embedding_quant_qa",
+        "vocab_richness",
+        "vocab_diversity",
     ]
     qs = entry.queries()
     for name in headline:

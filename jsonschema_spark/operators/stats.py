@@ -522,3 +522,105 @@ def vocab_coverage(
             ).alias("coverage"),
         )
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    decimals: int = 6,
+) -> DataFrame:
+    """Vocabulary-richness estimate from the frequency-of-frequencies
+    spectrum — Good-Turing coverage (Good 1953) and the bias-corrected
+    Chao1 unseen-species estimate (Chao 1984): how much token mass the
+    NEXT shard of this corpus will contribute in ids never seen so far,
+    and how large the asymptotic vocabulary is. The corpus-planning
+    question ("is more crawl still buying vocabulary?") answered from
+    one pass.
+
+        coverage = 1 - f1/N         (Turing: P(next token is unseen))
+        chao1    = V + f1*(f1-1)/(2*(f2+1))   (bias-corrected form)
+
+    with f_k = number of token ids occurring exactly k times, N total
+    tokens, V observed vocabulary. Returns ONE row
+    ``(n_tokens, vocab, f1, f2, chao1, coverage)`` — f-integers exact,
+    the two estimates rounded.
+
+    Scale shape: explode → token-count agg (map-side combined, uniform
+    ids) → frequency-of-frequencies agg over ≤ vocab rows → one final
+    row. Nothing but vocab-bounded tables move after the first agg.
+    """
+    counts = (
+        df.select(F.explode(F.col(tokens_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ff = counts.groupBy("n").agg(F.count(F.lit(1)).alias("fk"))
+    f1 = F.coalesce(F.sum(F.when(F.col("n") == 1, F.col("fk"))), F.lit(0))
+    f2 = F.coalesce(F.sum(F.when(F.col("n") == 2, F.col("fk"))), F.lit(0))
+    n_tot = F.sum(F.col("n") * F.col("fk"))
+    v = F.sum("fk")
+    return ff.agg(
+        n_tot.alias("n_tokens"),
+        v.alias("vocab"),
+        f1.alias("f1"),
+        f2.alias("f2"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        "f1",
+        "f2",
+        F.round(
+            F.col("vocab")
+            + (F.col("f1") * (F.col("f1") - 1))
+            / (F.lit(2) * (F.col("f2") + 1)),
+            decimals,
+        ).alias("chao1"),
+        F.round(
+            F.lit(1.0) - F.col("f1") / F.col("n_tokens"), decimals
+        ).alias("coverage"),
+    )
+
+
+def vocab_diversity(
+    df: DataFrame,
+    source_col: str,
+    tokens_col: str = "tokens",
+    decimals: int = 6,
+) -> DataFrame:
+    """Per-source vocabulary diversity as Hill numbers (the "effective
+    vocabulary size" ladder ecology standardized; Hill 1973): q=0 is the
+    raw vocabulary, q=1 is exp(Shannon entropy), q=2 is the inverse
+    Simpson index N²/Σn² — progressively discounting rare tokens. Two
+    sources with equal vocab but different hill2 differ in how
+    head-heavy their token distribution is — the one-line fingerprint
+    for comparing mixture components. Returns one row per source
+    ``(source, n_tokens, vocab, hill1, hill2)``.
+
+    hill2 is computed as the integer ratio N²/Σn² (exact sums, one
+    double division) so any engine reproduces it bit-for-bit; hill1's
+    entropy uses the same ``ln N - Σ n·ln n / N`` form as token_entropy.
+
+    Scale shape: one (source × token) count agg (map-side combined),
+    then a per-source agg over vocab-bounded rows. Nothing else moves.
+    """
+    counts = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.col(tokens_col)).alias("t"),
+        )
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_tot = F.sum("n")
+    ent = F.ln(n_tot) - F.sum(F.col("n") * F.ln("n")) / n_tot
+    return (
+        counts.groupBy("source")
+        .agg(
+            n_tot.alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.round(F.exp(ent), decimals).alias("hill1"),
+            F.round(
+                (n_tot * n_tot) / F.sum(F.col("n") * F.col("n")), decimals
+            ).alias("hill2"),
+        )
+    )

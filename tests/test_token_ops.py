@@ -326,3 +326,44 @@ def test_embedding_norm_qa_flags(spark):
     assert rows[3]["norm"] == 1.0
     assert not rows[4]["usable"] and not rows[4]["dim_ok"]
     assert not rows[5]["usable"] and rows[5]["dim"] is None
+
+
+def test_vocab_richness_closed_forms(spark):
+    import pytest
+
+    from jsonschema_spark.operators.stats import vocab_richness
+
+    # counts: 1 x3, 2 x2, 3 x1, 4 x1  -> N=7... build explicitly:
+    # tokens across docs: [1,1,1,2,2,3,4] -> f1 = {3,4} = 2, f2 = {2} = 1
+    df = spark.createDataFrame(
+        [(0, [1, 1, 1, 2]), (1, [2, 3, 4])], "doc_id long, tokens array<int>"
+    )
+    r = vocab_richness(df).collect()[0]
+    assert (r.n_tokens, r.vocab, r.f1, r.f2) == (7, 4, 2, 1)
+    assert r.chao1 == pytest.approx(4 + 2 * 1 / (2 * 2), abs=1e-6)
+    assert r.coverage == pytest.approx(1 - 2 / 7, abs=1e-6)
+
+
+def test_vocab_diversity_hill_numbers(spark):
+    import math
+
+    import pytest
+
+    from jsonschema_spark.operators.stats import vocab_diversity
+
+    # source u: uniform over 4 tokens -> hill1 = hill2 = vocab = 4
+    # source s: skewed 5/1 -> hill2 = 36/26
+    df = spark.createDataFrame(
+        [(0, "u", [1, 2, 3, 4]), (1, "s", [7, 7, 7, 7, 7, 8])],
+        "doc_id long, src string, tokens array<int>",
+    )
+    rows = {r.source: r for r in vocab_diversity(df, "src").collect()}
+    u, s = rows["u"], rows["s"]
+    assert u.vocab == 4 and u.hill1 == pytest.approx(4.0, abs=1e-6)
+    assert u.hill2 == pytest.approx(4.0, abs=1e-6)
+    assert s.vocab == 2 and s.hill2 == pytest.approx(36 / 26, abs=1e-6)
+    h = -(5 / 6) * math.log(5 / 6) - (1 / 6) * math.log(1 / 6)
+    assert s.hill1 == pytest.approx(math.exp(h), abs=1e-6)
+    # the ladder is monotone: vocab >= hill1 >= hill2
+    for r in rows.values():
+        assert r.vocab >= r.hill1 >= r.hill2
