@@ -1630,6 +1630,65 @@ def q_audio_decode(spark, sf_dir):
     )
 
 
+def q_image_ahash_near_dup(spark, sf_dir):
+    """Perceptual-hash (aHash) image near-dup: synthesize the closed-form
+    BMPs, hash each onto a fixed 4x8 grid binarized against the global
+    mean (multimodal.ahash_bmp — exact integer comparison, no float
+    threshold), then emit Hamming<=1 pairs via pigeonhole chunk buckets +
+    bit_count verify (multimodal.phash_near_dup — same scale shape as
+    simhash_near_dup: candidates from bucket self-join, never all pairs).
+    The DuckDB oracle recomputes the 32-bit hash closed-form from doc_id
+    with nested list comprehensions and brute-force joins — an
+    independent re-derivation of both the decoder-side hash and the
+    blocking correctness (the blocked pair set must equal the exhaustive
+    Hamming<=1 pair set)."""
+    from jsonschema_spark.operators.multimodal import (
+        attach_synth_blob,
+        make_bmp,
+        perceptual_hashes,
+        phash_near_dup,
+    )
+
+    df = attach_synth_blob(_t(spark, sf_dir, "documents"), "doc_id", make_bmp)
+    hashes = perceptual_hashes(df, "doc_id", "blob")
+    return phash_near_dup(hashes, max_hamming=1, hash_bits=32)
+
+
+def q_image_ahash_groups(spark, sf_dir):
+    """Exact perceptual-dup groups over the image aHash: (phash, n_docs,
+    keep_id) for hashes shared by more than one image, keep-first. One
+    groupBy on a 32-bit integer key — dedup_exact's scale shape applied
+    to decoded-image identity instead of byte identity."""
+    from jsonschema_spark.operators.multimodal import (
+        attach_synth_blob,
+        make_bmp,
+        perceptual_hashes,
+        phash_dup_groups,
+    )
+
+    df = attach_synth_blob(_t(spark, sf_dir, "documents"), "doc_id", make_bmp)
+    return phash_dup_groups(perceptual_hashes(df, "doc_id", "blob"))
+
+
+def q_audio_fingerprint_groups(spark, sf_dir):
+    """Audio near-copy groups via the sign-of-first-difference
+    fingerprint (multimodal.fingerprint_wav): bit i = sample[i+1] >
+    sample[i] over the first 32 deltas — gain/DC-invariant, exact in
+    integers, recomputable closed-form by the oracle from make_wav's
+    sample formula. Grouping shape identical to phash_dup_groups."""
+    from jsonschema_spark.operators.multimodal import (
+        attach_synth_blob,
+        fingerprint_wav,
+        make_wav,
+        perceptual_hashes,
+        phash_dup_groups,
+    )
+
+    df = attach_synth_blob(_t(spark, sf_dir, "documents"), "doc_id", make_wav)
+    hashes = perceptual_hashes(df, "doc_id", "blob", hasher=fingerprint_wav)
+    return phash_dup_groups(hashes)
+
+
 def _decorated_text() -> Column:
     """documents.text with deterministic multi-script / mojibake
     decorations keyed on doc_id residues, so every script bucket and
@@ -2125,6 +2184,9 @@ def q_bigram_pmi(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "image_ahash_near_dup": q_image_ahash_near_dup,
+        "image_ahash_groups": q_image_ahash_groups,
+        "audio_fingerprint_groups": q_audio_fingerprint_groups,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -2577,8 +2639,61 @@ def _stoplist(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in items) + "]"
 
 
+_AHASH_CTE = (
+    # Closed-form 4x8-grid aHash from make_bmp's pixel contract: gray(j) is
+    # the 3-byte channel sum at logical pixel j, cell(j) the fixed-grid
+    # target, bit k set iff cell_sum*n > tot*cell_count (division-free
+    # "cell mean > global mean"). Independent re-derivation of
+    # multimodal.ahash_bmp from doc_id alone — no bytes round-trip.
+    "WITH dims AS (SELECT doc_id AS d, CAST(4 + doc_id % 5 AS BIGINT) AS h,"
+    "  CAST(4 + doc_id % 7 AS BIGINT) AS w FROM documents),"
+    " g AS (SELECT d, h, w, h*w AS n,"
+    "  [((d*31+3*j)%256)+((d*31+3*j+1)%256)+((d*31+3*j+2)%256)"
+    "   for j in range(h*w)] AS gray FROM dims),"
+    " cells AS (SELECT d, n, gray, list_sum(gray) AS tot,"
+    "  [((j//w)*4//h)*8 + ((j%w)*8//w) for j in range(n)] AS cell FROM g),"
+    " hashes AS (SELECT d, CAST(list_sum(["
+    "  CASE WHEN list_sum([CASE WHEN cell[j+1]=k THEN gray[j+1] ELSE 0 END"
+    "        for j in range(n)]) * n"
+    "      > tot * list_sum([CASE WHEN cell[j+1]=k THEN 1 ELSE 0 END"
+    "        for j in range(n)])"
+    "  THEN (CAST(1 AS BIGINT) << k) ELSE 0 END"
+    "  for k in range(32)]) AS BIGINT) AS phash FROM cells)"
+)
+
+_AUDIO_FP_CTE = (
+    # Sign-of-first-difference fingerprint from make_wav's sample formula
+    # sample(i) = (d*131 + i*7919) % 4096 - 2048; the -2048 cancels in the
+    # comparison. n_frames = 32 + d%17, so the delta range is
+    # min(n_frames-1, 32).
+    "WITH fp AS (SELECT doc_id AS d, CAST(32 + doc_id % 17 AS BIGINT) AS n"
+    "  FROM documents),"
+    " hashes AS (SELECT d, CAST(list_sum(["
+    "  CASE WHEN ((d*131+(i+1)*7919)%4096) > ((d*131+i*7919)%4096)"
+    "  THEN (CAST(1 AS BIGINT) << i) ELSE 0 END"
+    "  for i in range(least(n-1, 32))]) AS BIGINT) AS phash FROM fp)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "image_ahash_near_dup": (
+            _AHASH_CTE
+            + " SELECT a.d AS id_a, b.d AS id_b,"
+            "  bit_count(xor(a.phash, b.phash)) AS distance"
+            " FROM hashes a JOIN hashes b ON a.d < b.d"
+            " WHERE bit_count(xor(a.phash, b.phash)) <= 1"
+        ),
+        "image_ahash_groups": (
+            _AHASH_CTE
+            + " SELECT phash, count(*) AS n_docs, min(d) AS keep_id"
+            " FROM hashes GROUP BY phash HAVING count(*) > 1"
+        ),
+        "audio_fingerprint_groups": (
+            _AUDIO_FP_CTE
+            + " SELECT phash, count(*) AS n_docs, min(d) AS keep_id"
+            " FROM hashes GROUP BY phash HAVING count(*) > 1"
+        ),
         "token_parity": (
             "WITH c AS (SELECT doc_id, tokens AS cur"
             f"  FROM read_parquet('{_parity_corpus_path()}/*.parquet')),"

@@ -330,3 +330,178 @@ def frame_sample(
             ).alias("frame"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing: content-addressed near-dup detection for decoded
+# blobs. aHash (average hash) for images — pool the grayscale image onto a
+# fixed grid, binarize each cell against the global mean — and a
+# sign-of-first-difference fingerprint for audio. Both hashes are EXACT
+# integer computations (no float thresholds), so a SQL engine can
+# reproduce them closed-form from the synthetic-blob contract, same
+# cross-engine-parity discipline as decode_bmp/decode_wav. Near-dup
+# candidates come from pigeonhole chunk buckets (never all pairs),
+# mirroring dedup.simhash_near_dup: Hamming distance <= r implies at
+# least one of r+1 chunks is identical.
+# --------------------------------------------------------------------------
+
+
+def ahash_bmp(payload: bytes, grid_rows: int = 4, grid_cols: int = 8) -> int:
+    """Average-hash of a 24-bit BMP on a fixed ``grid_rows x grid_cols``
+    grid (dimension-invariant, the point of a perceptual hash): pixel
+    (y, x) maps to cell ``(y*grid_rows//h, x*grid_cols//w)``; cell bit k
+    is set iff ``cell_sum * n_pixels > total_sum * cell_count`` — the
+    division-free form of "cell mean > global mean", exact in integers.
+    Grayscale is the plain channel sum (no luma weights: integer-exact and
+    order-free over BGR). Empty cells (w or h below the grid) compare
+    0 > 0 and stay 0. Allocation is O(h*w) on tiny buffers — the decode
+    itself dominates."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload (missing BM magic)")
+    pix_offset = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = abs(int.from_bytes(payload[22:26], "little", signed=True))
+    bpp = int.from_bytes(payload[28:30], "little")
+    if bpp != 24:
+        raise NotImplementedError("ahash_bmp handles 24-bit BI_RGB only")
+    row_bytes = width * 3
+    stride = (row_bytes + 3) // 4 * 4
+    rows = np.frombuffer(payload, np.uint8, stride * height, pix_offset)
+    gray = (
+        rows.reshape(height, stride)[:, :row_bytes]
+        .reshape(height, width, 3)
+        .sum(axis=2, dtype=np.int64)
+    )
+    n = height * width
+    tot = int(gray.sum())
+    ys = (np.arange(height) * grid_rows) // height
+    xs = (np.arange(width) * grid_cols) // width
+    cell = (ys[:, None] * grid_cols + xs[None, :]).ravel()
+    n_cells = grid_rows * grid_cols
+    sums = np.bincount(cell, weights=gray.ravel(), minlength=n_cells)
+    counts = np.bincount(cell, minlength=n_cells)
+    bits = 0
+    for k in range(n_cells):
+        if int(sums[k]) * n > tot * int(counts[k]):
+            bits |= 1 << k
+    return bits
+
+
+def fingerprint_wav(payload: bytes, n_bits: int = 32) -> int:
+    """Sign-of-first-difference audio fingerprint over 16-bit PCM WAV:
+    bit i is set iff ``sample[i+1] > sample[i]``, over the first
+    ``min(n_samples - 1, n_bits)`` deltas (channel-interleaved order —
+    the raw sample stream is the contract). The delta-sign sequence is
+    the classic codec-free fingerprint primitive: invariant to gain
+    scaling and DC offset, exact in integers."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"data":
+            data = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+    samples = np.frombuffer(data, np.int16, len(data) // 2)
+    m = min(samples.size - 1, n_bits)
+    if m <= 0:
+        return 0
+    up = samples[1 : m + 1] > samples[:m]
+    return int(np.sum((1 << np.arange(m, dtype=np.int64))[up]))
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def perceptual_hashes(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    blob_col: str = "blob",
+    hasher: Callable[[bytes], int] = ahash_bmp,
+) -> DataFrame:
+    """mapInPandas hash pass: Arrow batches of (id, blob) in, fixed-width
+    (doc_id, phash) rows out. Same batch contract as decode_images —
+    blobs never leave the stage; downstream joins see 16 bytes/row."""
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": batch[id_col].astype("int64"),
+                    "phash": [hasher(p) for p in batch[blob_col]],
+                }
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(hash_batches, PHASH_SCHEMA)
+
+
+def phash_dup_groups(hashes: DataFrame) -> DataFrame:
+    """Exact perceptual-dup groups: (phash, n_docs, keep_id) for hashes
+    shared by >1 doc, keep-first semantics. One groupBy on a uniform
+    integer key — scales like dedup_exact."""
+    return (
+        hashes.groupBy("phash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def phash_near_dup(
+    hashes: DataFrame, max_hamming: int = 1, hash_bits: int = 32
+) -> DataFrame:
+    """(id_a, id_b, distance) pairs with Hamming(phash_a, phash_b) <=
+    max_hamming. Pigeonhole blocking exactly as dedup.simhash_near_dup:
+    the hash splits into ``max_hamming + 1`` chunks, distance <= r forces
+    at least one chunk equal, so candidates are a self-equi-join on
+    (chunk_idx, chunk_value) with AQE sharding hot buckets; verification
+    is native bit_count(xor). localCheckpoint before the self-join — no
+    ReusedExchange across aliases (CLAUDE.md rule 4)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = hash_bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    chunks = hashes.select(
+        F.col("doc_id").alias("id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("phash"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("v"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("id", "phash", F.col("cc.chunk").alias("chunk"), F.col("cc.v").alias("v"))
+    chunks = chunks.localCheckpoint(eager=False)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+            ).alias("distance"),
+        )
+        .filter(F.col("distance") <= max_hamming)
+        .distinct()
+    )
