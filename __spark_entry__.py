@@ -2126,13 +2126,16 @@ def q_structure_scorecard(spark, sf_dir):
 def q_winnow_dups(spark, sf_dir):
     """Winnowing-fingerprint near-copy pairs (Schleimer et al. MOSS
     sketch) over documents — verbatim-passage overlap below any Jaccard
-    threshold; portable md5 hashes so the oracle replays every window
-    minimum, doc-frequency ceiling keeps template fingerprints out of the
-    pair join."""
+    threshold. Fingerprints come from the vectorized Arrow kernel
+    (dedup.winnow_fingerprint_rows): a polynomial rolling k-gram hash
+    over unicode codepoints, mod 2^64 then masked to 60 bits, so the
+    DuckDB oracle replays every window minimum with plain hugeint
+    arithmetic; doc-frequency ceiling keeps template fingerprints out of
+    the pair join."""
     from jsonschema_spark.operators.dedup import winnow_near_dup
 
     df = _t(spark, sf_dir, "documents")
-    return winnow_near_dup(df, k=12, window=8, min_shared=3, max_doc_freq=64, portable=True)
+    return winnow_near_dup(df, k=12, window=8, min_shared=3, max_doc_freq=64)
 
 
 def q_temperature_mix(spark, sf_dir):
@@ -3997,13 +4000,23 @@ def oracle_sql() -> dict[str, str]:
             " FROM w"
         ),
         "winnow_dups": (
+            # Replays the Arrow kernel's polynomial rolling hash exactly:
+            # hash(g) = sum(codepoint[g+j] * B^(11-j)) mod 2^64 mod 2^60
+            # with B = dedup.WINNOW_BASE; the power literals are reduced
+            # mod 2^64 on both engines, HUGEINT keeps the 12-term sum
+            # exact before the double mod.
             f"WITH n AS (SELECT doc_id, {_NORM} AS t FROM documents),"
-            " h AS (SELECT doc_id, list_transform(range(1, len(t) - 10),"
-            "   i -> CAST(concat('0x', substr(md5(substr(t, i, 12)), 1, 15))"
-            "    AS BIGINT)) AS hs FROM n),"
+            " cp AS (SELECT doc_id, [unicode(t[i+1])"
+            "   for i in range(len(t))] AS c FROM n),"
+            " h AS (SELECT doc_id, [CAST((" + " + ".join(
+                f"c[g+{j + 1}]*{pow(1_000_003, 11 - j, 1 << 64)}::HUGEINT"
+                for j in range(12)
+            ) + ") % 18446744073709551616::HUGEINT"
+            "   % 1152921504606846976::HUGEINT AS BIGINT)"
+            "   for g in range(len(c) - 11)] AS hs FROM cp),"
             " wn AS (SELECT doc_id, list_sort(list_distinct("
-            "   list_transform(range(1, len(hs) - 6),"
-            "    j -> list_min(hs[j:j + 7])))) AS fps FROM h),"
+            "   [list_min(hs[j:j + 7])"
+            "    for j in range(1, len(hs) - 6)])) AS fps FROM h),"
             " e AS (SELECT DISTINCT doc_id AS id, unnest(fps) AS w FROM wn),"
             " el AS (SELECT w FROM e GROUP BY w"
             "   HAVING count(*) > 1 AND count(*) <= 64)"

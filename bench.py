@@ -187,6 +187,9 @@ def main() -> None:
         "embedding_quant_qa",
         "vocab_richness",
         "vocab_diversity",
+        "image_ahash_groups",
+        "image_ahash_near_dup",
+        "audio_fingerprint_groups",
     ]
     qs = entry.queries()
     for name in headline:

@@ -864,6 +864,48 @@ def test_winnow_near_dup_pairs(spark):
     assert [(r["id_a"], r["id_b"]) for r in fast] == [(1, 2)]
 
 
+def test_winnow_kernel_matches_closed_form(spark):
+    """The Arrow kernel's polynomial fingerprints must equal a direct
+    pure-Python re-derivation (the same math the DuckDB oracle replays:
+    sum(codepoint*B^(k-1-j)) mod 2^64 mod 2^60, window minima, distinct)."""
+    from jsonschema_spark.operators.dedup import (
+        WINNOW_BASE,
+        winnow_fingerprint_rows,
+    )
+
+    texts = [
+        "The Quick  Brown\tFox jumps over the lazy dog",
+        "short",  # below k+window-1: no fingerprints
+        "sphinx of black quartz judge my vow " * 3,
+        "naïve café über — unicode codepoints too",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id: long, text: string"
+    )
+    got = {}
+    for r in winnow_fingerprint_rows(df, k=12, window=8).collect():
+        got.setdefault(r.id, set()).add(r.w)
+
+    import re as _re
+
+    def closed_form(text, k=12, window=8):
+        norm = _re.sub("[ \\t\\n\\x0b\\f\\r]+", " ", text.lower()).strip(" ")
+        cps = [ord(ch) for ch in norm]
+        if len(cps) < k + window - 1:
+            return set()
+        hs = [
+            sum(
+                cps[g + j] * pow(WINNOW_BASE, k - 1 - j, 1 << 64)
+                for j in range(k)
+            ) % (1 << 64) % (1 << 60)
+            for g in range(len(cps) - k + 1)
+        ]
+        return {min(hs[j : j + window]) for j in range(len(hs) - window + 1)}
+
+    want = {i: closed_form(t) for i, t in enumerate(texts) if closed_form(t)}
+    assert got == want
+
+
 def test_winnow_near_dup_doc_freq_ceiling(spark):
     from jsonschema_spark.operators.dedup import winnow_near_dup
 
