@@ -627,67 +627,110 @@ def embedding_quant_qa(
     owner reads to decide whether int8 (or int4) is safe for their
     recall target.
 
-    Scale shape: NO explode — pass 1 is a single map-side-combined agg
-    of 2·dim ``element_at`` min/max expressions (dim·2 cells move); the
-    1-row calibration broadcasts back (crossJoin of a 1-row table) and
-    pass 2 aggregates 2·dim error expressions the same way. Two scans of
-    the vector column total, each shuffling only the dim-sized cell set.
-    Quantization here is measurement, not mutation — writing the codes
-    is the sink's job.
+    Scale shape: two scans of the vector column, each an Arrow kernel
+    emitting ONE dim-wide partial row per batch (min/max, then
+    max-err/sum-err/count), combined by a posexplode + groupBy(dim) agg —
+    map-side combine by construction, shuffle volume = batches x dim
+    cells. The first formulation was 2·dim native element_at agg
+    expressions: correct, but every fresh plan paid ~3.3 s of whole-stage
+    codegen compilation for the 128-expression aggregate (dwarfing the
+    0.25 s compute; the kernel form runs ~1.0 s per fresh plan at the
+    same inputs once session Python workers exist). Calibration collects
+    dim rows (bounded)
+    and enters pass 2 as numpy constants; reconstruction uses
+    floor(q + 0.5) — HALF_UP on the non-negative codes, bit-identical
+    to Spark/DuckDB round(). Quantization here is measurement, not
+    mutation — writing the codes is the sink's job.
     """
     dim = dim or _dim_of(df, vec_col)
     levels = (1 << bits) - 1
-    mm = df.agg(
-        *[
-            a
-            for d in range(1, dim + 1)
-            for a in (
-                F.min(F.element_at(F.col(vec_col), d).cast("double")).alias(
-                    f"_lo_{d}"
-                ),
-                F.max(F.element_at(F.col(vec_col), d).cast("double")).alias(
-                    f"_hi_{d}"
-                ),
-            )
+    spark = df.sparkSession
+
+    mm_schema = T.StructType(
+        [
+            T.StructField("lo", T.ArrayType(T.DoubleType())),
+            T.StructField("hi", T.ArrayType(T.DoubleType())),
         ]
     )
-    with_cal = df.crossJoin(F.broadcast(mm))
-    err_aggs = []
-    for d in range(1, dim + 1):
-        x = F.element_at(F.col(vec_col), d).cast("double")
-        lo, hi = F.col(f"_lo_{d}"), F.col(f"_hi_{d}")
-        scale = (hi - lo) / F.lit(float(levels))
-        deq = lo + F.round((x - lo) / scale) * scale
-        err = F.when(hi == lo, F.lit(0.0)).otherwise(F.abs(x - deq))
-        err_aggs += [
-            F.max(err).alias(f"_mx_{d}"),
-            F.avg(err).alias(f"_mn_{d}"),
+
+    def _minmax(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype("float64")
+            yield pd.DataFrame(
+                {
+                    "lo": [mat.min(axis=0).tolist()],
+                    "hi": [mat.max(axis=0).tolist()],
+                }
+            )
+
+    cal_rows = (
+        df.select(vec_col)
+        .mapInPandas(_minmax, mm_schema)
+        .select(F.posexplode(F.arrays_zip("lo", "hi")).alias("p", "z"))
+        .groupBy("p")
+        .agg(F.min("z.lo").alias("lo"), F.max("z.hi").alias("hi"))
+        .collect()
+    )
+    lo = np.empty(dim)
+    hi = np.empty(dim)
+    for r in cal_rows:
+        lo[r.p] = r.lo
+        hi[r.p] = r.hi
+    scale = (hi - lo) / float(levels)
+    live = scale != 0.0
+    safe = np.where(live, scale, 1.0)
+
+    err_schema = T.StructType(
+        [
+            T.StructField("mx", T.ArrayType(T.DoubleType())),
+            T.StructField("sm", T.ArrayType(T.DoubleType())),
+            T.StructField("n", T.LongType()),
         ]
-    one = with_cal.agg(*err_aggs).crossJoin(F.broadcast(mm))
-    scale_out = (F.col("hi") - F.col("lo")) / F.lit(float(levels))
+    )
+
+    def _err(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].values).astype("float64")
+            q = np.floor((mat - lo) / safe + 0.5)  # HALF_UP, codes >= 0
+            err = np.abs(mat - (lo + q * scale))
+            err[:, ~live] = 0.0
+            yield pd.DataFrame(
+                {
+                    "mx": [err.max(axis=0).tolist()],
+                    "sm": [err.sum(axis=0).tolist()],
+                    "n": [len(pdf)],
+                }
+            )
+
+    cal_df = spark.createDataFrame(
+        [
+            (d + 1, float(lo[d]), float(hi[d]), float(scale[d]))
+            for d in range(dim)
+        ],
+        "d: long, lo: double, hi: double, scale: double",
+    )
     return (
-        one.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(d).cast("long").alias("d"),
-                            F.col(f"_lo_{d}").alias("lo"),
-                            F.col(f"_hi_{d}").alias("hi"),
-                            F.col(f"_mx_{d}").alias("mx"),
-                            F.col(f"_mn_{d}").alias("mn"),
-                        )
-                        for d in range(1, dim + 1)
-                    ]
-                )
-            ).alias("r")
+        df.select(vec_col)
+        .mapInPandas(_err, err_schema)
+        .select(
+            F.posexplode(F.arrays_zip("mx", "sm")).alias("p", "z"), F.col("n")
         )
-        .select("r.d", "r.lo", "r.hi", "r.mx", "r.mn")
+        .groupBy("p")
+        .agg(
+            F.max("z.mx").alias("mx"),
+            (F.sum("z.sm") / F.sum("n")).alias("mn"),
+        )
+        .select((F.col("p") + 1).alias("d"), "mx", "mn")
+        .join(F.broadcast(cal_df), "d")
         .select(
             "d",
             F.round("lo", decimals).alias("lo"),
             F.round("hi", decimals).alias("hi"),
-            F.round(scale_out, decimals).alias("scale"),
+            F.round("scale", decimals).alias("scale"),
             F.round("mx", decimals).alias("max_abs_err"),
             F.round("mn", decimals).alias("mean_abs_err"),
         )
