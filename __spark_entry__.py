@@ -1689,6 +1689,50 @@ def q_audio_fingerprint_groups(spark, sf_dir):
     return phash_dup_groups(hashes)
 
 
+def q_url_dedup_groups(spark, sf_dir):
+    """URL-level dedup after canonicalization (RefinedWeb keeps one doc
+    per canonical URL): messy URLs are synthesized closed-form from
+    doc_id (functions/url.py::synth_url — scheme/case/port/www/utm/
+    slash/fragment variants on residues), normalized by the pure-Column
+    canonicalizer (url_normalize), and grouped. The DuckDB oracle
+    rebuilds the same messy strings from doc_id and replays every
+    normalization rule with the same RE2-safe regexes — an end-to-end
+    cross-engine check on the canonicalizer, no URL column needed in the
+    test data. Pure codegen projection + one groupBy; scales like
+    dedup_exact."""
+    from jsonschema_spark.functions.url import synth_url, url_normalize
+
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select(
+            F.col("doc_id"),
+            url_normalize(synth_url(F.col("doc_id"))).alias("url"),
+        )
+        .groupBy("url")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-registered-domain document cap (k=3, ordered by doc_id) — the
+    host-share bound every crawl mixture applies so one domain cannot
+    swamp training. Domain comes from the canonicalized host
+    (functions/url.py::url_domain, two-label rule); the cap reuses
+    sampling.cap_per_group (one shuffle on the domain key, row_number
+    window). Returns the kept (domain, doc_id) rows; the oracle replays
+    the same window."""
+    from jsonschema_spark.functions.url import synth_url, url_domain
+    from jsonschema_spark.operators.sampling import cap_per_group
+
+    df = _t(spark, sf_dir, "documents").select(
+        "doc_id", url_domain(synth_url(F.col("doc_id"))).alias("domain")
+    )
+    return cap_per_group(df, "domain", k=3, order_col="doc_id").select(
+        "domain", "doc_id"
+    )
+
+
 def _decorated_text() -> Column:
     """documents.text with deterministic multi-script / mojibake
     decorations keyed on doc_id residues, so every script bucket and
@@ -2190,6 +2234,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_near_dup": q_image_ahash_near_dup,
         "image_ahash_groups": q_image_ahash_groups,
         "audio_fingerprint_groups": q_audio_fingerprint_groups,
+        "url_dedup_groups": q_url_dedup_groups,
+        "domain_cap": q_domain_cap,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -2678,8 +2724,64 @@ _AUDIO_FP_CTE = (
 )
 
 
+_URL_CTE = (
+    # Rebuild synth_url's messy string from doc_id, then replay every
+    # url_normalize rule with the same RE2-safe regexes.
+    "WITH raw AS (SELECT doc_id,"
+    " (CASE WHEN m%8=0 THEN 'http' ELSE 'https' END) || '://' ||"
+    " (CASE WHEN doc_id%10=0 THEN upper(h) ELSE lower(h) END) ||"
+    " (CASE WHEN doc_id%11=0 THEN"
+    "   (CASE WHEN m%8=0 THEN ':80' ELSE ':443' END) ELSE '' END) ||"
+    " '/p/' || (m%4) ||"
+    " (CASE WHEN doc_id%5=0 THEN '/' ELSE '' END) ||"
+    " (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) ||"
+    " (CASE WHEN doc_id%9=0 THEN '#sec' ELSE '' END) AS url"
+    " FROM (SELECT doc_id, m,"
+    "  (CASE WHEN doc_id%3=0 THEN 'WWW.' ELSE '' END) || 'site' ||"
+    "  (m%10) || (CASE WHEN m%2=0 THEN '.com' ELSE '.org' END) AS h,"
+    "  array_to_string(list_filter(["
+    "   CASE WHEN doc_id%6=0 THEN 'utm_source=feed' ELSE '' END,"
+    "   CASE WHEN m%3=0 THEN 'id=' || (m%4) ELSE '' END,"
+    "   CASE WHEN doc_id%6=3 THEN 'utm_medium=email' ELSE '' END],"
+    "   p -> p <> ''), '&') AS qs"
+    "  FROM (SELECT doc_id, doc_id%120 AS m FROM documents))),"
+    " parts AS (SELECT doc_id, url,"
+    "  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    "   AS scheme,"
+    "  lower(regexp_extract(url,"
+    "   '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,"
+    "  regexp_replace(regexp_extract(url,"
+    "   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1), '/+$', '')"
+    "   AS path,"
+    "  regexp_extract(url, '\\?([^#]*)', 1) AS q FROM raw),"
+    " norm AS (SELECT doc_id, scheme, path,"
+    "  regexp_replace(CASE WHEN scheme = 'http' THEN"
+    "    regexp_replace(hostport, ':80$', '')"
+    "   WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')"
+    "   ELSE hostport END, '^www\\.', '') AS host,"
+    "  array_to_string(list_filter(string_split(q, '&'),"
+    "   p -> p <> '' AND NOT starts_with(p, 'utm_')), '&') AS kept"
+    "  FROM parts),"
+    " canon AS (SELECT doc_id,"
+    "  scheme || '://' || host || path ||"
+    "  (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END) AS url,"
+    "  regexp_extract(host, '([^.]+\\.[^.]+)$', 1) AS domain FROM norm)"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "url_dedup_groups": (
+            _URL_CTE
+            + " SELECT url, count(*) AS n_docs, min(doc_id) AS keep_id"
+            " FROM canon GROUP BY url HAVING count(*) > 1"
+        ),
+        "domain_cap": (
+            _URL_CTE
+            + " SELECT domain, doc_id FROM (SELECT domain, doc_id,"
+            "  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn"
+            "  FROM canon) WHERE rn <= 3"
+        ),
         "image_ahash_near_dup": (
             _AHASH_CTE
             + " SELECT a.d AS id_a, b.d AS id_b,"
