@@ -1733,6 +1733,18 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_id_gap_audit(spark, sf_dir):
+    """Per-source id-completeness audit (checks.id_gap_audit): sources
+    stride doc_id by 20 in the testdata; deterministic drops are injected
+    (doc_id % 97 == 5 removed — a 'lost batch') so every source reports
+    real breaks and missing counts. The oracle replays the lag-window
+    stride inference and gap accounting."""
+    from jsonschema_spark.operators.checks import id_gap_audit
+
+    df = _t(spark, sf_dir, "documents").filter(F.pmod(F.col("doc_id"), 97) != 5)
+    return id_gap_audit(df, "doc_id", "source")
+
+
 def _decorated_text() -> Column:
     """documents.text with deterministic multi-script / mojibake
     decorations keyed on doc_id residues, so every script bucket and
@@ -2236,6 +2248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_groups": q_audio_fingerprint_groups,
         "url_dedup_groups": q_url_dedup_groups,
         "domain_cap": q_domain_cap,
+        "id_gap_audit": q_id_gap_audit,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -2781,6 +2794,25 @@ def oracle_sql() -> dict[str, str]:
             + " SELECT domain, doc_id FROM (SELECT domain, doc_id,"
             "  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn"
             "  FROM canon) WHERE rn <= 3"
+        ),
+        "id_gap_audit": (
+            "WITH d AS (SELECT source, doc_id,"
+            "  doc_id - lag(doc_id) OVER (PARTITION BY source ORDER BY doc_id)"
+            "   AS delta"
+            " FROM documents WHERE doc_id % 97 <> 5),"
+            " p AS (SELECT source, count(*) AS n_rows, min(doc_id) AS id_min,"
+            "  max(doc_id) AS id_max,"
+            "  coalesce(min(CASE WHEN delta > 0 THEN delta END), 0) AS stride"
+            "  FROM d GROUP BY 1),"
+            " b AS (SELECT d.source, count(*) AS n_breaks FROM d JOIN p"
+            "  ON d.source = p.source"
+            "  WHERE delta IS NOT NULL AND delta <> stride GROUP BY 1)"
+            " SELECT p.source, n_rows, id_min, id_max, stride,"
+            "  coalesce(n_breaks, 0) AS n_breaks,"
+            "  CAST(CASE WHEN stride > 0 THEN"
+            "   (id_max - id_min) / stride + 1 - n_rows ELSE 0 END"
+            "   AS BIGINT) AS n_missing"
+            " FROM p LEFT JOIN b ON p.source = b.source"
         ),
         "image_ahash_near_dup": (
             _AHASH_CTE

@@ -224,6 +224,69 @@ def monotonic_violations(
     )
 
 
+def id_gap_audit(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group id-completeness audit — the ingestion check that catches
+    a silently dropped batch: within each group, ids are expected to
+    advance by a constant stride (inferred as the group's minimum
+    positive delta), and every larger jump is a gap. Returns one row per
+    group ``(group, n_rows, id_min, id_max, stride, n_breaks,
+    n_missing)`` where ``n_breaks`` counts the jump sites and
+    ``n_missing`` the ids the stride says should exist but don't
+    (``(id_max - id_min) / stride + 1 - n_rows``).
+
+    Scale shape: one window shuffle on the group key produces the delta
+    rows (localCheckpointed — they feed the stride agg AND the break
+    count, no ReusedExchange across consumers); both aggs are map-side
+    combined, and the stride table joins back as a broadcast. Single-row
+    groups report stride 0 and zero breaks/missing (nothing to infer)."""
+    w = Window.partitionBy(group_col).orderBy(F.col(id_col))
+    deltas = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("long").alias("_id"),
+        (F.col(id_col).cast("long") - F.lag(F.col(id_col).cast("long")).over(w)).alias(
+            "_delta"
+        ),
+    ).localCheckpoint(eager=False)
+    profile = deltas.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("_id").alias("id_min"),
+        F.max("_id").alias("id_max"),
+        F.coalesce(
+            F.min(F.when(F.col("_delta") > 0, F.col("_delta"))), F.lit(0)
+        ).alias("stride"),
+    )
+    breaks = (
+        deltas.join(F.broadcast(profile.select("grp", "stride")), "grp")
+        .filter(F.col("_delta").isNotNull() & (F.col("_delta") != F.col("stride")))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_breaks"))
+    )
+    return (
+        profile.join(breaks, "grp", "left")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "id_min",
+            "id_max",
+            "stride",
+            F.coalesce("n_breaks", F.lit(0)).alias("n_breaks"),
+            F.when(
+                F.col("stride") > 0,
+                (F.col("id_max") - F.col("id_min")) / F.col("stride")
+                + 1
+                - F.col("n_rows"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )
+
+
 def sequence_structure(
     df: DataFrame,
     id_col: str = "doc_id",

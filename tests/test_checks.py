@@ -178,3 +178,25 @@ class TestTokenParity:
     def test_identical_snapshots_emit_nothing(self, spark):
         _, golden = self._frames(spark)
         assert token_parity(golden, golden).count() == 0
+
+
+class TestIdGapAudit:
+    def test_gap_accounting(self, spark):
+        from jsonschema_spark.operators.checks import id_gap_audit
+
+        # group a: stride 2, ids 0..10 with 4 and 8 missing -> 2 breaks,
+        # 2 missing. group b: dense 100..104 complete. group c: singleton.
+        rows = (
+            [("a", i) for i in [0, 2, 6, 10]]
+            + [("b", i) for i in range(100, 105)]
+            + [("c", 7)]
+        )
+        df = spark.createDataFrame(rows, "grp: string, id: long")
+        got = {r.grp: r for r in id_gap_audit(df, "id", "grp").collect()}
+        a = got["a"]
+        assert (a.stride, a.n_breaks, a.n_missing) == (2, 2, 2)
+        b = got["b"]
+        assert (b.stride, b.n_breaks, b.n_missing) == (1, 0, 0)
+        c = got["c"]
+        assert (c.stride, c.n_breaks, c.n_missing) == (0, 0, 0)
+        assert (c.id_min, c.id_max, c.n_rows) == (7, 7, 1)
