@@ -1338,43 +1338,49 @@ def winnow_near_dup(
     differently, so fingerprint SETS differ; the near-copy verdicts
     agree (pinned by tests).
 
-    Scale shape (same discipline as shared_ngram_pairs): one pass into
-    distinct (fingerprint, id); fingerprints above ``max_doc_freq``
-    documents are boilerplate and are DROPPED before pairing (the
+    Scale shape: the kernel emits per-doc-distinct ``(id, w)`` rows
+    (np.unique inside the kernel), so the fingerprints go straight into
+    ONE ``groupBy(w).collect_set(id)`` shuffle; fingerprints above
+    ``max_doc_freq`` documents are boilerplate and are DROPPED (the
     in-code ceiling that keeps template-heavy corpora from going
-    quadratic), the survivors pair through a self-equi-join on the
-    uniform hash key (AQE skew split applies), and the pair count is one
-    map-side-combined agg.
+    quadratic), and pairs expand from the bounded id-set with two native
+    Generates (no Python in the explode — CLAUDE.md rule 3 is about UDFs,
+    these are pure codegen). collect_set-then-explode is exactly the
+    shape CLAUDE.md rule 10 bans for UNBOUNDED buckets (minhash keeps the
+    self-join for that reason) — here the df ceiling caps every set at
+    ``max_doc_freq`` ids (<=64^2 pair rows per bucket, streamed through
+    codegen and map-side-combined before the pair shuffle), which is what
+    makes the single-shuffle form safe. Interleaved A/B vs the previous
+    checkpoint + eligibility-join + self-equi-join shape (A/B/A/B
+    submits in one session, medians, identical 15402-pair output):
+    1.47x at 500k docs (103.7 -> 70.7 s, 3 reps, local[8]) and 1.36x at
+    50k. 2->8-core scaling efficiency 0.863 (105.9 -> 30.7 s at 500k
+    docs, BENCH/scaling.json) — measured on a 64-file corpus: the first
+    scaling attempts read a 2-file cache whose two ~91 MB single-row-group
+    files pinned the text scan at 2 tasks at EVERY core count (kernel
+    stage wall was identical at local[2] and local[8]), mimicking a
+    non-scaling operator; see scripts/dedup_scaling_job.py::materialize.
     """
     from jsonschema_spark.functions.text import winnow
 
     if method == "kernel":
-        w = winnow_fingerprint_rows(df, id_col, text_col, k, window).distinct()
+        # kernel rows are already distinct per doc — no distinct() shuffle
+        w = winnow_fingerprint_rows(df, id_col, text_col, k, window)
     else:
-        w = (
-            df.select(
-                F.col(id_col).alias("id"),
-                F.explode(
-                    winnow(F.col(text_col), k=k, window=window, portable=portable)
-                ).alias("w"),
-            )
-            .distinct()
-        )
-    # `w` feeds three consumers (the eligibility agg and both sides of the
-    # pair join); checkpoint so the fingerprint pipeline runs once
-    # (CLAUDE.md rule 4 — no ReusedExchange across self-join aliases).
-    w = w.localCheckpoint(eager=False)
-    eligible = (
+        w = df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                winnow(F.col(text_col), k=k, window=window, portable=portable)
+            ).alias("w"),
+        ).distinct()
+    grouped = (
         w.groupBy("w")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter((F.col("_df") > 1) & (F.col("_df") <= max_doc_freq))
-        .select("w")
+        .agg(F.collect_set("id").alias("_ids"))
+        .filter((F.size("_ids") > 1) & (F.size("_ids") <= max_doc_freq))
     )
-    ww = w.join(eligible, on="w").localCheckpoint(eager=False)
-    a = ww.select(F.col("w"), F.col("id").alias("id_a"))
-    b = ww.select(F.col("w"), F.col("id").alias("id_b"))
     return (
-        a.join(b, on="w")
+        grouped.select(F.explode("_ids").alias("id_a"), "_ids")
+        .select("id_a", F.explode("_ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))

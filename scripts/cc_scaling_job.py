@@ -46,7 +46,13 @@ def edge_corpus(spark: SparkSession, n_edges: int, seed: int = 23) -> DataFrame:
 def materialize(spark: SparkSession, n_edges: int, cache_dir: str) -> str:
     path = os.path.join(cache_dir, f"edge_corpus_n{n_edges}_s23")
     if not os.path.isdir(path):
-        edge_corpus(spark, n_edges).write.mode("overwrite").parquet(path)
+        # Fixed 64-file layout: spark.range inherits the creating session's
+        # parallelism, and a 2-core materialize writes 2 unsplittable row
+        # groups that pin every later level's scan at 2 tasks (see
+        # dedup_scaling_job.materialize for the measured pathology).
+        edge_corpus(spark, n_edges).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 

@@ -47,7 +47,16 @@ def text_corpus(spark: SparkSession, n_rows: int, seed: int = 11) -> DataFrame:
 def materialize(spark: SparkSession, n_rows: int, cache_dir: str, seed: int = 11) -> str:
     path = os.path.join(cache_dir, f"text_corpus_n{n_rows}_s{seed}")
     if not os.path.isdir(path):
-        text_corpus(spark, n_rows, seed).write.mode("overwrite").parquet(path)
+        # Fixed 64-file layout regardless of the creating session's cores:
+        # spark.range inherits defaultParallelism, so a 2-core materialize
+        # used to write 2 files = 2 unsplittable ~91 MB row groups, pinning
+        # every later level's text scan at 2 tasks (winnow kernel_noop wall
+        # was IDENTICAL at local[2] and local[8] until this was found —
+        # the host-isolated kernel scales at 0.98). Real corpora have
+        # thousands of files; the cache must too.
+        text_corpus(spark, n_rows, seed).repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
     return path
 
 

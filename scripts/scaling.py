@@ -33,6 +33,7 @@ JOB_SCRIPTS = {
     "cc": "cc_scaling_job.py",
     "tokenstats": "tokenstats_scaling_job.py",
     "semdedup": "semdedup_scaling_job.py",
+    "winnow": "winnow_scaling_job.py",
 }
 
 
