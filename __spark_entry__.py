@@ -598,6 +598,22 @@ def q_token_minhash_near_dup(spark, sf_dir):
     )
 
 
+def q_token_winnow_dups(spark, sf_dir):
+    """Winnow-fingerprint near-copy pairs over PRE-TOKENIZED sequences
+    (token-native twin of winnow_dups): any shared run of >=
+    window + k - 1 = 13 tokens is guaranteed a shared fingerprint
+    (Schleimer et al. SIGMOD'03), catching spliced/quoted token passages
+    below the minhash Jaccard threshold. The polynomial rolling hash runs
+    directly over token ids — no detokenize, no normalization — so the
+    DuckDB oracle replays every window minimum with HUGEINT arithmetic."""
+    from jsonschema_spark.operators.dedup import token_winnow_near_dup
+
+    df = _token_corpus(spark)
+    return token_winnow_near_dup(
+        df, k=8, window=6, min_shared=2, max_doc_freq=64
+    )
+
+
 def q_incremental_dedup(spark, sf_dir):
     """Continuous-ingestion exact dedup: the token corpus split at
     doc_id 736 into a 'seen' snapshot (fingerprints of docs < 736) and an
@@ -2243,6 +2259,7 @@ def q_bigram_pmi(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "token_winnow_dups": q_token_winnow_dups,
         "image_ahash_near_dup": q_image_ahash_near_dup,
         "image_ahash_groups": q_image_ahash_groups,
         "audio_fingerprint_groups": q_audio_fingerprint_groups,
@@ -4158,6 +4175,30 @@ def oracle_sql() -> dict[str, str]:
             " FROM e a JOIN el ON a.w = el.w JOIN e b"
             "  ON a.w = b.w AND a.id < b.id"
             " GROUP BY 1, 2 HAVING count(*) >= 3"
+        ),
+        "token_winnow_dups": (
+            # Token-native winnow replay: hash(g) = sum(token[g+j] *
+            # B^(7-j)) mod 2^64 mod 2^60 (B = dedup.WINNOW_BASE, k=8),
+            # window minima over 6 hashes, distinct fingerprints per doc,
+            # doc-frequency ceiling 64, pairs sharing >= 2.
+            f"WITH t AS (SELECT doc_id, tokens"
+            f" FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " h AS (SELECT doc_id, [CAST((" + " + ".join(
+                f"tokens[g+{j + 1}]*{pow(1_000_003, 7 - j, 1 << 64)}::HUGEINT"
+                for j in range(8)
+            ) + ") % 18446744073709551616::HUGEINT"
+            "   % 1152921504606846976::HUGEINT AS BIGINT)"
+            "   for g in range(len(tokens) - 7)] AS hs FROM t),"
+            " wn AS (SELECT doc_id, list_sort(list_distinct("
+            "   [list_min(hs[j:j + 5])"
+            "    for j in range(1, len(hs) - 4)])) AS fps FROM h),"
+            " e AS (SELECT DISTINCT doc_id AS id, unnest(fps) AS w FROM wn),"
+            " el AS (SELECT w FROM e GROUP BY w"
+            "   HAVING count(*) > 1 AND count(*) <= 64)"
+            " SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared"
+            " FROM e a JOIN el ON a.w = el.w JOIN e b"
+            "  ON a.w = b.w AND a.id < b.id"
+            " GROUP BY 1, 2 HAVING count(*) >= 2"
         ),
         "bigram_ppl": (
             f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"

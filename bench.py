@@ -178,6 +178,7 @@ def main() -> None:
         "positional_entropy",
         "bigram_ppl",
         "winnow_dups",
+        "token_winnow_dups",
         "trigram_sbo",
         "semdedup",
         "padding_waste",

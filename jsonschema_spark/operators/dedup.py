@@ -1373,6 +1373,15 @@ def winnow_near_dup(
                 winnow(F.col(text_col), k=k, window=window, portable=portable)
             ).alias("w"),
         ).distinct()
+    return _winnow_pairs(w, max_doc_freq, min_shared)
+
+
+def _winnow_pairs(w: DataFrame, max_doc_freq: int, min_shared: int) -> DataFrame:
+    """Shared pair-generation tail for the winnow operators: one
+    ``groupBy(w).collect_set(id)`` shuffle (sets bounded IN CODE by the
+    ``max_doc_freq`` ceiling — the license for collect_set, see the
+    winnow_near_dup docstring), bounded native double-explode pair
+    expansion, map-side-combined pair counts."""
     grouped = (
         w.groupBy("w")
         .agg(F.collect_set("id").alias("_ids"))
@@ -1386,3 +1395,86 @@ def winnow_near_dup(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def winnow_token_fingerprint_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    window: int = 6,
+) -> DataFrame:
+    """Distinct ``(id, w)`` winnow-fingerprint rows over PRE-TOKENIZED
+    sequences — the token-native twin of winnow_fingerprint_rows (the
+    graft's corpus IS token arrays; detokenizing to fingerprint would be
+    both lossy and slower). Same Schleimer-et-al. guarantee in token
+    units: any shared run of >= window + k - 1 tokens (13 at the
+    defaults) leaves a shared fingerprint. The polynomial rolling hash —
+    sum(token[g+j] * B^(k-1-j)) mod 2^64 mod 2^60 over the raw token ids
+    — needs no normalization/codepoint step, so the Arrow kernel is one
+    uint64 correlation + strided window minima per doc and an external
+    SQL engine replays it with HUGEINT arithmetic."""
+    import numpy as np
+
+    pows = np.array(
+        [pow(WINNOW_BASE, k - 1 - j, 1 << 64) for j in range(k)], dtype=np.uint64
+    )
+    mask = np.uint64(_MASK60)
+    out_schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("w", T.LongType())]
+    )
+
+    def rows(batches):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for batch in batches:
+            out_ids, out_ws = [], []
+            for doc_id, toks in zip(batch[id_col], batch[tokens_col]):
+                if toks is None:
+                    continue
+                c = np.asarray(toks, dtype=np.uint64)
+                n = c.size
+                if n < k + window - 1:
+                    continue
+                m = n - k + 1
+                acc = c[0:m] * pows[0]
+                for j in range(1, k):
+                    acc += c[j : j + m] * pows[j]
+                acc &= mask
+                fps = np.unique(sliding_window_view(acc, window).min(axis=1))
+                out_ids.append(np.full(fps.size, int(doc_id), dtype=np.int64))
+                out_ws.append(fps.astype(np.int64))
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "id": np.concatenate(out_ids),
+                        "w": np.concatenate(out_ws),
+                    }
+                )
+
+    return ensure_parallelism(df.select(id_col, tokens_col)).mapInPandas(
+        rows, out_schema
+    )
+
+
+def token_winnow_near_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    window: int = 6,
+    min_shared: int = 2,
+    max_doc_freq: int = 64,
+) -> DataFrame:
+    """Near-copy pairs by winnow-fingerprint overlap over token arrays:
+    ``(id_a, id_b, n_shared)`` for sequence pairs sharing at least
+    ``min_shared`` fingerprints. Complements token_minhash_near_dup
+    (whole-sequence Jaccard) the way winnow_near_dup complements the
+    text minhash: a verbatim token run of >= window + k - 1 tokens is
+    GUARANTEED to leave a shared fingerprint however dissimilar the rest
+    of the two sequences — the detector for spliced/quoted passages
+    below any Jaccard threshold. Scale shape is _winnow_pairs (single
+    bounded-collect_set shuffle; template fingerprints above
+    ``max_doc_freq`` docs dropped in code)."""
+    w = winnow_token_fingerprint_rows(df, id_col, tokens_col, k, window)
+    return _winnow_pairs(w, max_doc_freq, min_shared)

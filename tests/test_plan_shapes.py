@@ -306,3 +306,15 @@ def test_semdedup_single_cluster_shuffle_arrow_only(spark):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_token_winnow_single_bounded_collect_shuffle(spark):
+    """Winnow pair-gen (shared _winnow_pairs tail): fingerprints go into
+    ONE groupBy(w).collect_set shuffle (sets bounded in code by the
+    max_doc_freq ceiling), pairs expand through native Generates — no
+    join, no checkpoint materialization, no row-at-a-time Python."""
+    plan = _plan(entry_mod.queries()["token_winnow_dups"](spark, SF_DIR))
+    assert "Join" not in plan
+    assert "Generate" in plan  # native double-explode pair expansion
+    assert "BatchEvalPython" not in plan
+    assert "InMemoryTableScan" not in plan

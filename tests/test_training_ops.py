@@ -922,6 +922,63 @@ def test_winnow_near_dup_doc_freq_ceiling(spark):
                            portable=True).count() == 45
 
 
+def test_token_winnow_near_dup(spark):
+    """Token-native winnow: a >= window+k-1 = 13-token verbatim run shared
+    between otherwise-different sequences is guaranteed a shared
+    fingerprint; disjoint token streams never pair."""
+    from jsonschema_spark.operators.dedup import token_winnow_near_dup
+
+    run = list(range(900, 916))  # 16-token verbatim passage
+    df = spark.createDataFrame(
+        [
+            (1, [7, 3, 9] * 8 + run),
+            (2, run + [101, 55, 42] * 9),
+            (3, [5000 + i for i in range(40)]),
+        ],
+        "doc_id: long, tokens: array<int>",
+    )
+    got = token_winnow_near_dup(df, k=8, window=6, min_shared=1).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(1, 2)]
+
+
+def test_token_winnow_kernel_matches_closed_form(spark):
+    """Kernel fingerprints over token arrays == pure-Python re-derivation
+    of the same math the DuckDB oracle replays: sum(token*B^(k-1-j)) mod
+    2^64 mod 2^60, window minima, distinct."""
+    from jsonschema_spark.operators.dedup import (
+        WINNOW_BASE,
+        winnow_token_fingerprint_rows,
+    )
+
+    seqs = [
+        [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15],
+        [3, 1, 4],  # below k+window-1: no fingerprints
+        [2**31 - 1, 0, 7, 123456, 99, 99, 99, 8, 8, 8, 8, 8, 8, 1],
+        list(range(50, 20, -1)),
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(seqs)), "doc_id: long, tokens: array<int>"
+    )
+    got = {}
+    for r in winnow_token_fingerprint_rows(df, k=8, window=6).collect():
+        got.setdefault(r.id, set()).add(r.w)
+
+    def closed_form(toks, k=8, window=6):
+        if len(toks) < k + window - 1:
+            return set()
+        hs = [
+            sum(
+                toks[g + j] * pow(WINNOW_BASE, k - 1 - j, 1 << 64)
+                for j in range(k)
+            ) % (1 << 64) % (1 << 60)
+            for g in range(len(toks) - k + 1)
+        ]
+        return {min(hs[j : j + window]) for j in range(len(hs) - window + 1)}
+
+    want = {i: closed_form(t) for i, t in enumerate(seqs) if closed_form(t)}
+    assert got == want
+
+
 def test_semdedup_keep_first_within_clusters(spark):
     """Two tight semantic groups + isolated points: every non-minimal
     member of a group is reported against smaller-id neighbors; group
