@@ -191,6 +191,9 @@ def main() -> None:
         "image_ahash_groups",
         "image_ahash_near_dup",
         "audio_fingerprint_groups",
+        "url_dedup_groups",
+        "domain_cap",
+        "id_gap_audit",
     ]
     qs = entry.queries()
     for name in headline:
