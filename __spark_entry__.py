@@ -643,6 +643,39 @@ def q_incremental_dedup(spark, sf_dir):
     return out.select("doc_id", "fingerprint")
 
 
+def q_incremental_near_dup(spark, sf_dir):
+    """Continuous-ingestion NEAR-dup dedup (the MinHash twin of
+    incremental_dedup): the token corpus split into a 'seen' snapshot (at
+    scale, a persisted (id, band, h) LSH index) and an incoming batch =
+    every injected dup row (doc_id % 67 == 66 exact copies, % 41 == 40
+    near copies) plus the % 13 == 0 plain rows. Batch docs with a verified
+    token-3-gram Jaccard >= 0.8 match in the snapshot are dropped; the
+    surviving (doc_id, n_tok) rows are what gets appended to the corpus +
+    band index for the next batch. Non-vacuous on BOTH verify paths: exact
+    rows match their snapshot source at j = 1.0, near rows (source tokens
+    plus one appended id) at j ~ 0.95, and dup rows whose source itself
+    landed in the batch (e.g. 66, whose source 65 has 65 % 13 == 0) must
+    SURVIVE — history dedup sees only the snapshot; within-batch dedup is
+    minhash_near_dup's job, a different join shape. Banding recall at
+    j >= 0.8 is 1 - 5e-8 per pair, so the LSH output equals the exact pair
+    set and the brute-force DuckDB twin matches."""
+    from jsonschema_spark.operators.dedup import incremental_minhash_new_docs
+
+    df = _token_corpus(spark)
+    is_batch = (
+        (F.pmod(F.col("doc_id"), F.lit(67)) == 66)
+        | (F.pmod(F.col("doc_id"), F.lit(41)) == 40)
+        | (F.pmod(F.col("doc_id"), F.lit(13)) == 0)
+    )
+    snapshot = df.filter(~is_batch)
+    batch = df.filter(is_batch)
+    out = incremental_minhash_new_docs(
+        batch, snapshot, "doc_id", "tokens", threshold=0.8,
+        elements=F.col("tokens"), shingle_sep=",",
+    )
+    return out.select("doc_id", F.size("tokens").cast("long").alias("n_tok"))
+
+
 def q_decontaminate(spark, sf_dir):
     """Benchmark decontamination: documents sharing >= 1 word 5-gram with
     the 'benchmark' subset (doc_id < 10) and the count of distinct shared
@@ -2259,6 +2292,7 @@ def q_bigram_pmi(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "incremental_near_dup": q_incremental_near_dup,
         "token_winnow_dups": q_token_winnow_dups,
         "image_ahash_near_dup": q_image_ahash_near_dup,
         "image_ahash_groups": q_image_ahash_groups,
@@ -3517,6 +3551,28 @@ def oracle_sql() -> dict[str, str]:
             " fresh AS (SELECT * FROM fp WHERE doc_id >= 736 AND fingerprint NOT IN"
             "  (SELECT fingerprint FROM fp WHERE doc_id < 736))"
             " SELECT min(doc_id) AS doc_id, fingerprint FROM fresh GROUP BY fingerprint"
+        ),
+        # LSH recall at j >= 0.8 is 1 - 5e-8 per pair (see minhash_near_dup
+        # note) and the verify stage is exact, so survivors = batch docs
+        # with no brute-force Jaccard >= 0.8 snapshot match
+        "incremental_near_dup": (
+            "WITH sh AS (SELECT doc_id, len(tokens) AS n_tok,"
+            "  list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(tokens)-2, 0)),"
+            "   i -> CAST(tokens[i] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+1] AS VARCHAR) || ',' ||"
+            "        CAST(tokens[i+2] AS VARCHAR)))) AS g,"
+            "   is_batch FROM (SELECT doc_id, tokens,"
+            "    (doc_id % 67 = 66 OR doc_id % 41 = 40 OR doc_id % 13 = 0)"
+            "     AS is_batch"
+            f"   FROM read_parquet('{_token_corpus_path()}/*.parquet'))),"
+            " m AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh s"
+            "   ON b.is_batch AND NOT s.is_batch"
+            "  WHERE round(CASE WHEN len(list_distinct(b.g || s.g)) = 0 THEN 0.0"
+            "   ELSE len(list_intersect(b.g, s.g))"
+            "    / CAST(len(list_distinct(b.g || s.g)) AS DOUBLE) END, 6) >= 0.8)"
+            " SELECT doc_id, n_tok FROM sh WHERE is_batch"
+            "  AND doc_id NOT IN (SELECT doc_id FROM m)"
         ),
         "token_minhash_near_dup": (
             "WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("

@@ -1157,3 +1157,71 @@ def test_embedding_quant_qa_closed_forms(spark):
     # quantization error can never exceed half a step on any dimension
     for r in rows.values():
         assert r.max_abs_err <= r.scale / 2 + 5e-7  # +rounding
+
+
+def test_incremental_minhash_matches_differential(spark):
+    """History near-dedup vs a snapshot equals the brute-force cross-split
+    Jaccard computed in plain Python (LSH recall at j >= 0.8 is 1 - 5e-8
+    per pair; verify stage is exact). Batch = the injected dup rows plus
+    the % 13 == 0 plain rows, so both verify paths (j = 1.0 exact copies,
+    j ~ 0.95 near copies) cross the split AND some dup rows' sources land
+    inside the batch and must survive (history dedup never looks within
+    the batch)."""
+    from jsonschema_spark.operators.dedup import (
+        incremental_minhash_matches,
+        incremental_minhash_new_docs,
+        lsh_band_index,
+    )
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    df = token_neardup_corpus(spark, 1000, seed=5)
+    rows = {r.doc_id: list(r.tokens) for r in df.collect()}
+    in_batch = lambda i: i % 67 == 66 or i % 41 == 40 or i % 13 == 0  # noqa: E731
+
+    def grams(toks):
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    g = {i: grams(t) for i, t in rows.items()}
+    expected_pairs = set()
+    for b in rows:
+        if not in_batch(b):
+            continue
+        for s in rows:
+            if in_batch(s):
+                continue
+            u = len(g[b] | g[s])
+            j = round(len(g[b] & g[s]) / u, 6) if u else 0.0
+            if j >= 0.8:
+                expected_pairs.add((b, s))
+    assert expected_pairs, "corpus construction must cross the split"
+    # both verify paths present: at least one exact (j=1.0) and one near
+    exact_ids = {b for b, s in expected_pairs if g[b] == g[s]}
+    assert exact_ids and expected_pairs - {(b, s) for b, s in expected_pairs if b in exact_ids}
+
+    is_batch = (
+        (F.pmod(F.col("doc_id"), F.lit(67)) == 66)
+        | (F.pmod(F.col("doc_id"), F.lit(41)) == 40)
+        | (F.pmod(F.col("doc_id"), F.lit(13)) == 0)
+    )
+    batch, snapshot = df.filter(is_batch), df.filter(~is_batch)
+    got = incremental_minhash_matches(
+        batch, snapshot, "doc_id", "tokens", threshold=0.8,
+        elements=F.col("tokens"), shingle_sep=",",
+    )
+    assert {(r.id_new, r.id_seen) for r in got.collect()} == expected_pairs
+
+    # survivors = batch minus matched; identical through the
+    # persisted-index path (snapshot_bands = lsh_band_index output)
+    matched = {b for b, _ in expected_pairs}
+    expect_survivors = {i for i in rows if in_batch(i)} - matched
+    out = incremental_minhash_new_docs(
+        batch, snapshot, "doc_id", "tokens", threshold=0.8,
+        elements=F.col("tokens"), shingle_sep=",",
+    )
+    assert {r.doc_id for r in out.select("doc_id").collect()} == expect_survivors
+    idx = lsh_band_index(snapshot, "doc_id", "tokens", elements=F.col("tokens"))
+    out2 = incremental_minhash_new_docs(
+        batch, snapshot, "doc_id", "tokens", threshold=0.8,
+        elements=F.col("tokens"), shingle_sep=",", snapshot_bands=idx,
+    )
+    assert {r.doc_id for r in out2.select("doc_id").collect()} == expect_survivors
