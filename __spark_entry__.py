@@ -796,6 +796,22 @@ def q_token_stats(spark, sf_dir):
     )
 
 
+def q_tokenizer_fertility(spark, sf_dir):
+    """Per-source tokenizer fertility / compression QA gate: subword
+    tokens per whitespace word (BPE-ish regex tokenizer), chars per
+    subword token, share of high-fertility docs, and a pass/fail verdict
+    per source — the pre-tokenization health check that catches
+    vocabulary/data mismatch (wrong language, mojibake) before compute is
+    spent. One projection + one groupBy on the source key."""
+    from jsonschema_spark.operators.stats import tokenizer_fertility_qa
+
+    df = _t(spark, sf_dir, "documents")
+    return tokenizer_fertility_qa(
+        df, text_col="text", group_col="source",
+        fertility_gate=1.2, max_high_rate=0.25,
+    )
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Normalized content fingerprint (md5) per document."""
     from jsonschema_spark.functions.text import fingerprint
@@ -2293,6 +2309,7 @@ def q_bigram_pmi(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "incremental_near_dup": q_incremental_near_dup,
+        "tokenizer_fertility": q_tokenizer_fertility,
         "token_winnow_dups": q_token_winnow_dups,
         "image_ahash_near_dup": q_image_ahash_near_dup,
         "image_ahash_groups": q_image_ahash_groups,
@@ -3626,6 +3643,26 @@ def oracle_sql() -> dict[str, str]:
             "  regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9])'),"
             "  p -> ceil(length(p) / 6.0))) AS BIGINT) AS n_bpe_tokens"
             " FROM documents"
+        ),
+        "tokenizer_fertility": (
+            "WITH t AS (SELECT source,"
+            " (CASE WHEN trim(text) = '' THEN 0"
+            "  ELSE len(string_split_regex(trim(text), '\\s+')) END) AS ws,"
+            " coalesce(CAST(list_sum(list_transform("
+            "  regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9])'),"
+            "  p -> ceil(length(p) / 6.0))) AS BIGINT), 0) AS bpe,"
+            " length(text) AS chars FROM documents)"
+            " SELECT source, count(*) AS n_docs,"
+            " round(avg(CASE WHEN ws > 0 THEN bpe / CAST(ws AS DOUBLE) END), 6)"
+            "  AS mean_fertility,"
+            " round(avg(CASE WHEN bpe > 0 THEN chars / CAST(bpe AS DOUBLE) END), 6)"
+            "  AS mean_chars_per_token,"
+            " round(avg(CASE WHEN ws > 0 AND bpe / CAST(ws AS DOUBLE) >= 1.2"
+            "  THEN 1 ELSE 0 END), 6) AS high_fertility_rate,"
+            " CASE WHEN round(avg(CASE WHEN ws > 0 AND bpe / CAST(ws AS DOUBLE)"
+            "  >= 1.2 THEN 1 ELSE 0 END), 6) <= 0.25 THEN 'pass' ELSE 'fail'"
+            "  END AS verdict"
+            " FROM t GROUP BY source"
         ),
         "doc_fingerprint": (
             f"SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents"

@@ -189,6 +189,61 @@ def rare_token_rate(
     )
 
 
+def tokenizer_fertility_qa(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    fertility_gate: float = 1.5,
+    max_high_rate: float = 0.25,
+) -> DataFrame:
+    """Per-source tokenizer fertility / compression QA — the pre-tokenize
+    gate a training pipeline runs before spending GPU-scale compute on
+    tokenization: fertility (subword tokens per whitespace word) spikes
+    when the tokenizer's vocabulary mismatches the data (wrong language,
+    mojibake, code-as-prose), and chars-per-token is the compression ratio
+    that sizes storage and packing budgets. Table-scope analogue of the
+    reference's per-document numeric gates (min/max walk,
+    /root/reference/validate.go:180-260) applied to derived tokenizer
+    statistics.
+
+    Returns one row per ``group_col``: ``n_docs``, ``mean_fertility``,
+    ``mean_chars_per_token``, ``high_fertility_rate`` (share of docs at
+    ``fertility >= fertility_gate``; empty docs count as not-high), and a
+    ``verdict`` ('pass' unless the high rate exceeds ``max_high_rate``).
+    Means skip empty docs (null per-doc ratio, like SQL AVG).
+
+    Scale shape: one codegen projection computes the three per-doc counts
+    as separate columns (each evaluated once — the BPE-ish HOF gets no CSE
+    if referenced twice in one expression), then a single map-side-combined
+    groupBy on the low-cardinality source key. Nothing shuffles but the
+    partial aggregates; no skew concern at any corpus size."""
+    from jsonschema_spark.functions.text import bpe_ish_token_count, token_count
+
+    proj = df.select(
+        F.col(group_col).alias(group_col),
+        token_count(F.col(text_col)).cast("long").alias("_ws"),
+        bpe_ish_token_count(F.col(text_col)).cast("long").alias("_bpe"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+    )
+    fert = F.when(F.col("_ws") > 0, F.col("_bpe") / F.col("_ws"))
+    cpt = F.when(F.col("_bpe") > 0, F.col("_chars") / F.col("_bpe"))
+    high = F.when((F.col("_ws") > 0) & (fert >= fertility_gate), 1).otherwise(0)
+    return (
+        proj.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(fert), 6).alias("mean_fertility"),
+            F.round(F.avg(cpt), 6).alias("mean_chars_per_token"),
+            F.round(F.avg(high), 6).alias("high_fertility_rate"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("high_fertility_rate") <= max_high_rate, F.lit("pass"))
+            .otherwise(F.lit("fail")),
+        )
+    )
+
+
 def token_ngram_diversity(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -172,3 +172,35 @@ def test_token_ngram_diversity_trigram_no_collisions(spark):
     # grams doc1: "1,23,1","23,1,23"; doc2: "12,3,12","3,12,3" — distinct.
     assert rows[1]["n_distinct"] == 2
     assert rows[2]["n_distinct"] == 2
+
+
+def test_tokenizer_fertility_qa_closed_forms(spark):
+    """Hand-computable fertility/compression values, both verdict branches,
+    and the empty-doc semantics (skipped by the means, counts as not-high)."""
+    from jsonschema_spark.operators.stats import tokenizer_fertility_qa
+
+    df = spark.createDataFrame(
+        [
+            ("a", "short words here"),               # ws 3, bpe 3 -> fert 1.0
+            ("a", "extraordinarily incomprehensible"),  # ws 2, bpe 6 -> fert 3.0
+            ("b", ""),                                # empty: null ratios
+            ("b", "ok go"),                           # ws 2, bpe 2 -> fert 1.0
+        ],
+        "source string, text string",
+    )
+    rows = {
+        r.source: r
+        for r in tokenizer_fertility_qa(
+            df, fertility_gate=1.5, max_high_rate=0.4
+        ).collect()
+    }
+    a, b = rows["a"], rows["b"]
+    assert a.n_docs == 2 and b.n_docs == 2
+    # a: fertilities (1.0, 3.0); chars/bpe = 16/3 and 32/6 = 5.333333
+    assert a.mean_fertility == 2.0
+    assert a.mean_chars_per_token == pytest.approx(16 / 3, abs=1e-6)
+    assert a.high_fertility_rate == 0.5 and a.verdict == "fail"
+    # b: empty doc skipped by both means, counted not-high in the rate
+    assert b.mean_fertility == 1.0
+    assert b.mean_chars_per_token == 2.5
+    assert b.high_fertility_rate == 0.0 and b.verdict == "pass"
