@@ -194,6 +194,8 @@ def main() -> None:
         "url_dedup_groups",
         "domain_cap",
         "id_gap_audit",
+        "incremental_near_dup",
+        "tokenizer_fertility",
     ]
     qs = entry.queries()
     for name in headline:

@@ -34,6 +34,7 @@ JOB_SCRIPTS = {
     "tokenstats": "tokenstats_scaling_job.py",
     "semdedup": "semdedup_scaling_job.py",
     "winnow": "winnow_scaling_job.py",
+    "increm": "increm_scaling_job.py",
 }
 
 
