@@ -276,3 +276,94 @@ def test_streaming_sequence_structure_matches_batch(spark, tmp_path):
     assert any(ok for ok, _ in got.values()) and any(
         not ok for ok, _ in got.values()
     )
+
+
+def test_streaming_neardup_ingest_greedy_invariants(spark, tmp_path):
+    """History near-dedup ingestion over 3 interleaved micro-batches
+    (doc_id % 3 chunks, so every injected dup's source lands in a DIFFERENT
+    batch than the dup). Output must satisfy the greedy-sequential
+    invariants regardless of which file the source processes first:
+    (A) every dropped doc near-dups (token-3-gram jaccard >= 0.8) something
+    accepted in a strictly earlier batch; (B) nothing accepted near-dups
+    anything accepted strictly earlier. Then resume: a replay adds nothing,
+    and a 4th file appended to the source dedups against the full history."""
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+    from jsonschema_spark.streaming.neardup import run_neardup_ingest
+
+    n_docs = 600
+    df = token_neardup_corpus(spark, n_docs, seed=5)
+    src = tmp_path / "in"
+    for k in range(3):
+        df.filter(F.pmod("doc_id", F.lit(3)) == k).coalesce(1).write.parquet(
+            str(src / f"chunk{k}")
+        )
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, tokens array<int>")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    corpus_dir = str(tmp_path / "accepted")
+    index_dir = str(tmp_path / "bands")
+    ck = str(tmp_path / "ck")
+    stats = []
+    run_neardup_ingest(
+        stream(), corpus_dir, index_dir, ck, "doc_id", "tokens", stats,
+        threshold=0.8, elements=F.col("tokens"), shingle_sep=",",
+    )
+    assert len(stats) == 3 and sum(s["n_in"] for s in stats) == n_docs
+    assert sum(s["n_dropped"] for s in stats) > 0  # non-vacuous
+
+    rows = {r.doc_id: list(r.tokens) for r in df.collect()}
+
+    def grams(toks):
+        return {tuple(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+    g = {i: grams(t) for i, t in rows.items()}
+
+    def near(a, b):
+        u = len(g[a] | g[b])
+        return u > 0 and round(len(g[a] & g[b]) / u, 6) >= 0.8
+
+    acc = spark.read.parquet(corpus_dir).select("doc_id", "batch_id").collect()
+    batch_of = {r.doc_id: r.batch_id for r in acc}
+    # each micro-batch is one doc_id%3 chunk -> recover every doc's batch
+    chunk_batch = {r.doc_id % 3: r.batch_id for r in acc}
+    assert len(chunk_batch) == 3
+    accepted = set(batch_of)
+    for d in rows:
+        b = chunk_batch[d % 3]
+        earlier = [a for a in accepted if batch_of[a] < b]
+        if d in accepted:  # (B) nothing accepted matches earlier history
+            assert not any(near(d, a) for a in earlier), d
+        else:  # (A) every drop is justified by earlier history
+            assert any(near(d, a) for a in earlier), d
+
+    # resume with the same checkpoint: all offsets committed, no new batch
+    stats2 = []
+    run_neardup_ingest(
+        stream(), corpus_dir, index_dir, ck, "doc_id", "tokens", stats2,
+        threshold=0.8, elements=F.col("tokens"), shingle_sep=",",
+    )
+    assert stats2 == []
+    assert spark.read.parquet(corpus_dir).count() == len(accepted)
+
+    # continuation: a 4th file with one copy of accepted history (dropped)
+    # and one fresh doc (accepted)
+    some_accepted = min(accepted)
+    fresh = list(range(1000, 1080))  # ids 500+ never occur in the corpus
+    spark.createDataFrame(
+        [(9001, rows[some_accepted]), (9002, fresh)],
+        "doc_id long, tokens array<int>",
+    ).coalesce(1).write.parquet(str(src / "chunk3"))
+    stats3 = []
+    run_neardup_ingest(
+        stream(), corpus_dir, index_dir, ck, "doc_id", "tokens", stats3,
+        threshold=0.8, elements=F.col("tokens"), shingle_sep=",",
+    )
+    assert [(s["n_in"], s["n_new"], s["n_dropped"]) for s in stats3] == [(2, 1, 1)]
+    final = {r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()}
+    assert 9002 in final and 9001 not in final
