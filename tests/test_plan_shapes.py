@@ -318,3 +318,28 @@ def test_token_winnow_single_bounded_collect_shuffle(spark):
     assert "Generate" in plan  # native double-explode pair expansion
     assert "BatchEvalPython" not in plan
     assert "InMemoryTableScan" not in plan
+
+
+def test_lsh_band_index_single_arrow_kernel_stage(spark):
+    """The persistable band index is scan -> JVM shingle-hash projection ->
+    ONE MapInPandas kernel; no row-at-a-time Python and no shuffle beyond
+    the deliberate ensure_parallelism repartition guard."""
+    from jsonschema_spark.operators.dedup import lsh_band_index
+
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(lsh_band_index(df, "doc_id", "text"))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    # at most the parallelism-guard exchange; the kernel output itself is
+    # never shuffled by the index build
+    assert plan.count("Exchange") <= 1
+
+
+def test_incremental_near_dup_no_cartesian_no_row_python(spark):
+    """History near-dedup tail (candidates/verify stages sit behind lazy
+    localCheckpoints): the survivor anti-join must stay an equi-join —
+    no cartesian/nested-loop anywhere, no row-at-a-time Python."""
+    plan = _plan(entry_mod.queries()["incremental_near_dup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
