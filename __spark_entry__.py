@@ -3313,7 +3313,8 @@ def oracle_sql() -> dict[str, str]:
             "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
             "    ELSE len(list_intersect(a.g, b.g))"
             "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4) WHERE j >= 0.8),"
             " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
             "  UNION ALL SELECT id_b, id_a FROM pairs),"
             " nodes AS (SELECT DISTINCT src AS id FROM edges),"
@@ -3333,7 +3334,8 @@ def oracle_sql() -> dict[str, str]:
             "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
             "    ELSE len(list_intersect(a.g, b.g))"
             "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4) WHERE j >= 0.8),"
             " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
             "  UNION ALL SELECT id_b, id_a FROM pairs),"
             " nodes AS (SELECT DISTINCT src AS id FROM edges),"
@@ -3356,7 +3358,8 @@ def oracle_sql() -> dict[str, str]:
             "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
             "    ELSE len(list_intersect(a.g, b.g))"
             "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE j >= 0.8),"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4) WHERE j >= 0.8),"
             " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
             "  UNION ALL SELECT id_b, id_a FROM pairs),"
             " nodes AS (SELECT DISTINCT src AS id FROM edges),"
@@ -3536,7 +3539,8 @@ def oracle_sql() -> dict[str, str]:
             "   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
             "    ELSE len(list_intersect(a.g, b.g))"
             "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard"
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4)"
             " WHERE jaccard >= 0.8"
         ),
         # minhash's exact-Jaccard verification (zero false positives) plus
@@ -3552,7 +3556,8 @@ def oracle_sql() -> dict[str, str]:
             "   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
             "    ELSE len(list_intersect(a.g, b.g))"
             "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard"
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4)"
             " WHERE jaccard >= 0.8"
         ),
         "simhash_near_dup": _simhash_oracle_sql(),
@@ -3585,6 +3590,7 @@ def oracle_sql() -> dict[str, str]:
             f"   FROM read_parquet('{_token_corpus_path()}/*.parquet'))),"
             " m AS (SELECT DISTINCT b.doc_id FROM sh b JOIN sh s"
             "   ON b.is_batch AND NOT s.is_batch"
+            "   AND len(b.g) * 5 >= len(s.g) * 4 AND len(s.g) * 5 >= len(b.g) * 4"
             "  WHERE round(CASE WHEN len(list_distinct(b.g || s.g)) = 0 THEN 0.0"
             "   ELSE len(list_intersect(b.g, s.g))"
             "    / CAST(len(list_distinct(b.g || s.g)) AS DOUBLE) END, 6) >= 0.8)"
@@ -3603,7 +3609,8 @@ def oracle_sql() -> dict[str, str]:
             "   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
             "    ELSE len(list_intersect(a.g, b.g))"
             "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS jaccard"
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4)"
             " WHERE jaccard >= 0.8"
         ),
         "ann_topk": _ann_oracle_sql(),
@@ -4408,7 +4415,8 @@ def oracle_sql() -> dict[str, str]:
             "    ELSE len(list_intersect(a.g, b.g))"
             "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6)"
             "    AS jaccard"
-            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4)"
             "  WHERE jaccard >= 0.8),"
             " sp AS (SELECT doc_id,"
             "   CASE WHEN hb < 8000 THEN 'train' WHEN hb < 9000 THEN 'val'"
