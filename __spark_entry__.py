@@ -844,6 +844,26 @@ def q_embedding_topk_kernel(spark, sf_dir):
     return cosine_topk_kernel(df, "embedding", _vec0(spark, sf_dir), 10)
 
 
+def q_incremental_embedding_dedup(spark, sf_dir):
+    """Continuous-ingestion embedding near-dedup (the embedding twin of
+    incremental_near_dup): the embeddings table split into an incoming
+    batch (vec_id % 4 == 0) and a 'seen' snapshot (the rest — at scale, a
+    persisted (id, bucket) sign-LSH index). Returns the verified matches
+    (id_new, id_seen, cosine >= 0.3) — blocking recall is the seeded
+    sign-LSH collision curve, replayed exactly by the DuckDB oracle (same
+    plane literals), so the output is deterministic and oracle-checkable;
+    6 planes keep the blocked candidate set non-vacuous at this scale (25
+    verified matches at sf0.01)."""
+    from jsonschema_spark.operators.similarity import incremental_embedding_matches
+
+    df = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), F.lit(4)) == 0
+    return incremental_embedding_matches(
+        df.filter(is_batch), df.filter(~is_batch),
+        threshold=0.3, n_planes=6, seed=13,
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Exact pairwise embedding cosine pairs >= 0.3 (oracle baseline for
     the LSH-blocked variant, which is rows-only). Pair-dense, so the
@@ -2310,6 +2330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
+        "incremental_embedding_dedup": q_incremental_embedding_dedup,
         "token_winnow_dups": q_token_winnow_dups,
         "image_ahash_near_dup": q_image_ahash_near_dup,
         "image_ahash_groups": q_image_ahash_groups,
@@ -2545,6 +2566,35 @@ def _simhash_oracle_sql() -> str:
 
 def _vec_lit(vec) -> str:
     return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+
+def _incremental_embedding_oracle_sql(
+    dim: int = 64, n_planes: int = 6, seed: int = 13, threshold: float = 0.3
+) -> str:
+    """DuckDB replay of the incremental embedding near-dedup: the seeded
+    sign-LSH planes as literals (same machinery as _ann_oracle_sql), the
+    batch/snapshot split on vec_id % 4, same-bucket blocking, exact cosine
+    verify — bit-for-bit the operator's blocked-and-verified semantics."""
+    from jsonschema_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim, n_planes, seed)
+    terms = [
+        f"(CASE WHEN list_dot_product(v, {_vec_lit(p)}) >= 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    bucket = "(" + " + ".join(terms) + ")"
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        "   FROM embeddings),"
+        f" b AS (SELECT vec_id, {bucket} AS bucket, v FROM e)"
+        " SELECT id_new, id_seen, score FROM ("
+        "  SELECT a.vec_id AS id_new, s.vec_id AS id_seen,"
+        "   round(list_cosine_similarity(a.v, s.v), 6) AS score"
+        "  FROM b a JOIN b s ON a.bucket = s.bucket"
+        "   AND a.vec_id % 4 = 0 AND s.vec_id % 4 <> 0)"
+        f" WHERE score >= {threshold}"
+    )
 
 
 def _ann_oracle_sql(dim: int = 64, n_planes: int = 8, seed: int = 13, k: int = 10) -> str:
@@ -3688,6 +3738,7 @@ def oracle_sql() -> dict[str, str]:
             " ), 6) AS score"
             " FROM embeddings ORDER BY score DESC, vec_id LIMIT 10"
         ),
+        "incremental_embedding_dedup": _incremental_embedding_oracle_sql(),
         "embedding_near_dup": (
             "SELECT id_a, id_b, score FROM ("
             " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"

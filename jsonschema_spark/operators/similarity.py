@@ -306,6 +306,118 @@ def _make_pair_cosine_kernel():
     return _pc
 
 
+def embedding_bucket_index(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 13,
+) -> DataFrame:
+    """The persistable sign-LSH bucket index ``(id, b)`` — the embedding
+    twin of ``dedup.lsh_band_index``: a 100-TB deployment writes it once
+    (bucketed by ``b``) and hands it to ``incremental_embedding_matches``
+    as ``snapshot_buckets`` so each ingestion batch joins the index instead
+    of re-hashing the seen corpus. The same ``(n_planes, seed)`` MUST be
+    used for index and batches (different planes = disjoint bucket spaces,
+    silently zero candidates)."""
+    planes = hyperplanes(_dim_of(df, vec_col), n_planes, seed)
+    return df.select(
+        F.col(id_col).alias("id"), lsh_bucket(F.col(vec_col), planes).alias("b")
+    )
+
+
+def incremental_embedding_matches(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_planes: int = 12,
+    seed: int = 13,
+    decimals: int = 6,
+    snapshot_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Continuous-ingestion embedding near-dup detection (the embedding
+    twin of ``dedup.incremental_minhash_matches``): LSH-blocked candidate
+    pairs of an incoming ``batch`` against the ``snapshot`` bucket index,
+    verified with exact cosine — ``(id_new, id_seen, score)`` rows at
+    ``score >= threshold``. Blocking recall follows the sign-LSH collision
+    curve ``(1 - theta/pi)^n_planes`` (deterministic given the seed, so a
+    SQL oracle can replay it exactly); precision is exact.
+
+    Scale shape: batch buckets are a scan-stage expression (no Python);
+    the candidate join is an equi-join on the single bucket int (one row
+    per doc — no multi-band fan-out, no distinct needed); exact verify
+    broadcast-semi-joins both corpora down to candidate ids before any
+    vectors move, and the pairwise cosine runs in the Arrow einsum kernel
+    (no interpreted per-pair HOF fold). No driver state."""
+    planes = hyperplanes(_dim_of(batch, vec_col), n_planes, seed)
+    bb = batch.select(
+        F.col(id_col).alias("id_new"),
+        lsh_bucket(F.col(vec_col), planes).alias("b"),
+    )
+    if snapshot_buckets is None:
+        snapshot_buckets = embedding_bucket_index(
+            snapshot, vec_col, id_col, n_planes, seed
+        )
+    # traversed three times below (two id projections + the pair spine)
+    cands = (
+        bb.join(snapshot_buckets.withColumnRenamed("id", "id_seen"), "b")
+        .select("id_new", "id_seen")
+        .localCheckpoint(eager=False)
+    )
+    new_ids = cands.select(F.col("id_new").alias("_i")).distinct()
+    seen_ids = cands.select(F.col("id_seen").alias("_i")).distinct()
+    newv = (
+        batch.join(F.broadcast(new_ids), batch[id_col] == new_ids["_i"], "left_semi")
+        .select(F.col(id_col).alias("id_new"), F.col(vec_col).alias("v_new"))
+    )
+    seenv = (
+        snapshot.join(
+            F.broadcast(seen_ids), snapshot[id_col] == seen_ids["_i"], "left_semi"
+        )
+        .select(F.col(id_col).alias("id_seen"), F.col(vec_col).alias("v_seen"))
+    )
+    kernel = _make_pair_cosine_kernel()
+    return (
+        cands.join(newv, "id_new")
+        .join(seenv, "id_seen")
+        .select(
+            "id_new",
+            "id_seen",
+            F.round(kernel(F.col("v_new"), F.col("v_seen")), decimals).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def incremental_embedding_new_docs(
+    batch: DataFrame,
+    snapshot: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.99,
+    n_planes: int = 12,
+    seed: int = 13,
+    snapshot_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Surviving ``batch`` rows (no blocked-and-verified snapshot match at
+    ``score >= threshold``); append their ``embedding_bucket_index`` rows
+    to the snapshot index — same checkpoint contract as the MinHash twin."""
+    matches = incremental_embedding_matches(
+        batch,
+        snapshot,
+        vec_col,
+        id_col,
+        threshold,
+        n_planes,
+        seed,
+        snapshot_buckets=snapshot_buckets,
+    )
+    dup_ids = matches.select(F.col("id_new").alias(id_col)).distinct()
+    return batch.join(dup_ids, on=id_col, how="left_anti")
+
+
 def _pair_cosine(va: Column, vb: Column) -> Column:
     d = F.aggregate(
         F.zip_with(va, vb, lambda x, y: x.cast("double") * y),

@@ -1225,3 +1225,60 @@ def test_incremental_minhash_matches_differential(spark):
         elements=F.col("tokens"), shingle_sep=",", snapshot_bands=idx,
     )
     assert {r.doc_id for r in out2.select("doc_id").collect()} == expect_survivors
+
+
+def test_incremental_embedding_matches_differential(spark, embeddings):
+    """Blocked-and-verified history matches equal the numpy replay of the
+    same seeded planes (same-bucket AND exact cosine >= t, cross-split
+    only), identically through the persisted-index path; survivors are the
+    batch minus matched ids."""
+    import numpy as np
+    from jsonschema_spark.operators.similarity import (
+        embedding_bucket_index,
+        hyperplanes,
+        incremental_embedding_matches,
+        incremental_embedding_new_docs,
+    )
+
+    rows = sorted(
+        (r.vec_id, list(r.embedding))
+        for r in embeddings.select("vec_id", "embedding").collect()
+    )
+    ids = np.array([r[0] for r in rows])
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    planes = hyperplanes(V.shape[1], 6, 13)
+    b = ((V @ planes.T) >= 0) @ (1 << np.arange(6))
+    S = (V / np.linalg.norm(V, axis=1, keepdims=True)) @ (
+        V / np.linalg.norm(V, axis=1, keepdims=True)
+    ).T
+    isb = ids % 4 == 0
+    expected = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        if isb[i]
+        for j in range(len(ids))
+        if not isb[j] and b[i] == b[j] and round(S[i, j], 6) >= 0.3
+    }
+    assert expected  # split + planes chosen non-vacuous
+
+    df = embeddings.select("vec_id", "embedding")
+    batch = df.filter(F.pmod("vec_id", F.lit(4)) == 0)
+    snap = df.filter(F.pmod("vec_id", F.lit(4)) != 0)
+    got = incremental_embedding_matches(
+        batch, snap, threshold=0.3, n_planes=6, seed=13
+    )
+    assert {(r.id_new, r.id_seen) for r in got.collect()} == expected
+
+    idx = embedding_bucket_index(snap, n_planes=6, seed=13)
+    got2 = incremental_embedding_matches(
+        batch, snap, threshold=0.3, n_planes=6, seed=13, snapshot_buckets=idx
+    )
+    assert {(r.id_new, r.id_seen) for r in got2.collect()} == expected
+
+    surv = incremental_embedding_new_docs(
+        batch, snap, threshold=0.3, n_planes=6, seed=13
+    )
+    matched = {a for a, _ in expected}
+    assert {r.vec_id for r in surv.select("vec_id").collect()} == (
+        {int(i) for i in ids[isb]} - matched
+    )
