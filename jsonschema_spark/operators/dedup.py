@@ -210,11 +210,18 @@ def near_dup_pairs_exact(
         shingles = word_shingles(F.col(text_col), n)
     sh = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), shingles.alias("sh")
-    )
+    ).withColumn("sz", F.size("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
+    # exact shrink of the quadratic: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    # so J >= t requires the set sizes within ratio t — a join-condition
+    # bound that drops most pairs before the set ops run (the same bound
+    # the DuckDB oracle twins carry; provably lossless for |set| < ~1/(5e-7 t))
+    size_ok = (F.col("a.sz") >= threshold * F.col("b.sz")) & (
+        F.col("b.sz") >= threshold * F.col("a.sz")
+    )
     return (
-        a.join(b, F.col("a.id") < F.col("b.id"))
+        a.join(b, (F.col("a.id") < F.col("b.id")) & size_ok)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
