@@ -573,6 +573,27 @@ def lsh_band_index(
     return _band_rows(ensure_parallelism(df), id_col, elements, n, num_hashes, bands)
 
 
+def write_band_index_bucketed(
+    index: DataFrame, table: str, num_buckets: int = 64
+) -> None:
+    """Persist an ``lsh_band_index`` result as a parquet table BUCKETED AND
+    SORTED on ``(band, h)`` — the co-located-join layout for the history
+    dedup at scale: every ingestion batch's candidate join then shuffles
+    ONLY the (tiny) batch band rows into ``num_buckets`` partitions while
+    the 10^12-row index side is read bucket-aligned with no Exchange and no
+    re-sort (Spark's bucketed SMJ; ``spark.sql.sources.bucketing.enabled``
+    is on by default). Size ``num_buckets`` so one bucket's band rows fit
+    an executor core (~index rows / num_buckets); appends of survivor bands
+    use ``mode('append')`` with the SAME bucket spec."""
+    (
+        index.write.mode("overwrite")
+        .bucketBy(num_buckets, "band", "h")
+        .sortBy("band", "h")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def incremental_minhash_matches(
     batch: DataFrame,
     snapshot: DataFrame,

@@ -343,3 +343,46 @@ def test_incremental_near_dup_no_cartesian_no_row_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_band_index_bucketed_join_shuffles_only_the_batch(spark):
+    """The 100-TB history-dedup join shape: with the band index persisted
+    via write_band_index_bucketed, the candidate join is a SortMergeJoin
+    whose ONLY Exchange is the (tiny) batch side hashed into the bucket
+    count — the index FileScan is bucket-aligned (Bucketed: true), never
+    shuffled, never re-sorted."""
+    from jsonschema_spark.operators.dedup import (
+        lsh_band_index,
+        write_band_index_bucketed,
+    )
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    df = token_neardup_corpus(spark, 500, seed=5)
+    snap = df.filter(F.pmod("doc_id", F.lit(13)) != 0)
+    batch = df.filter(F.pmod("doc_id", F.lit(13)) == 0)
+    idx = lsh_band_index(snap, "doc_id", "tokens", elements=F.col("tokens"))
+    table = "t_plan_band_index"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        write_band_index_bucketed(idx, table, num_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        bidx = spark.table(table).alias("sb")
+        bb = lsh_band_index(
+            batch, "doc_id", "tokens", elements=F.col("tokens")
+        ).alias("nb")
+        j = bb.join(
+            bidx,
+            (F.col("nb.band") == F.col("sb.band"))
+            & (F.col("nb.h") == F.col("sb.h")),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan
+        assert plan.count("Exchange") == 1  # batch side only
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
