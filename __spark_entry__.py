@@ -1431,6 +1431,30 @@ def q_longest_shared_run(spark, sf_dir):
     return longest_shared_run(df, "doc_id", "text", n=13, max_doc_freq=50)
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring dedup, span form (Lee et al. 2022 ExactSubstr):
+    maximal 1-based token intervals covered by 13-grams occurring >= 2x
+    corpus-wide, with each gram's globally-first occurrence exempted
+    (keep_first=True) so cutting the returned spans leaves exactly one
+    copy of every duplicated substring. The actionable complement of
+    shared_ngram_pairs (pairs) and longest_shared_run (lengths)."""
+    from jsonschema_spark.operators.dedup import dup_spans
+
+    df = _t(spark, sf_dir, "documents")
+    return dup_spans(df, "doc_id", "text", n=13, keep_first=True)
+
+
+def q_dup_span_stats(spark, sf_dir):
+    """Per-document corpus-repetition scorecard: fraction of each doc's
+    tokens inside duplicated (>= 2 occurrences corpus-wide, all
+    occurrences marked) 13-gram spans — near 1.0 means the document
+    exists elsewhere wholesale; small fractions mean cut, don't drop."""
+    from jsonschema_spark.operators.dedup import dup_span_stats
+
+    df = _t(spark, sf_dir, "documents")
+    return dup_span_stats(df, "doc_id", "text", n=13)
+
+
 def q_source_mix(spark, sf_dir):
     """Deterministic source re-mixing: the exact membership of a
     50/30/20 src0/src1/src2 mixture at the largest total the corpus can
@@ -2395,6 +2419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "shared_ngram_pairs": q_shared_ngram_pairs,
         "longest_shared_run": q_longest_shared_run,
+        "dup_spans": q_dup_spans,
+        "dup_span_stats": q_dup_span_stats,
         "diverse_sample": q_diverse_sample,
         "ngram_novelty": q_ngram_novelty,
         "infer_spec": q_infer_spec,
@@ -3993,6 +4019,69 @@ def oracle_sql() -> dict[str, str]:
             "   GROUP BY id_a, id_b, diag, i - rn)"
             " SELECT id_a, id_b, CAST(max(chain) + 12 AS BIGINT) AS run_tokens"
             " FROM chains GROUP BY id_a, id_b"
+        ),
+        "dup_spans": (
+            # positional 13-gram hashes (portable_hash60 identity); grams
+            # occurring >= 2x corpus-wide mark positions, each gram's
+            # globally-first occurrence (by doc_id, pos) exempted
+            # (keep_first=True); gaps-and-islands merge into maximal spans
+            "WITH d AS (SELECT doc_id, " + _WS + " AS ws FROM documents),"
+            " g AS (SELECT doc_id, pg.s AS s, pg.g AS g FROM ("
+            "   SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, greatest(len(ws)-12, 0)),"
+            "    i -> {'s': i, 'g': "
+            + _hex60("array_to_string(ws[i:i+12], ' ')")
+            + "})) AS pg FROM d)),"
+            " r AS (SELECT doc_id, s,"
+            "    count(*) OVER (PARTITION BY g) AS occ,"
+            "    row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn"
+            "   FROM g),"
+            " hits AS (SELECT doc_id, s, s + 12 AS e FROM r"
+            "   WHERE occ >= 2 AND rn > 1),"
+            " pe AS (SELECT doc_id, s, e,"
+            "    max(e) OVER (PARTITION BY doc_id ORDER BY s"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e"
+            "   FROM hits),"
+            " isl AS (SELECT doc_id, s, e,"
+            "    sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1"
+            "      THEN 1 ELSE 0 END)"
+            "      OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM pe)"
+            " SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,"
+            "  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len"
+            " FROM isl GROUP BY doc_id, isl"
+        ),
+        "dup_span_stats": (
+            # same positional machinery, keep_first=False (every occurrence
+            # marked); spans aggregate to a per-doc repetition scorecard
+            "WITH d AS (SELECT doc_id, " + _WS + " AS ws FROM documents),"
+            " g AS (SELECT doc_id, pg.s AS s, pg.g AS g FROM ("
+            "   SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, greatest(len(ws)-12, 0)),"
+            "    i -> {'s': i, 'g': "
+            + _hex60("array_to_string(ws[i:i+12], ' ')")
+            + "})) AS pg FROM d)),"
+            " r AS (SELECT doc_id, s,"
+            "    count(*) OVER (PARTITION BY g) AS occ FROM g),"
+            " hits AS (SELECT doc_id, s, s + 12 AS e FROM r WHERE occ >= 2),"
+            " pe AS (SELECT doc_id, s, e,"
+            "    max(e) OVER (PARTITION BY doc_id ORDER BY s"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e"
+            "   FROM hits),"
+            " isl AS (SELECT doc_id, s, e,"
+            "    sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1"
+            "      THEN 1 ELSE 0 END)"
+            "      OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM pe),"
+            " sp AS (SELECT doc_id, max(e) - min(s) + 1 AS sl"
+            "   FROM isl GROUP BY doc_id, isl),"
+            " agg AS (SELECT doc_id, count(*) AS n_spans,"
+            "   sum(sl) AS dup_tokens FROM sp GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,"
+            "  CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,"
+            "  CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,"
+            "  round(CASE WHEN len(d.ws) <= 0 THEN CAST(0.0 AS DOUBLE)"
+            "   ELSE coalesce(a.dup_tokens, 0) / CAST(len(d.ws) AS DOUBLE)"
+            "   END, 6) AS dup_fraction"
+            " FROM d LEFT JOIN agg a USING (doc_id)"
         ),
         "source_mix": (
             "WITH counts AS (SELECT source, count(*) AS cnt FROM documents"

@@ -1233,6 +1233,157 @@ def ngram_novelty(
     )
 
 
+def dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
+    keep_first: bool = False,
+    portable: bool = True,
+) -> DataFrame:
+    """(id, span_start, span_len): maximal 1-based token intervals of each
+    document covered by word n-grams that occur at least TWICE in the
+    corpus — across documents or repeated within one. This is the span
+    form of exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr policy):
+    where ``shared_ngram_pairs`` says which PAIRS overlap and
+    ``longest_shared_run`` says how much, this says WHERE — the actionable
+    output is a cut/mask list per document, so a pipeline can drop the
+    duplicated tokens (or zero their loss) instead of dropping whole
+    documents. The reference validator has no corpus-level notion; per
+    SURVEY.md §2.3 this extends validation to table scale.
+
+    ``keep_first=True`` exempts each gram's globally-first occurrence
+    (min over (id, position)) from marking, so one copy of every
+    duplicated substring survives a cut at the returned spans — the
+    keep-one dedup policy. False (default) marks every occurrence — the
+    audit/validation view ("how much of this corpus is repeated text").
+
+    Scale shape: positions explode ONCE (O(total tokens) rows, no pair
+    join anywhere — boilerplate grams mark positions linearly, so unlike
+    the pair operators this needs NO doc-frequency ceiling); gram
+    occurrence counts and first-occurrence structs come from one
+    map-side-combined aggregate on a uniform hash key; the dup-gram set
+    joins back onto the positional rows (AQE broadcasts it when small);
+    interval merging is a gaps-and-islands window partitioned by doc —
+    per-partition work is one document's hit list, never the corpus.
+    ``portable=True`` keys grams by ``portable_hash60`` (md5-derived) so
+    the DuckDB oracle replays the identity bit-exactly; False switches to
+    xxhash64 for the fast path at scale."""
+    from pyspark.sql.window import Window
+
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    hash_fn = portable_hash60 if portable else F.xxhash64
+    pos = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.transform(
+                    _raw_grams(elements, n, shingle_sep), lambda g: hash_fn(g)
+                )
+            ).alias("_p0", "g"),
+        )
+        .select("id", (F.col("_p0") + 1).cast("long").alias("s"), "g")
+        .localCheckpoint(eager=False)
+    )
+    dup = pos.groupBy("g").agg(
+        F.count(F.lit(1)).alias("_occ"),
+        F.min(F.struct("id", "s")).alias("_first"),
+    ).filter(F.col("_occ") >= 2)
+    hits = pos.join(dup, "g")
+    if keep_first:
+        hits = hits.filter(
+            ~(
+                (F.col("id") == F.col("_first.id"))
+                & (F.col("s") == F.col("_first.s"))
+            )
+        )
+    spans = hits.select("id", "s", (F.col("s") + F.lit(n - 1)).alias("e"))
+    w = Window.partitionBy("id").orderBy("s")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.select(
+        "id",
+        "s",
+        "e",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end + 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    islands = flagged.select(
+        "id",
+        "s",
+        "e",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("_end"))
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            (F.col("_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
+    keep_first: bool = False,
+    decimals: int = 6,
+) -> DataFrame:
+    """(id, n_tok, n_spans, dup_tokens, dup_fraction): per-document share
+    of tokens lying inside ``dup_spans`` intervals — the corpus-repetition
+    scorecard a dedup decision reads (a dup_fraction near 1.0 means the
+    whole document exists elsewhere; a small fraction means cut the spans
+    and keep the rest). Every document reports a row (no-hit docs report
+    0 spans / 0.0), so the output is a total per-doc verdict column like
+    the other quality scores.
+
+    Scale shape: inherits ``dup_spans`` (one explode, one agg, one join,
+    per-doc windows), then one groupBy(id) over span rows (~spans/doc)
+    and a join back to one row per document."""
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    spans = dup_spans(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        elements=elements,
+        shingle_sep=shingle_sep,
+        keep_first=keep_first,
+    )
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("span_len").alias("dup_tokens"),
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.size(elements).cast("long").alias("n_tok")
+    )
+    return base.join(agg, id_col, "left").select(
+        id_col,
+        "n_tok",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.when(F.col("n_tok") <= 0, F.lit(0.0)).otherwise(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.col("n_tok").cast("double")
+            ),
+            decimals,
+        ).alias("dup_fraction"),
+    )
+
+
 # --------------------------------------------------------------------------
 # fixed-width chunk dedup (paragraph-dedup semantics for unstructured text)
 # --------------------------------------------------------------------------

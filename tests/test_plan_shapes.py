@@ -386,3 +386,23 @@ def test_band_index_bucketed_join_shuffles_only_the_batch(spark):
         if old_aqe is not None:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_dup_spans_linear_no_pair_join(spark):
+    """Exact-substring span extraction is LINEAR in the corpus: positions
+    explode once and join back to the dup-gram set exactly once — no pair
+    self-join anywhere (boilerplate grams mark positions, they never pair),
+    no row-at-a-time Python, no collect_set; interval merging is a window
+    partitioned by doc."""
+    plan = _plan(entry_mod.queries()["dup_spans"](spark, SF_DIR))
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("CartesianProduct")
+        + plan.count("BroadcastNestedLoopJoin")
+    )
+    assert joins == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert "collect_set" not in plan and "collect_list" not in plan
+    assert "Window" in plan

@@ -757,6 +757,88 @@ def test_longest_shared_run_matches_dp(spark):
     assert got == expect
 
 
+def test_dup_spans_matches_bruteforce(spark):
+    """Span rows equal a brute-force per-position gram-count oracle (both
+    keep_first policies), and dup_span_stats aggregates them exactly —
+    including the internal-repeat, adjacency-merge, and no-hit cases."""
+    from jsonschema_spark.operators.dedup import dup_span_stats, dup_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),          # run a..f shared with 2; full dup of 5
+        (2, "a b c d e f x y z w"),
+        (3, "p q r s t u v p q r s t u v"),  # internal repeat (adjacent merge)
+        (4, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9"),  # nothing shared
+        (5, "a b c d e f g h i j"),          # exact dup of 1
+    ]
+    n = 3
+
+    def brute(keep_first):
+        from collections import defaultdict
+
+        occ = defaultdict(list)  # gram -> [(doc, pos1based)]
+        toks = {d: t.split() for d, t in rows}
+        for d, ws in sorted(toks.items()):
+            for i in range(len(ws) - n + 1):
+                occ[tuple(ws[i : i + n])].append((d, i + 1))
+        marks = defaultdict(set)  # doc -> covered token positions
+        for places in occ.values():
+            if len(places) < 2:
+                continue
+            skip = min(places) if keep_first else None
+            for p in places:
+                if p == skip:
+                    continue
+                marks[p[0]].update(range(p[1], p[1] + n))
+        spans = []
+        for d, cov in marks.items():
+            run = sorted(cov)
+            start = prev = run[0]
+            for x in run[1:]:
+                if x > prev + 1:
+                    spans.append((d, start, prev - start + 1))
+                    start = x
+                prev = x
+            spans.append((d, start, prev - start + 1))
+        return sorted(spans)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for keep_first in (False, True):
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_len)
+            for r in dup_spans(
+                df, "doc_id", "text", n=n, keep_first=keep_first
+            ).collect()
+        )
+        assert got == brute(keep_first), f"keep_first={keep_first}"
+
+    # xxhash64 fast path agrees with the portable identity
+    fast = sorted(
+        (r.doc_id, r.span_start, r.span_len)
+        for r in dup_spans(df, "doc_id", "text", n=n, portable=False).collect()
+    )
+    assert fast == brute(False)
+
+    # stats: every doc reports; fractions follow the span totals
+    stats = {
+        r.doc_id: (r.n_tok, r.n_spans, r.dup_tokens, r.dup_fraction)
+        for r in dup_span_stats(df, "doc_id", "text", n=n).collect()
+    }
+    by_doc = {}
+    for d, s, ln in brute(False):
+        t, k = by_doc.get(d, (0, 0))
+        by_doc[d] = (t + ln, k + 1)
+    for d, t in rows:
+        n_tok = len(t.split())
+        dup_toks, n_spans = by_doc.get(d, (0, 0))
+        assert stats[d] == (
+            n_tok,
+            n_spans,
+            dup_toks,
+            round(dup_toks / n_tok, 6),
+        )
+    assert stats[4] == (10, 0, 0, 0.0)
+
+
 # --------------------------------------------------------------------------
 # gopher quality / chunk dedup / semantic decontamination (round 3)
 # --------------------------------------------------------------------------
