@@ -1468,6 +1468,17 @@ def q_source_mix(spark, sf_dir):
     ).select("doc_id", "source")
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global training order: each document's 1-based
+    position under the seed-7 content-addressed shuffle — computed with
+    NO global sort (order-preserving hash buckets + per-bucket
+    row_number), reproducible on any partitioning or engine."""
+    from jsonschema_spark.operators.sampling import global_shuffle_order
+
+    df = _t(spark, sf_dir, "documents")
+    return global_shuffle_order(df, "doc_id", seed=7, num_buckets=64)
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic A-ES weighted sample: 50 documents drawn with
     probability proportional to n_chars via content-addressed keys
@@ -2425,6 +2436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": q_ngram_novelty,
         "infer_spec": q_infer_spec,
         "weighted_sample": q_weighted_sample,
+        "global_shuffle": q_global_shuffle,
         "windowed_drift": q_windowed_drift,
     # r3-late additions, rotated into the 50-entry driver gate window.
     # Displaced to make room (all green in r01 AND r02, still sweep- and
@@ -4135,6 +4147,16 @@ def oracle_sql() -> dict[str, str]:
             "    1.0 / CAST(n_chars AS DOUBLE)) AS k"
             "  FROM documents WHERE n_chars > 0)"
             " ORDER BY k DESC, doc_id LIMIT 50"
+        ),
+        "global_shuffle": (
+            # seed-7 content-addressed order; the oracle's global sort IS
+            # the semantics the engine reproduces with bucket offsets +
+            # per-bucket rank (no global sort on the Spark side)
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY h, doc_id)"
+            "  AS BIGINT) AS shuffle_pos FROM ("
+            " SELECT doc_id, "
+            + _hex60("concat('7:', CAST(doc_id AS VARCHAR))")
+            + " AS h FROM documents)"
         ),
         "windowed_drift": (
             "WITH c AS (SELECT"

@@ -367,3 +367,63 @@ def unimax_alloc(
         quota.alias("quota"),
         F.round(quota / F.col("n_docs"), decimals).alias("epochs"),
     )
+
+
+def global_shuffle_order(
+    df: DataFrame,
+    id_col: str,
+    seed: int = 0,
+    num_buckets: int = 1024,
+) -> DataFrame:
+    """(id, shuffle_pos): a deterministic global training order —
+    ``shuffle_pos`` is each row's 1-based position when the corpus is
+    sorted by ``portable_hash60(seed ':' id)`` (id as tiebreak). The
+    epoch-shuffle a trainer needs: content-addressed like every sampler
+    here (reproducible on any partitioning / cluster size / engine — a
+    new ``seed`` per epoch gives an independent order), unlike
+    ``df.orderBy(rand())`` whose sample is partition-layout-dependent.
+
+    Scale shape: NO global sort and NO single-partition window. Two-phase
+    rank: the hash's top bits form ``num_buckets`` ORDER-PRESERVING
+    buckets (bucket = hash >> shift is monotone in hash); one map-side-
+    combined count per bucket (≤ num_buckets rows to the driver) turns
+    into cumulative offsets joined back broadcast; row_number then runs
+    per bucket — every window partition holds ~n/num_buckets rows, so
+    pick num_buckets ≈ corpus_rows / 10^7 at scale (the uniform hash
+    makes buckets even; no salting needed). Writing the corpus in this
+    order is then ``repartitionByRange(shuffle_pos)`` +
+    ``sortWithinPartitions`` — also global-sort-free.
+    """
+    if num_buckets & (num_buckets - 1):
+        raise ValueError("num_buckets must be a power of two")
+    shift = 60 - (num_buckets.bit_length() - 1)
+    from jsonschema_spark.operators.dedup import ensure_parallelism
+
+    base = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            portable_hash60(
+                F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+            ).alias("_h"),
+        )
+        .select("id", "_h", F.shiftright("_h", shift).alias("_b"))
+        .localCheckpoint(eager=False)
+    )
+    counts = base.groupBy("_b").agg(F.count(F.lit(1)).alias("_n")).collect()
+    acc = 0
+    offsets = []
+    for r in sorted(counts, key=lambda r: r["_b"]):
+        offsets.append((r["_b"], acc))
+        acc += r["_n"]
+    off = df.sparkSession.createDataFrame(offsets, "_b long, _off long")
+    w = Window.partitionBy("_b").orderBy("_h", "id")
+    return (
+        base.join(F.broadcast(off), "_b")
+        .select(
+            F.col("id").alias(id_col),
+            (F.col("_off") + F.row_number().over(w)).cast("long").alias(
+                "shuffle_pos"
+            ),
+        )
+    )

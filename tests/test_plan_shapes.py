@@ -406,3 +406,16 @@ def test_dup_spans_linear_no_pair_join(spark):
     assert "BatchEvalPython" not in plan
     assert "collect_set" not in plan and "collect_list" not in plan
     assert "Window" in plan
+
+
+def test_global_shuffle_no_global_sort(spark):
+    """The training-order shuffle never funnels the corpus through one
+    partition: no SinglePartition exchange, no range-partitioned global
+    sort — rank is a window per hash bucket plus a broadcast offset
+    join."""
+    plan = _plan(entry_mod.queries()["global_shuffle"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan

@@ -1364,3 +1364,48 @@ def test_incremental_embedding_matches_differential(spark, embeddings):
     assert {r.vec_id for r in surv.select("vec_id").collect()} == (
         {int(i) for i in ids[isb]} - matched
     )
+
+
+def test_global_shuffle_order_matches_hash_sort(spark):
+    """shuffle_pos is the exact 1-based rank under md5-hash order (Python
+    oracle), dense over 1..N, invariant to input partitioning, and a new
+    seed produces a different permutation."""
+    import hashlib
+
+    from jsonschema_spark.operators.sampling import global_shuffle_order
+
+    n = 300
+    df = spark.range(0, n).selectExpr("id AS doc_id")
+
+    def expect(seed):
+        def h60(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        order = sorted(range(n), key=lambda i: (h60(f"{seed}:{i}"), i))
+        return {d: p + 1 for p, d in enumerate(order)}
+
+    got = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle_order(df, "doc_id", seed=7, num_buckets=16).collect()
+    }
+    assert got == expect(7)
+    assert sorted(got.values()) == list(range(1, n + 1))  # dense, no gaps
+
+    repart = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle_order(
+            df.repartition(11), "doc_id", seed=7, num_buckets=8
+        ).collect()
+    }
+    assert repart == got  # partitioning- and bucket-count-invariant
+
+    other = {
+        r.doc_id: r.shuffle_pos
+        for r in global_shuffle_order(df, "doc_id", seed=8, num_buckets=16).collect()
+    }
+    assert other == expect(8) and other != got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        global_shuffle_order(df, "doc_id", num_buckets=100)
