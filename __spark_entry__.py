@@ -977,6 +977,20 @@ def q_leakage_safe_split(spark, sf_dir):
     return leakage_safe_split(df, "doc_id", _minhash_pairs(spark, sf_dir))
 
 
+def q_quality_survivors(spark, sf_dir):
+    """Quality-aware canonical selection: per near-dup cluster, keep the
+    highest-n_chars member (ties -> min id) instead of the min id — the
+    keep-the-best-capture policy. Returns the (component, keep_id,
+    n_docs) survivor map; oracle replays the recursive-CTE closure plus
+    the identical rank."""
+    from jsonschema_spark.operators.components import quality_survivor_map
+
+    df = _t(spark, sf_dir, "documents")
+    return quality_survivor_map(
+        df, "doc_id", _minhash_pairs(spark, sf_dir), "n_chars"
+    )
+
+
 def q_near_dedup_count(spark, sf_dir):
     """Keep-one-per-cluster near-dedup: corpus size before/after dropping
     every doc whose cluster representative (min id) is another doc."""
@@ -2515,6 +2529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_components": q_dup_components,
         "leakage_safe_split": q_leakage_safe_split,
         "near_dedup_count": q_near_dedup_count,
+        "quality_survivors": q_quality_survivors,
         "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
         "token_entropy": q_token_entropy,
@@ -3411,6 +3426,37 @@ def oracle_sql() -> dict[str, str]:
             "  UNION"
             "  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id)"
             " SELECT id, min(r) AS component FROM reach GROUP BY id"
+        ),
+        "quality_survivors": (
+            # same recursive-CTE closure as dup_components, then keep the
+            # highest-n_chars member per component (ties -> min id)
+            "WITH RECURSIVE sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " pairs AS (SELECT id_a, id_b FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4) WHERE j >= 0.8),"
+            " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION ALL SELECT id_b, id_a FROM pairs),"
+            " nodes AS (SELECT DISTINCT src AS id FROM edges),"
+            " reach(id, r) AS ("
+            "  SELECT id, id FROM nodes"
+            "  UNION"
+            "  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id),"
+            " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)"
+            " SELECT component, keep_id, n_docs FROM ("
+            "  SELECT c.component, c.id AS keep_id,"
+            "   CAST(count(*) OVER (PARTITION BY c.component) AS BIGINT)"
+            "    AS n_docs,"
+            "   row_number() OVER (PARTITION BY c.component"
+            "    ORDER BY d.n_chars DESC, c.id ASC) AS rn"
+            "  FROM comp c JOIN documents d ON d.doc_id = c.id)"
+            " WHERE rn = 1"
         ),
         "near_dedup_count": (
             "WITH RECURSIVE sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("

@@ -196,3 +196,71 @@ def near_dedup_survivors(
     return df.join(
         F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
     )
+
+
+def quality_survivor_map(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(component, keep_id, n_docs): the highest-``score_col`` member of
+    every near-dup cluster with more than one document, ties broken by
+    minimum id. Quality-aware canonical selection — ``keep the best copy,
+    not the first`` (the FineWeb/CCNet policy: among near-duplicate
+    crawls keep the longest / highest-quality capture, since min-id keeps
+    whichever the crawler happened to fetch first). ``score_col`` must be
+    non-null (ranking order of nulls differs across engines).
+
+    Scale shape: the component assignment covers only docs that had a
+    pair (tiny vs the corpus) and broadcasts into the corpus scan to pick
+    up scores; ranking windows partition per component, so per-partition
+    work is one cluster's members — the same bound star contraction
+    already admits for its hub."""
+    from pyspark.sql.window import Window
+
+    assign = connected_components(pairs, id_a, id_b)
+    scored = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s"))
+    joined = scored.join(F.broadcast(assign), "id")
+    cw = Window.partitionBy("component")
+    w = cw.orderBy(F.desc("_s"), F.asc("id"))
+    return (
+        joined.select(
+            "component",
+            "id",
+            F.row_number().over(w).alias("_rn"),
+            F.count(F.lit(1)).over(cw).alias("n_docs"),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("component", F.col("id").alias("keep_id"), "n_docs")
+    )
+
+
+def quality_survivors(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Corpus rows that survive quality-aware keep-best-per-cluster
+    dedup: unpaired docs plus each cluster's ``quality_survivor_map``
+    winner. Same anti-join shape as ``near_dedup_survivors`` (losers
+    broadcast), different canonical choice."""
+    from pyspark.sql.window import Window
+
+    assign = connected_components(pairs, id_a, id_b)
+    scored = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s"))
+    joined = scored.join(F.broadcast(assign), "id")
+    w = Window.partitionBy("component").orderBy(F.desc("_s"), F.asc("id"))
+    losers = (
+        joined.select("id", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") > 1)
+        .select("id")
+    )
+    return df.join(
+        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
+    )

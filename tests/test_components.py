@@ -135,3 +135,57 @@ def test_leakage_safe_split_invariants(spark):
     assert splits == {"train", "holdout"}
     again = leakage_safe_split(docs, "doc_id", pdf).collect()
     assert {r["id"]: (r["representative"], r["split"]) for r in again} == assign
+
+
+def test_quality_survivor_map_and_survivors(spark):
+    """Keep-best-per-cluster: the survivor map picks the max-score member
+    (ties -> min id) of every component, and quality_survivors keeps
+    exactly the winners plus all unpaired docs — verified against a
+    union-find + argmax Python oracle on a random pair set."""
+    import random
+
+    from jsonschema_spark.operators.components import (
+        quality_survivor_map,
+        quality_survivors,
+    )
+
+    random.seed(29)
+    nodes = list(range(150))
+    pairs = sorted(
+        {
+            tuple(sorted(random.sample(nodes, 2)))
+            for _ in range(50)
+        }
+    )
+    # scores with deliberate ties: score = (doc_id * 7) % 40
+    docs = spark.range(200).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 7) % 40).alias("score")
+    )
+    pdf = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+
+    comp = _union_find(pairs)
+    clusters = {}
+    for n in {x for p in pairs for x in p}:
+        clusters.setdefault(comp[n], []).append(n)
+    expect = {
+        c: (
+            min(members, key=lambda i: (-((i * 7) % 40), i)),
+            len(members),
+        )
+        for c, members in clusters.items()
+    }
+
+    got = {
+        r.component: (r.keep_id, r.n_docs)
+        for r in quality_survivor_map(docs, "doc_id", pdf, "score").collect()
+    }
+    assert got == expect
+
+    kept = {
+        r.doc_id
+        for r in quality_survivors(docs, "doc_id", pdf, "score").collect()
+    }
+    losers = {
+        m for ms in clusters.values() for m in ms
+    } - {k for k, _ in expect.values()}
+    assert kept == set(range(200)) - losers
