@@ -688,6 +688,19 @@ def q_decontaminate(spark, sf_dir):
     return contaminated_docs(df, "doc_id", "text", bench, n=5)
 
 
+def q_decontam_spans(spark, sf_dir):
+    """SURGICAL decontamination: the exact token ranges of each document
+    that overlap the benchmark subset (doc_id < 10) by >= one 5-gram —
+    cut or loss-mask these spans instead of dropping the document.
+    Benchmark gram set broadcasts; corpus positions semi-join it (linear,
+    no pair join); gaps-and-islands merge."""
+    from jsonschema_spark.operators.dedup import contamination_spans
+
+    df = _t(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") < 10)
+    return contamination_spans(df, "doc_id", "text", bench, "text", n=5)
+
+
 def q_token_decontaminate(spark, sf_dir):
     """Decontamination WITHOUT detokenizing (the payload axis is
     pre-tokenized sequences): corpus docs sharing >= 1 token 5-gram with a
@@ -1456,6 +1469,20 @@ def q_dup_spans(spark, sf_dir):
 
     df = _t(spark, sf_dir, "documents")
     return dup_spans(df, "doc_id", "text", n=13, keep_first=True)
+
+
+def q_token_dup_spans(spark, sf_dir):
+    """Exact-substring dup spans on PRE-TOKENIZED sequences (no
+    detokenization): maximal token-index ranges covered by token-id
+    13-grams occurring >= 2x across the corpus — the token-native
+    ExactSubstr cut list (the form Lee et al. actually run: over token
+    ids, not words)."""
+    from jsonschema_spark.operators.dedup import dup_spans
+
+    df = _token_corpus(spark)
+    return dup_spans(
+        df, "doc_id", "tokens", n=13, elements=F.col("tokens"), shingle_sep=","
+    )
 
 
 def q_dup_span_stats(spark, sf_dir):
@@ -2446,6 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_shared_run": q_longest_shared_run,
         "dup_spans": q_dup_spans,
         "dup_span_stats": q_dup_span_stats,
+        "token_dup_spans": q_token_dup_spans,
+        "decontam_spans": q_decontam_spans,
         "diverse_sample": q_diverse_sample,
         "ngram_novelty": q_ngram_novelty,
         "infer_spec": q_infer_spec,
@@ -3392,6 +3421,29 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id AS id, count(*) AS n_hits"
             " FROM hits JOIN bg USING (g) GROUP BY doc_id"
         ),
+        "decontam_spans": (
+            # positional 5-grams; benchmark (doc_id < 10) gram set; hits
+            # merge via the same gaps-and-islands as dup_spans (e = s + 4)
+            "WITH d AS (SELECT doc_id, " + _WS + " AS ws FROM documents),"
+            " g AS (SELECT doc_id, pg.s AS s, pg.g AS g FROM ("
+            "   SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, greatest(len(ws)-4, 0)),"
+            "    i -> {'s': i, 'g': array_to_string(ws[i:i+4], ' ')}"
+            "   )) AS pg FROM d)),"
+            " bg AS (SELECT DISTINCT g FROM g WHERE doc_id < 10),"
+            " hits AS (SELECT doc_id, s, s + 4 AS e FROM g JOIN bg USING (g)),"
+            " pe AS (SELECT doc_id, s, e,"
+            "    max(e) OVER (PARTITION BY doc_id ORDER BY s"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e"
+            "   FROM hits),"
+            " isl AS (SELECT doc_id, s, e,"
+            "    sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1"
+            "      THEN 1 ELSE 0 END)"
+            "      OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM pe)"
+            " SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,"
+            "  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len"
+            " FROM isl GROUP BY doc_id, isl"
+        ),
         "token_decontaminate": (
             "WITH cg AS (SELECT doc_id, list_distinct(list_transform("
             "   generate_series(1, greatest(len(tokens)-4, 0)),"
@@ -4096,6 +4148,31 @@ def oracle_sql() -> dict[str, str]:
             "   FROM g),"
             " hits AS (SELECT doc_id, s, s + 12 AS e FROM r"
             "   WHERE occ >= 2 AND rn > 1),"
+            " pe AS (SELECT doc_id, s, e,"
+            "    max(e) OVER (PARTITION BY doc_id ORDER BY s"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e"
+            "   FROM hits),"
+            " isl AS (SELECT doc_id, s, e,"
+            "    sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1"
+            "      THEN 1 ELSE 0 END)"
+            "      OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM pe)"
+            " SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,"
+            "  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len"
+            " FROM isl GROUP BY doc_id, isl"
+        ),
+        "token_dup_spans": (
+            # token-native: positional 13-grams of comma-joined token ids
+            "WITH d AS (SELECT doc_id, tokens FROM"
+            f" read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " g AS (SELECT doc_id, pg.s AS s, pg.g AS g FROM ("
+            "   SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, greatest(len(tokens)-12, 0)),"
+            "    i -> {'s': i, 'g': "
+            + _hex60("array_to_string(tokens[i:i+12], ',')")
+            + "})) AS pg FROM d)),"
+            " r AS (SELECT doc_id, s,"
+            "    count(*) OVER (PARTITION BY g) AS occ FROM g),"
+            " hits AS (SELECT doc_id, s, s + 12 AS e FROM r WHERE occ >= 2),"
             " pe AS (SELECT doc_id, s, e,"
             "    max(e) OVER (PARTITION BY doc_id ORDER BY s"
             "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e"

@@ -196,6 +196,12 @@ def main() -> None:
         "id_gap_audit",
         "incremental_near_dup",
         "tokenizer_fertility",
+        "dup_spans",
+        "dup_span_stats",
+        "token_dup_spans",
+        "decontam_spans",
+        "global_shuffle",
+        "quality_survivors",
     ]
     qs = entry.queries()
     for name in headline:

@@ -1233,6 +1233,79 @@ def ngram_novelty(
     )
 
 
+def _positional_grams(
+    df: DataFrame,
+    id_col: str,
+    elements: Column,
+    n: int,
+    shingle_sep: str,
+    portable: bool,
+) -> DataFrame:
+    """(id, s, g): one row per 1-based token position, keyed by the n-gram
+    hash starting there. ``portable=True`` = md5-derived identity a SQL
+    oracle replays bit-exactly (pays gram-string materialization);
+    False = structural xxhash64 of the raw element slice — NO gram
+    strings, no per-element cast (64-bit: ~5e-5 expected false gram
+    collisions at 40M grams, vs ~2e5 for the 31-bit rolling hash, which
+    is why ``_shingle_hashes`` stays banding-only)."""
+    if portable:
+        grams = F.transform(
+            _raw_grams(elements, n, shingle_sep), lambda g: portable_hash60(g)
+        )
+    else:
+        grams = let_(
+            elements,
+            lambda xs: F.transform(
+                index_range(F.size(xs) - F.lit(n - 1)),
+                lambda i: F.xxhash64(F.slice(xs, i, n)),
+            ),
+        )
+    return (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("id"),
+            F.posexplode(grams).alias("_p0", "g"),
+        )
+        .select("id", (F.col("_p0") + 1).cast("long").alias("s"), "g")
+    )
+
+
+def _merge_hit_spans(hits: DataFrame, id_col: str, n: int) -> DataFrame:
+    """Gaps-and-islands merge of per-position gram hits (id, s) into
+    maximal (id_col, span_start, span_len) intervals — each hit covers
+    tokens [s, s+n-1]; overlapping or adjacent covers fuse. Windows
+    partition per doc, so per-partition work is one document's hit
+    list."""
+    from pyspark.sql.window import Window
+
+    spans = hits.select("id", "s", (F.col("s") + F.lit(n - 1)).alias("e"))
+    w = Window.partitionBy("id").orderBy("s")
+    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = spans.select(
+        "id",
+        "s",
+        "e",
+        F.when(prev_end.isNull() | (F.col("s") > prev_end + 1), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_new"),
+    )
+    islands = flagged.select(
+        "id",
+        "s",
+        "e",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
+    )
+    return (
+        islands.groupBy("id", "_isl")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("_end"))
+        .select(
+            F.col("id").alias(id_col),
+            "span_start",
+            (F.col("_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+
+
 def dup_spans(
     df: DataFrame,
     id_col: str,
@@ -1272,62 +1345,78 @@ def dup_spans(
     ``portable=True`` keys grams by ``portable_hash60`` (md5-derived) so
     the DuckDB oracle replays the identity bit-exactly; False switches to
     xxhash64 for the fast path at scale."""
-    from pyspark.sql.window import Window
-
     if elements is None:
         elements = words(F.lower(F.col(text_col)))
-    hash_fn = portable_hash60 if portable else F.xxhash64
-    pos = (
-        ensure_parallelism(df)
-        .select(
-            F.col(id_col).alias("id"),
-            F.posexplode(
-                F.transform(
-                    _raw_grams(elements, n, shingle_sep), lambda g: hash_fn(g)
-                )
-            ).alias("_p0", "g"),
-        )
-        .select("id", (F.col("_p0") + 1).cast("long").alias("s"), "g")
-        .localCheckpoint(eager=False)
-    )
-    dup = pos.groupBy("g").agg(
-        F.count(F.lit(1)).alias("_occ"),
-        F.min(F.struct("id", "s")).alias("_first"),
-    ).filter(F.col("_occ") >= 2)
-    hits = pos.join(dup, "g")
+    pos = _positional_grams(df, id_col, elements, n, shingle_sep, portable)
+    # NOT checkpointed: pos is corpus-sized (one row per token position),
+    # so re-deriving it for the agg and the join-back is cheap scan-stage
+    # codegen, while materializing it pins ~GBs on the one local disk
+    # (A/B at 200k docs: tie at local[8]; see BASELINE.md dup-spans notes)
     if keep_first:
-        hits = hits.filter(
+        dup = pos.groupBy("g").agg(
+            F.count(F.lit(1)).alias("_occ"),
+            F.min(F.struct("id", "s")).alias("_first"),
+        ).filter(F.col("_occ") >= 2)
+        hits = pos.join(dup, "g").filter(
             ~(
                 (F.col("id") == F.col("_first.id"))
                 & (F.col("s") == F.col("_first.s"))
             )
         )
-    spans = hits.select("id", "s", (F.col("s") + F.lit(n - 1)).alias("e"))
-    w = Window.partitionBy("id").orderBy("s")
-    prev_end = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
-    flagged = spans.select(
-        "id",
-        "s",
-        "e",
-        F.when(prev_end.isNull() | (F.col("s") > prev_end + 1), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("_new"),
-    )
-    islands = flagged.select(
-        "id",
-        "s",
-        "e",
-        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_isl"),
-    )
-    return (
-        islands.groupBy("id", "_isl")
-        .agg(F.min("s").alias("span_start"), F.max("e").alias("_end"))
-        .select(
-            F.col("id").alias(id_col),
-            "span_start",
-            (F.col("_end") - F.col("span_start") + 1).alias("span_len"),
+    else:
+        # no keep-first exemption -> the first-occurrence struct is dead
+        # weight (16 bytes/gram of agg state over ~corpus-sized keys)
+        dup = (
+            pos.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") >= 2)
         )
+        hits = pos.join(dup, "g")
+    return _merge_hit_spans(hits, id_col, n)
+
+
+def contamination_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_text_col: str,
+    n: int = 13,
+    elements: Column | None = None,
+    bench_elements: Column | None = None,
+    shingle_sep: str = " ",
+    portable: bool = True,
+) -> DataFrame:
+    """(id, span_start, span_len): maximal token intervals of each corpus
+    document that overlap a benchmark/eval document by >= one exact
+    n-gram — SURGICAL decontamination: ``contaminated_docs`` answers
+    which documents to audit, this answers which token ranges to cut or
+    loss-mask so the rest of the document stays trainable (the span-level
+    policy used when dropping whole docs is too lossy).
+
+    Scale shape: the benchmark side reduces to its DISTINCT gram-hash set
+    (eval suites are tiny vs the corpus — it broadcasts); corpus
+    positions explode once and semi-join that set — linear, no pair join,
+    no doc-frequency concerns (a boilerplate gram shared with the
+    benchmark SHOULD mark every occurrence). Interval merging as in
+    ``dup_spans``. Note the hash-identity caveat: with ``portable=False``
+    a 64-bit collision could mark an innocent span (~1e-11 per
+    corpus-gram × bench-gram pair); run ``portable=True`` or verify
+    downstream if that matters."""
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    if bench_elements is None:
+        bench_elements = words(F.lower(F.col(bench_text_col)))
+    pos = _positional_grams(df, id_col, elements, n, shingle_sep, portable)
+    bench_grams = (
+        _positional_grams(
+            bench, bench.columns[0], bench_elements, n, shingle_sep, portable
+        )
+        .select("g")
+        .distinct()
     )
+    hits = pos.join(F.broadcast(bench_grams), "g", "left_semi")
+    return _merge_hit_spans(hits, id_col, n)
 
 
 def dup_span_stats(
@@ -1338,6 +1427,7 @@ def dup_span_stats(
     elements: Column | None = None,
     shingle_sep: str = " ",
     keep_first: bool = False,
+    portable: bool = True,
     decimals: int = 6,
 ) -> DataFrame:
     """(id, n_tok, n_spans, dup_tokens, dup_fraction): per-document share
@@ -1361,6 +1451,7 @@ def dup_span_stats(
         elements=elements,
         shingle_sep=shingle_sep,
         keep_first=keep_first,
+        portable=portable,
     )
     agg = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),

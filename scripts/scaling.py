@@ -35,6 +35,7 @@ JOB_SCRIPTS = {
     "semdedup": "semdedup_scaling_job.py",
     "winnow": "winnow_scaling_job.py",
     "increm": "increm_scaling_job.py",
+    "dupspans": "dupspans_scaling_job.py",
 }
 
 

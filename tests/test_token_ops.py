@@ -367,3 +367,38 @@ def test_vocab_diversity_hill_numbers(spark):
     # the ladder is monotone: vocab >= hill1 >= hill2
     for r in rows.values():
         assert r.vocab >= r.hill1 >= r.hill2
+
+
+def test_token_dup_spans_cover_injected_copies(spark):
+    """Token-native exact-substring spans: every injected exact duplicate
+    (i % 67 == 66 copies row i-1 verbatim) is FULLY covered on both sides,
+    near-dups (i % 41 == 40, one appended token) are covered over the
+    copied prefix, and an honest doc (no injected relation, unique random
+    13-grams over the 500-id vocab) shows no span."""
+    from jsonschema_spark.operators.dedup import dup_spans
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+
+    from pyspark.sql import functions as F
+
+    df = token_neardup_corpus(spark, 300, seed=5)
+    lens = {r.doc_id: r.n for r in df.select("doc_id", F.size("tokens").alias("n")).collect()}
+    spans = {}
+    for r in dup_spans(
+        df, "doc_id", "tokens", n=13, elements=F.col("tokens"), shingle_sep=","
+    ).collect():
+        spans.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+
+    for i in range(300):
+        if i % 67 == 66:  # exact dup of i-1: both fully covered
+            assert spans[i] == [(1, lens[i])]
+            assert spans[i - 1] == [(1, lens[i - 1])]
+        elif i % 41 == 40:  # near dup: source prefix covered on both sides
+            assert spans[i] == [(1, lens[i] - 1)]  # all but the appended token
+            assert (1, lens[i - 1]) in spans[i - 1]
+    # honest docs away from any injected relation: no spans
+    clean = [
+        i for i in range(2, 299)
+        if all((j % 67 != 66 and j % 41 != 40) for j in (i, i + 1))
+    ]
+    hits = [i for i in clean if i in spans]
+    assert not hits, hits[:5]

@@ -1409,3 +1409,52 @@ def test_global_shuffle_order_matches_hash_sort(spark):
 
     with pytest.raises(ValueError):
         global_shuffle_order(df, "doc_id", num_buckets=100)
+
+
+def test_contamination_spans_matches_bruteforce(spark):
+    """Span-level decontamination: spans equal a brute-force oracle that
+    marks every corpus position whose n-gram is in the benchmark gram set
+    and merges overlapping/adjacent covers; both hash identities agree."""
+    from jsonschema_spark.operators.dedup import contamination_spans
+
+    bench_rows = [(100, "q1 q2 q3 q4 q5"), (101, "m1 m2 m3")]
+    corpus_rows = [
+        (1, "a b q1 q2 q3 q4 q5 c d"),       # one interior span
+        (2, "q3 q4 q5 x y z m1 m2 m3"),      # two spans (start + end)
+        (3, "clean text with no overlap at all"),
+        (4, "m1 m2 m3 q1 q2 q3"),            # adjacent spans merge
+    ]
+    n = 3
+    bench_grams = set()
+    for _, t in bench_rows:
+        ws = t.split()
+        for i in range(len(ws) - n + 1):
+            bench_grams.add(tuple(ws[i : i + n]))
+    expect = []
+    for d, t in corpus_rows:
+        ws = t.split()
+        cov = set()
+        for i in range(len(ws) - n + 1):
+            if tuple(ws[i : i + n]) in bench_grams:
+                cov.update(range(i + 1, i + n + 1))
+        if not cov:
+            continue
+        run = sorted(cov)
+        start = prev = run[0]
+        for x in run[1:]:
+            if x > prev + 1:
+                expect.append((d, start, prev - start + 1))
+                start = x
+            prev = x
+        expect.append((d, start, prev - start + 1))
+
+    df = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+    for portable in (True, False):
+        got = sorted(
+            (r.doc_id, r.span_start, r.span_len)
+            for r in contamination_spans(
+                df, "doc_id", "text", bench, "text", n=n, portable=portable
+            ).collect()
+        )
+        assert got == sorted(expect), portable
