@@ -1485,6 +1485,19 @@ def q_token_dup_spans(spark, sf_dir):
     )
 
 
+def q_dup_loss_mask(spark, sf_dir):
+    """Spans made trainer-ready: the per-token 0/1 loss mask implied by
+    the keep-first dup spans — mask[i] = 1 iff token i is repeated text
+    whose canonical copy lives elsewhere (zero its loss instead of
+    dropping the doc). Every document reports; no-span docs are all
+    zeros."""
+    from jsonschema_spark.operators.dedup import dup_spans, span_token_mask
+
+    df = _t(spark, sf_dir, "documents")
+    spans = dup_spans(df, "doc_id", "text", n=13, keep_first=True)
+    return span_token_mask(df, "doc_id", spans, text_col="text")
+
+
 def q_dup_span_stats(spark, sf_dir):
     """Per-document corpus-repetition scorecard: fraction of each doc's
     tokens inside duplicated (>= 2 occurrences corpus-wide, all
@@ -1892,6 +1905,44 @@ def q_domain_cap(spark, sf_dir):
     return cap_per_group(df, "domain", k=3, order_col="doc_id").select(
         "domain", "doc_id"
     )
+
+
+def _manifest_corpus_path() -> str:
+    """Stable multi-file parquet fixture for the shard-manifest check —
+    written once by Spark (4 hash-partitioned shards), read by both
+    engines (same pattern as _token_corpus_path)."""
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "manifest_corpus_2k_seed3.parquet")
+
+
+def _manifest_corpus(spark):
+    import os
+
+    path = _manifest_corpus_path()
+    if not os.path.isdir(path):
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.md5(F.concat(F.lit("3:"), F.col("id").cast("string"))).alias(
+                "payload"
+            ),
+            F.pmod(F.col("id"), F.lit(7)).alias("grp"),
+        )
+        df.repartition(4, "grp").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_shard_manifest(spark, sf_dir):
+    """Content-addressed shard manifest: per physical parquet file, row
+    count, id range, and an order-invariant XOR content checksum — the
+    file-integrity check that localizes a corrupted / truncated /
+    re-encoded shard without re-reading healthy ones. Oracle reads the
+    same files with filename=true and replays the identical hash."""
+    from jsonschema_spark.operators.checks import shard_manifest
+
+    df = _manifest_corpus(spark)
+    return shard_manifest(df, "doc_id")
 
 
 def q_id_gap_audit(spark, sf_dir):
@@ -2414,6 +2465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_groups": q_url_dedup_groups,
         "domain_cap": q_domain_cap,
         "id_gap_audit": q_id_gap_audit,
+        "shard_manifest": q_shard_manifest,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -2475,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_stats": q_dup_span_stats,
         "token_dup_spans": q_token_dup_spans,
         "decontam_spans": q_decontam_spans,
+        "dup_loss_mask": q_dup_loss_mask,
         "diverse_sample": q_diverse_sample,
         "ngram_novelty": q_ngram_novelty,
         "infer_spec": q_infer_spec,
@@ -2994,6 +3047,21 @@ def oracle_sql() -> dict[str, str]:
             + " SELECT domain, doc_id FROM (SELECT domain, doc_id,"
             "  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn"
             "  FROM canon) WHERE rn <= 3"
+        ),
+        "shard_manifest": (
+            # same files, filename=true; identical row hash and XOR
+            "SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,"
+            " count(*) AS n_rows, min(doc_id) AS min_id,"
+            " max(doc_id) AS max_id,"
+            " bit_xor("
+            + _hex60(
+                "concat_ws('|', CAST(doc_id AS VARCHAR), payload,"
+                " CAST(grp AS VARCHAR))"
+            )
+            + ") AS checksum"
+            f" FROM read_parquet('{_manifest_corpus_path()}/*.parquet',"
+            " filename=true)"
+            " GROUP BY 1"
         ),
         "id_gap_audit": (
             "WITH d AS (SELECT source, doc_id,"
@@ -4184,6 +4252,42 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,"
             "  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len"
             " FROM isl GROUP BY doc_id, isl"
+        ),
+        "dup_loss_mask": (
+            # keep-first dup spans (same CTE as dup_spans) -> struct list
+            # per doc -> per-position membership mask
+            "WITH d AS (SELECT doc_id, " + _WS + " AS ws FROM documents),"
+            " g AS (SELECT doc_id, pg.s AS s, pg.g AS g FROM ("
+            "   SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, greatest(len(ws)-12, 0)),"
+            "    i -> {'s': i, 'g': "
+            + _hex60("array_to_string(ws[i:i+12], ' ')")
+            + "})) AS pg FROM d)),"
+            " r AS (SELECT doc_id, s,"
+            "    count(*) OVER (PARTITION BY g) AS occ,"
+            "    row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn"
+            "   FROM g),"
+            " hits AS (SELECT doc_id, s, s + 12 AS e FROM r"
+            "   WHERE occ >= 2 AND rn > 1),"
+            " pe AS (SELECT doc_id, s, e,"
+            "    max(e) OVER (PARTITION BY doc_id ORDER BY s"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e"
+            "   FROM hits),"
+            " isl AS (SELECT doc_id, s, e,"
+            "    sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1"
+            "      THEN 1 ELSE 0 END)"
+            "      OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM pe),"
+            " sp AS (SELECT doc_id, min(s) AS ss, max(e) AS ee"
+            "   FROM isl GROUP BY doc_id, isl),"
+            " spl AS (SELECT doc_id, list({'s': ss, 'e': ee}) AS sps"
+            "   FROM sp GROUP BY doc_id)"
+            " SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,"
+            "  CAST(coalesce(list_sum(list_transform(spl.sps,"
+            "    x -> x.e - x.s + 1)), 0) AS BIGINT) AS n_masked,"
+            "  list_transform(generate_series(1, len(d.ws)), i ->"
+            "   CASE WHEN spl.sps IS NOT NULL AND len(list_filter(spl.sps,"
+            "    x -> i >= x.s AND i <= x.e)) > 0 THEN 1 ELSE 0 END) AS mask"
+            " FROM d LEFT JOIN spl USING (doc_id)"
         ),
         "dup_span_stats": (
             # same positional machinery, keep_first=False (every occurrence

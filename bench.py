@@ -201,6 +201,8 @@ def main() -> None:
         "token_dup_spans",
         "decontam_spans",
         "global_shuffle",
+        "dup_loss_mask",
+        "shard_manifest",
         "quality_survivors",
     ]
     qs = entry.queries()

@@ -446,3 +446,52 @@ def repair_sequences(
         )
         .withColumnRenamed("_fixed", tokens_col)
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    content_cols: list[str] | None = None,
+) -> DataFrame:
+    """(file_name, n_rows, min_id, max_id, checksum): a content-addressed
+    manifest of the table's physical shards — the file-integrity /
+    lineage check a resumable 10^12-row ingest needs (a re-fetched,
+    truncated, or silently re-encoded shard changes its checksum even
+    when row counts agree; two manifests diff by file_name to localize
+    corruption without re-reading the healthy shards). The table-scope
+    sibling of plans/job.py's per-unit lineage (same input_file_name
+    identity).
+
+    ``checksum`` is the bit-XOR of a 60-bit md5-derived hash of the
+    '|'-joined content columns — order-invariant (parquet row order
+    within a file is not contractual across engines), overflow-free at
+    any row count, and reproducible in any engine with md5 (DuckDB twin:
+    read_parquet(..., filename=true) + the same xor).
+
+    Scale shape: one map-side-combined groupBy on the file name — output
+    rows = shard count; nothing else shuffles."""
+    from jsonschema_spark.functions.text import portable_hash60
+
+    if content_cols is None:
+        content_cols = [c for c in df.columns if c != id_col]
+    row_hash = portable_hash60(
+        F.concat_ws("|", F.col(id_col).cast("string"), *[
+            F.col(c).cast("string") for c in content_cols
+        ])
+    )
+    return (
+        df.select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias(
+                "file_name"
+            ),
+            F.col(id_col).alias("_id"),
+            row_hash.alias("_h"),
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("_id").alias("min_id"),
+            F.max("_id").alias("max_id"),
+            F.bit_xor("_h").alias("checksum"),
+        )
+    )

@@ -1899,3 +1899,64 @@ def token_winnow_near_dup(
     ``max_doc_freq`` docs dropped in code)."""
     w = winnow_token_fingerprint_rows(df, id_col, tokens_col, k, window)
     return _winnow_pairs(w, max_doc_freq, min_shared)
+
+
+def span_token_mask(
+    df: DataFrame,
+    id_col: str,
+    spans: DataFrame,
+    text_col: str | None = None,
+    elements: Column | None = None,
+) -> DataFrame:
+    """(id, n_tok, n_masked, mask): materialize a span table
+    (``dup_spans`` / ``contamination_spans`` output) into the per-token
+    0/1 loss-mask column a trainer consumes — mask[i] = 1 iff 1-based
+    position i falls inside any span (zero its loss / exclude it from
+    packing instead of dropping the document). Every document reports a
+    row; docs without spans get an all-zero mask.
+
+    Scale shape: spans group per doc into a bounded struct list (spans
+    were already island-merged, so the list is small and disjoint); the
+    grouped table joins the corpus on the uniform id (AQE broadcasts it
+    when small); the mask is one scan-stage HOF over sequence(1, n_tok)
+    — no explode, no extra shuffle beyond the one spans groupBy."""
+    if elements is None:
+        if text_col is None:
+            raise ValueError("pass text_col or elements")
+        elements = words(F.lower(F.col(text_col)))
+    sp = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"),
+                (F.col("span_start") + F.col("span_len") - 1).alias("e"),
+            )
+        ).alias("_sp")
+    )
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.size(elements).cast("long").alias("n_tok")
+    )
+    joined = base.join(sp, base[id_col] == sp["_sid"], "left").select(
+        id_col,
+        "n_tok",
+        F.coalesce(F.col("_sp"), F.array()).alias("_sp"),
+    )
+    # sequence(1, 0) runs DESCENDING in Spark — guard the empty doc
+    idx = F.when(
+        F.col("n_tok") >= 1, F.sequence(F.lit(1).cast("long"), F.col("n_tok"))
+    ).otherwise(F.array().cast("array<long>"))
+    return joined.select(
+        id_col,
+        "n_tok",
+        F.aggregate(
+            "_sp",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + (x["e"] - x["s"] + 1),
+        ).alias("n_masked"),
+        F.transform(
+            idx,
+            lambda i: F.when(
+                F.exists("_sp", lambda x: (i >= x["s"]) & (i <= x["e"])),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        ).alias("mask"),
+    )

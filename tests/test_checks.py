@@ -200,3 +200,52 @@ class TestIdGapAudit:
         c = got["c"]
         assert (c.stride, c.n_breaks, c.n_missing) == (0, 0, 0)
         assert (c.id_min, c.id_max, c.n_rows) == (7, 7, 1)
+
+
+def test_shard_manifest_localizes_corruption(spark, tmp_path):
+    """Per-file XOR checksums: equal content -> equal checksum regardless
+    of row order inside the file; a single changed value flips ONLY the
+    affected shard's checksum while row counts stay equal."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.checks import shard_manifest
+
+    base = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+        F.pmod(F.col("id"), F.lit(2)).alias("grp"),
+    )
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    base.repartition(2, "grp").write.parquet(a)
+    # same rows, same shard assignment, DIFFERENT order within each file
+    base.repartition(2, "grp").sortWithinPartitions(
+        F.desc("doc_id")
+    ).write.parquet(b)
+
+    ma = {
+        (r.n_rows, r.min_id, r.max_id): r.checksum
+        for r in shard_manifest(spark.read.parquet(a), "doc_id").collect()
+    }
+    mb = {
+        (r.n_rows, r.min_id, r.max_id): r.checksum
+        for r in shard_manifest(spark.read.parquet(b), "doc_id").collect()
+    }
+    assert ma == mb  # order inside a shard does not matter
+
+    # corrupt one row's payload -> only that shard's checksum changes
+    c = str(tmp_path / "c")
+    base.withColumn(
+        "payload",
+        F.when(F.col("doc_id") == 7, F.lit("CORRUPT")).otherwise(
+            F.col("payload")
+        ),
+    ).repartition(2, "grp").write.parquet(c)
+    mc = {
+        (r.n_rows, r.min_id, r.max_id): r.checksum
+        for r in shard_manifest(spark.read.parquet(c), "doc_id").collect()
+    }
+    assert set(ma) == set(mc)  # same shapes/counts
+    diffs = [k for k in ma if ma[k] != mc[k]]
+    assert len(diffs) == 1  # exactly the shard holding doc 7
+    assert diffs[0][1] % 2 == 1 or diffs[0][2] % 2 == 1  # the odd-grp shard

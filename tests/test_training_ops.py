@@ -1458,3 +1458,36 @@ def test_contamination_spans_matches_bruteforce(spark):
             ).collect()
         )
         assert got == sorted(expect), portable
+
+
+def test_span_token_mask_matches_spans(spark):
+    """mask[i] = 1 exactly on positions covered by the span table;
+    n_masked = total span length; no-span docs report all-zero masks."""
+    from jsonschema_spark.operators.dedup import dup_spans, span_token_mask
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e f x y z w"),
+        (3, "u0 u1 u2 u3 u4 u5"),  # clean
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = dup_spans(df, "doc_id", "text", n=3, keep_first=True)
+    sp = {}
+    for r in spans.collect():
+        sp.setdefault(r.doc_id, []).append((r.span_start, r.span_len))
+    out = {
+        r.doc_id: (r.n_tok, r.n_masked, r.mask)
+        for r in span_token_mask(df, "doc_id", spans, text_col="text").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    for d, t in rows:
+        n = len(t.split())
+        expect = [0] * n
+        for s, ln in sp.get(d, []):
+            for i in range(s, s + ln):
+                expect[i - 1] = 1
+        n_tok, n_masked, mask = out[d]
+        assert n_tok == n
+        assert mask == expect
+        assert n_masked == sum(expect)
+    assert out[3][2] == [0] * 6
