@@ -1033,6 +1033,24 @@ def q_ks_drift(spark, sf_dir):
     return ks_statistic(cur, base)
 
 
+def q_emd_drift(spark, sf_dir):
+    """Exact 1-Wasserstein distance on the n_chars distribution, lang='en'
+    docs vs the whole corpus (same split as ks_drift). The
+    magnitude-aware complement of KS: reports how FAR the mass moved in
+    value units, so a systematic +k length shift scores k where KS
+    saturates near zero on wide support."""
+    from jsonschema_spark.operators.drift import emd_statistic
+
+    df = _t(spark, sf_dir, "documents")
+    cur = df.filter(F.col("lang") == "en").groupBy(
+        F.col("n_chars").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = df.groupBy(F.col("n_chars").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return emd_statistic(cur, base)
+
+
 def q_chi2_drift(spark, sf_dir):
     """Per-bucket Pearson chi-square contributions, English subset vs the
     whole corpus over the same 12-bucket n_chars histogram psi_terms uses —
@@ -2613,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_count": q_near_dedup_count,
         "quality_survivors": q_quality_survivors,
         "ks_drift": q_ks_drift,
+        "emd_drift": q_emd_drift,
         "chi2_drift": q_chi2_drift,
         "token_entropy": q_token_entropy,
         "hash_sample": q_hash_sample,
@@ -3641,6 +3660,21 @@ def oracle_sql() -> dict[str, str]:
             "   sum(base) OVER (ORDER BY k) / CAST(n_base AS DOUBLE) AS cdf_base"
             "  FROM j, t)"
             " SELECT round(max(abs(cdf_cur - cdf_base)), 6) AS ks FROM c"
+        ),
+        "emd_drift": (
+            "WITH cur AS (SELECT n_chars AS k, count(*) AS c FROM documents"
+            "  WHERE lang = 'en' GROUP BY 1),"
+            " base AS (SELECT n_chars AS k, count(*) AS c FROM documents GROUP BY 1),"
+            " j AS (SELECT coalesce(cur.k, base.k) AS k,"
+            "   coalesce(cur.c, 0) AS cur, coalesce(base.c, 0) AS base"
+            "  FROM cur FULL OUTER JOIN base ON cur.k = base.k),"
+            " t AS (SELECT sum(cur) AS n_cur, sum(base) AS n_base FROM j),"
+            " c AS (SELECT sum(cur) OVER (ORDER BY k) / CAST(n_cur AS DOUBLE) AS cdf_cur,"
+            "   sum(base) OVER (ORDER BY k) / CAST(n_base AS DOUBLE) AS cdf_base,"
+            "   lead(k) OVER (ORDER BY k) - k AS gap"
+            "  FROM j, t)"
+            " SELECT round(sum(abs(cdf_cur - cdf_base) * gap), 6) AS emd"
+            " FROM c WHERE gap IS NOT NULL"
         ),
         "chi2_drift": (
             "WITH hist AS (SELECT CASE WHEN n_chars < 0 THEN -1 WHEN n_chars >= 600 THEN 12"

@@ -203,6 +203,7 @@ def main() -> None:
         "global_shuffle",
         "dup_loss_mask",
         "shard_manifest",
+        "emd_drift",
         "quality_survivors",
     ]
     qs = entry.queries()

@@ -160,6 +160,50 @@ def ks_statistic(
     )
 
 
+def emd_statistic(
+    current: DataFrame, baseline: DataFrame, key: str = "bucket",
+    cnt: str = "cnt", decimals: int = 6,
+) -> DataFrame:
+    """Exact 1-Wasserstein (earth mover's) distance between two
+    pre-aggregated value histograms: ``sum |CDF_cur(v) - CDF_base(v)| *
+    (next_v - v)`` over the sorted union support. The magnitude-aware
+    complement of ``ks_statistic``: KS reports only the LARGEST CDF gap
+    (a +1 shift of every value scores ~1/support_width), while W1 reports
+    how far the mass moved in value units (+1 shift scores exactly 1.0)
+    — the drift gate for "sequences got systematically longer". Exact
+    for integer-valued columns (n_tok, n_chars) where the histogram IS
+    the empirical distribution.
+
+    Scale shape: same O(bins) compare contract as ks/psi/chi2 — inputs
+    are pre-aggregated, the cumulative window runs over bins, never raw
+    rows. Returns one row ``(emd double)``."""
+    from pyspark.sql import Window
+
+    cur = current.select(F.col(key).alias("k"), F.col(cnt).alias("cur"))
+    base = baseline.select(F.col(key).alias("k"), F.col(cnt).alias("base"))
+    joined = cur.join(base, on="k", how="full_outer").select(
+        "k",
+        F.coalesce("cur", F.lit(0)).alias("cur"),
+        F.coalesce("base", F.lit(0)).alias("base"),
+    )
+    totals = joined.agg(
+        F.sum("cur").alias("n_cur"), F.sum("base").alias("n_base")
+    )
+    ow = Window.orderBy("k")
+    w = ow.rowsBetween(Window.unboundedPreceding, 0)
+    terms = joined.crossJoin(F.broadcast(totals)).select(
+        (F.sum("cur").over(w) / F.col("n_cur")).alias("cdf_cur"),
+        (F.sum("base").over(w) / F.col("n_base")).alias("cdf_base"),
+        (F.lead("k").over(ow) - F.col("k")).alias("gap"),
+    )
+    return terms.filter(F.col("gap").isNotNull()).agg(
+        F.round(
+            F.sum(F.abs(F.col("cdf_cur") - F.col("cdf_base")) * F.col("gap")),
+            decimals,
+        ).alias("emd")
+    )
+
+
 def embedding_mean_drift(
     current: DataFrame,
     baseline: DataFrame,

@@ -248,3 +248,27 @@ def test_positional_entropy_template_prefix(spark):
     assert rows[4]["entropy"] == 0.0
     assert rows[1]["n_seqs"] == 64
     assert 5 not in rows  # positions past every sequence emit nothing
+
+
+def test_emd_known_values(spark):
+    from jsonschema_spark.operators.drift import emd_statistic
+
+    # point mass moved 0 -> 5: W1 = 5 exactly
+    cur = _hist(spark, {0: 10})
+    base = _hist(spark, {5: 10})
+    assert emd_statistic(cur, base).collect()[0]["emd"] == pytest.approx(5.0)
+
+    # uniform {1,2,3} shifted to {2,3,4}: every unit of mass moves 1
+    cur = _hist(spark, {1: 1, 2: 1, 3: 1})
+    base = _hist(spark, {2: 1, 3: 1, 4: 1})
+    assert emd_statistic(cur, base).collect()[0]["emd"] == pytest.approx(1.0)
+
+    # identical -> 0; and KS saturation contrast: +1 shift on wide support
+    h = _hist(spark, {1: 10, 5: 3, 9: 7})
+    assert emd_statistic(h, h).collect()[0]["emd"] == 0.0
+
+    # non-uniform gaps weight the CDF difference by distance
+    cur = _hist(spark, {0: 1})
+    base = _hist(spark, {0: 1, 100: 1})
+    # CDF gap 0.5 over [0, 100) -> W1 = 50
+    assert emd_statistic(cur, base).collect()[0]["emd"] == pytest.approx(50.0)
