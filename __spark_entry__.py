@@ -1489,6 +1489,34 @@ def q_dup_spans(spark, sf_dir):
     return dup_spans(df, "doc_id", "text", n=13, keep_first=True)
 
 
+def q_periodic_sequences(spark, sf_dir):
+    """Decoding-loop detector: sequences that are EXACTLY a short phrase
+    cycled (min period <= 32). Loops are injected deterministically —
+    every 97th token-corpus row is rewritten as its first 5 tokens
+    repeated — so detection is non-vacuous; honest random rows (500-id
+    vocab, >= 40 tokens) are never periodic by chance. Possible smaller
+    sub-periods (period 1 when all 5 prefix tokens collide) are decided
+    identically by both engines."""
+    from jsonschema_spark.operators.stats import periodic_sequences
+
+    df = _token_corpus(spark)
+    looped = df.select(
+        "doc_id",
+        F.when(
+            F.pmod("doc_id", F.lit(97)) == 96,
+            F.transform(
+                F.sequence(F.lit(1), F.size("tokens")),
+                lambda i: F.element_at(
+                    F.col("tokens"), ((i - 1) % F.lit(5)) + 1
+                ),
+            ),
+        )
+        .otherwise(F.col("tokens"))
+        .alias("tokens"),
+    )
+    return periodic_sequences(looped, "doc_id", "tokens", max_period=32)
+
+
 def q_token_dup_spans(spark, sf_dir):
     """Exact-substring dup spans on PRE-TOKENIZED sequences (no
     detokenization): maximal token-index ranges covered by token-id
@@ -1949,6 +1977,46 @@ def _manifest_corpus(spark):
         )
         df.repartition(4, "grp").write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def _manifest_corpus_b_path() -> str:
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return os.path.join(cache, "manifest_corpus_2k_seed3_corrupt.parquet")
+
+
+def _manifest_corpus_b(spark):
+    """The manifest fixture with doc 7's payload silently corrupted —
+    same 4-way grp-hash partitioning, so per-shard id ranges are stable
+    and min_id identifies shards across the two independent writes."""
+    import os
+
+    path = _manifest_corpus_b_path()
+    if not os.path.isdir(path):
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") == 7, F.lit("CORRUPT"))
+            .otherwise(
+                F.md5(F.concat(F.lit("3:"), F.col("id").cast("string")))
+            )
+            .alias("payload"),
+            F.pmod(F.col("id"), F.lit(7)).alias("grp"),
+        )
+        df.repartition(4, "grp").write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def q_manifest_diff(spark, sf_dir):
+    """Backup/sync integrity audit: diff the shard manifest of a corpus
+    against a rewrite with one silently corrupted row — keyed by min_id
+    (stable id ranges across independent writes); exactly the shard
+    holding doc 7 reports 'changed', the rest 'ok'."""
+    from jsonschema_spark.operators.checks import manifest_diff, shard_manifest
+
+    cur = shard_manifest(_manifest_corpus_b(spark), "doc_id")
+    base = shard_manifest(_manifest_corpus(spark), "doc_id")
+    return manifest_diff(cur, base, key="min_id")
 
 
 def q_shard_manifest(spark, sf_dir):
@@ -2484,6 +2552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "id_gap_audit": q_id_gap_audit,
         "shard_manifest": q_shard_manifest,
+        "manifest_diff": q_manifest_diff,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -2546,6 +2615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dup_spans": q_token_dup_spans,
         "decontam_spans": q_decontam_spans,
         "dup_loss_mask": q_dup_loss_mask,
+        "periodic_sequences": q_periodic_sequences,
         "diverse_sample": q_diverse_sample,
         "ngram_novelty": q_ngram_novelty,
         "infer_spec": q_infer_spec,
@@ -3066,6 +3136,36 @@ def oracle_sql() -> dict[str, str]:
             + " SELECT domain, doc_id FROM (SELECT domain, doc_id,"
             "  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn"
             "  FROM canon) WHERE rn <= 3"
+        ),
+        "manifest_diff": (
+            # two independent writes, shards keyed by min_id; same row
+            # hash + XOR manifest on each side, then the status CASE
+            "WITH ma AS (SELECT min(doc_id) AS min_id,"
+            "  count(*) AS n_rows, bit_xor("
+            + _hex60(
+                "concat_ws('|', CAST(doc_id AS VARCHAR), payload,"
+                " CAST(grp AS VARCHAR))"
+            )
+            + ") AS ck"
+            f" FROM read_parquet('{_manifest_corpus_path()}/*.parquet',"
+            " filename=true) GROUP BY filename),"
+            " mb AS (SELECT min(doc_id) AS min_id,"
+            "  count(*) AS n_rows, bit_xor("
+            + _hex60(
+                "concat_ws('|', CAST(doc_id AS VARCHAR), payload,"
+                " CAST(grp AS VARCHAR))"
+            )
+            + ") AS ck"
+            f" FROM read_parquet('{_manifest_corpus_b_path()}/*.parquet',"
+            " filename=true) GROUP BY filename)"
+            " SELECT coalesce(mb.min_id, ma.min_id) AS min_id,"
+            "  CASE WHEN ma.ck IS NULL THEN 'added'"
+            "   WHEN mb.ck IS NULL THEN 'removed'"
+            "   WHEN mb.ck <> ma.ck OR mb.n_rows <> ma.n_rows"
+            "    THEN 'changed' ELSE 'ok' END AS status,"
+            "  CAST(coalesce(mb.n_rows, 0) AS BIGINT) AS n_rows_cur,"
+            "  CAST(coalesce(ma.n_rows, 0) AS BIGINT) AS n_rows_base"
+            " FROM mb FULL OUTER JOIN ma USING (min_id)"
         ),
         "shard_manifest": (
             # same files, filename=true; identical row hash and XOR
@@ -4261,6 +4361,24 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,"
             "  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len"
             " FROM isl GROUP BY doc_id, isl"
+        ),
+        "periodic_sequences": (
+            # replay the loop injection, then min p<=32 with full-cycle
+            # equality; list_min of an empty candidate list is NULL
+            "WITH d AS (SELECT doc_id,"
+            "  CASE WHEN doc_id % 97 = 96 THEN"
+            "   list_transform(generate_series(1, len(tokens)),"
+            "    i -> tokens[((i-1) % 5) + 1])"
+            "  ELSE tokens END AS t"
+            f" FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " p AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,"
+            "   list_min(list_filter(generate_series(1, 32), p ->"
+            "    p < len(t) AND len(list_filter("
+            "     generate_series(1, len(t) - p),"
+            "     i -> t[i + p] = t[i])) = len(t) - p)) AS period"
+            "  FROM d)"
+            " SELECT doc_id AS id, n_tok, CAST(period AS BIGINT) AS period"
+            " FROM p WHERE period IS NOT NULL"
         ),
         "token_dup_spans": (
             # token-native: positional 13-grams of comma-joined token ids

@@ -204,6 +204,8 @@ def main() -> None:
         "dup_loss_mask",
         "shard_manifest",
         "emd_drift",
+        "manifest_diff",
+        "periodic_sequences",
         "quality_survivors",
     ]
     qs = entry.queries()

@@ -495,3 +495,46 @@ def shard_manifest(
             F.bit_xor("_h").alias("checksum"),
         )
     )
+
+
+def manifest_diff(
+    current: DataFrame,
+    baseline: DataFrame,
+    key: str = "file_name",
+) -> DataFrame:
+    """(key, status, n_rows_cur, n_rows_base): diff two
+    ``shard_manifest`` outputs — the incremental-sync / backup-integrity
+    audit. Status: ``added`` (shard only in current), ``removed`` (only
+    in baseline), ``changed`` (present in both, checksum or count
+    differs), ``ok``. ``key`` identifies a shard across the two
+    manifests: ``file_name`` when diffing re-reads/copies of the same
+    physical files; ``min_id`` when diffing independent rewrites whose
+    partitioning (and therefore id ranges) is stable but whose part-file
+    names are not. Metadata-sized on both sides (rows = shard count), so
+    the whole diff is a small full-outer join regardless of corpus
+    size."""
+    cur = current.select(
+        key,
+        F.col("n_rows").alias("n_rows_cur"),
+        F.col("checksum").alias("_ck_cur"),
+    )
+    base = baseline.select(
+        key,
+        F.col("n_rows").alias("n_rows_base"),
+        F.col("checksum").alias("_ck_base"),
+    )
+    j = cur.join(base, key, "full_outer")
+    return j.select(
+        key,
+        F.when(F.col("_ck_base").isNull(), F.lit("added"))
+        .when(F.col("_ck_cur").isNull(), F.lit("removed"))
+        .when(
+            (F.col("_ck_cur") != F.col("_ck_base"))
+            | (F.col("n_rows_cur") != F.col("n_rows_base")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("status"),
+        F.coalesce("n_rows_cur", F.lit(0)).alias("n_rows_cur"),
+        F.coalesce("n_rows_base", F.lit(0)).alias("n_rows_base"),
+    )

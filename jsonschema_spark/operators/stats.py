@@ -679,3 +679,56 @@ def vocab_diversity(
             ).alias("hill2"),
         )
     )
+
+
+def periodic_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    max_period: int = 32,
+) -> DataFrame:
+    """``(id, n_tok, period)``: sequences that are EXACTLY a short phrase
+    looped — ``period`` is the smallest p ≤ max_period with
+    ``tokens[i] == tokens[i-p]`` for every i ≥ p (the whole sequence is
+    its first p tokens cycled, last repeat possibly truncated); rows
+    where no such p exists are dropped. The degenerate-generation
+    detector: a decoding loop ("the the the", "1 2 3 1 2 3 …") is exactly
+    periodic, which ``dup_gram_scale`` (any repeated gram) and
+    ``repetition_ratio`` (duplicate fraction) flag only weakly and a
+    dedup pass not at all (the loop is unique text corpus-wide).
+
+    Scale shape: one scan-stage projection, zero shuffle, zero Python —
+    O(max_period · n_tok) integer comparisons per row; the per-p guard is
+    a CaseWhen (lazy per-branch evaluation) so sequence(1, n-p) never
+    sees p ≥ n (the descending-sequence trap)."""
+    from ..functions.text import let_
+
+    toks = F.col(tokens_col)
+
+    def probe(xs: Column) -> Column:
+        n = F.size(xs)
+
+        def is_period(p: Column) -> Column:
+            return F.when(
+                p < n,
+                F.forall(
+                    F.sequence(F.lit(1), n - p),
+                    lambda i: F.element_at(xs, i + p) == F.element_at(xs, i),
+                ),
+            ).otherwise(F.lit(False))
+
+        cands = F.filter(
+            F.sequence(F.lit(1), F.lit(max_period)).cast("array<int>"),
+            is_period,
+        )
+        return F.array_min(cands)
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.size(toks).cast("long").alias("n_tok"),
+            let_(toks, probe).alias("period"),
+        )
+        .filter(F.col("period").isNotNull())
+        .select("id", "n_tok", F.col("period").cast("long").alias("period"))
+    )

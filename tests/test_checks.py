@@ -249,3 +249,40 @@ def test_shard_manifest_localizes_corruption(spark, tmp_path):
     diffs = [k for k in ma if ma[k] != mc[k]]
     assert len(diffs) == 1  # exactly the shard holding doc 7
     assert diffs[0][1] % 2 == 1 or diffs[0][2] % 2 == 1  # the odd-grp shard
+
+
+def test_manifest_diff_statuses(spark):
+    """All four statuses from hand-built manifests; count-only change is
+    'changed' too."""
+    from jsonschema_spark.operators.checks import manifest_diff
+
+    schema = "file_name string, n_rows long, min_id long, max_id long, checksum long"
+    cur = spark.createDataFrame(
+        [
+            ("f1", 10, 0, 9, 111),    # ok
+            ("f2", 5, 10, 14, 999),   # checksum changed
+            ("f4", 3, 20, 22, 444),   # added
+            ("f5", 7, 30, 36, 555),   # row count changed, checksum same
+        ],
+        schema,
+    )
+    base = spark.createDataFrame(
+        [
+            ("f1", 10, 0, 9, 111),
+            ("f2", 5, 10, 14, 222),
+            ("f3", 2, 40, 41, 333),   # removed
+            ("f5", 6, 30, 36, 555),
+        ],
+        schema,
+    )
+    got = {
+        r.file_name: (r.status, r.n_rows_cur, r.n_rows_base)
+        for r in manifest_diff(cur, base).collect()
+    }
+    assert got == {
+        "f1": ("ok", 10, 10),
+        "f2": ("changed", 5, 5),
+        "f3": ("removed", 0, 2),
+        "f4": ("added", 3, 0),
+        "f5": ("changed", 7, 6),
+    }

@@ -419,3 +419,30 @@ def test_global_shuffle_no_global_sort(spark):
     assert "BroadcastHashJoin" in plan
     assert "Window" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_periodic_sequences_zero_shuffle(spark):
+    """The decoding-loop probe is one scan-stage projection + filter:
+    no exchange, no Python anywhere."""
+    plan = _plan(entry_mod.queries()["periodic_sequences"](spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontam_spans_broadcast_semi_join(spark):
+    """Surgical decontamination: the benchmark gram set broadcasts into a
+    LeftSemi join against the corpus positions — no pair join, no
+    SortMergeJoin, no row Python."""
+    plan = _plan(entry_mod.queries()["decontam_spans"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_shard_manifest_single_agg(spark):
+    """Manifest = one aggregation keyed by file name: exactly one
+    exchange (the final agg), no joins, no Python."""
+    plan = _plan(entry_mod.queries()["shard_manifest"](spark, SF_DIR))
+    assert plan.count("Exchange") <= 2, plan  # partial+final agg exchange
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan

@@ -402,3 +402,33 @@ def test_token_dup_spans_cover_injected_copies(spark):
     ]
     hits = [i for i in clean if i in spans]
     assert not hits, hits[:5]
+
+
+def test_periodic_sequences_min_period(spark):
+    """Exact min-period semantics: cycled sequences report the smallest
+    period (1 for constant, 3 for an abc-loop even though 6 also
+    qualifies); truncated last repeats still count; aperiodic and
+    too-long-period rows are dropped."""
+    from jsonschema_spark.operators.stats import periodic_sequences
+
+    rows = [
+        (1, [7] * 40),                       # constant -> period 1
+        (2, [1, 2, 3] * 10),                 # period 3 (6 also true, min wins)
+        (3, [1, 2, 3, 4, 5] * 4 + [1, 2]),   # truncated repeat -> 5
+        (4, list(range(40))),                # aperiodic
+        (5, [1, 2] * 3),                     # short loop -> 2
+        (6, list(range(20)) * 2),            # period 20 <= 32 -> 20
+        (7, list(range(33)) * 2),            # period 33 > max_period -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    got = {
+        r.id: (r.n_tok, r.period)
+        for r in periodic_sequences(df, "doc_id", "tokens").collect()
+    }
+    assert got == {
+        1: (40, 1),
+        2: (30, 3),
+        3: (22, 5),
+        5: (6, 2),
+        6: (40, 20),
+    }
