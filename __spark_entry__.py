@@ -2633,7 +2633,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # band — and sweep-PASS at sf0.01) wait just outside for the r4
     # rotation, followed by the late additions trigram_sbo, semdedup,
     # padding_waste, stratified_split, and unimax_alloc (each unit-tested
-    # and sweep-PASS at sf0.01).
+    # and sweep-PASS at sf0.01), then the session-4 batch (dup_spans,
+    # dup_span_stats, token_dup_spans, decontam_spans, dup_loss_mask,
+    # periodic_sequences, global_shuffle, quality_survivors,
+    # shard_manifest, manifest_diff, emd_drift — every one sweep-PASS at
+    # sf0.01 and unit-tested). With ~87 never-gated queries and 50 gate
+    # slots, full coverage needs two more rounds of rotation; the full
+    # sweep (scripts/oracle_sweep.py) covers ALL queries every round.
         "script_mojibake": q_script_mojibake,
         "classifier_score": q_classifier_score,
         "corpus_overlap": q_corpus_overlap,
