@@ -2019,6 +2019,23 @@ def q_manifest_diff(spark, sf_dir):
     return manifest_diff(cur, base, key="min_id")
 
 
+def q_classifier_eval(spark, sf_dir):
+    """Filter-QA gate: exact tie-corrected AUC + Brier + accuracy of a
+    length-based score (least(n_chars/600, 1), rounded 6) predicting
+    lang='en' — integer-derived scores exercise the tie correction.
+    AUC computes over the DISTINCT-score histogram, never a global
+    sort."""
+    from jsonschema_spark.operators.checks import classifier_eval
+
+    df = _t(spark, sf_dir, "documents").select(
+        F.round(
+            F.least(F.col("n_chars") / F.lit(600.0), F.lit(1.0)), 6
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    return classifier_eval(df, "score", "label", threshold=0.5)
+
+
 def q_shard_manifest(spark, sf_dir):
     """Content-addressed shard manifest: per physical parquet file, row
     count, id range, and an order-invariant XOR content checksum — the
@@ -2553,6 +2570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "id_gap_audit": q_id_gap_audit,
         "shard_manifest": q_shard_manifest,
         "manifest_diff": q_manifest_diff,
+        "classifier_eval": q_classifier_eval,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -3142,6 +3160,30 @@ def oracle_sql() -> dict[str, str]:
             + " SELECT domain, doc_id FROM (SELECT domain, doc_id,"
             "  row_number() OVER (PARTITION BY domain ORDER BY doc_id) AS rn"
             "  FROM canon) WHERE rn <= 3"
+        ),
+        "classifier_eval": (
+            # exact tie-corrected Mann-Whitney AUC over the distinct-score
+            # histogram; Brier + threshold accuracy as plain aggregates
+            "WITH b AS (SELECT"
+            "  round(least(n_chars / 600.0, 1.0), 6) AS s,"
+            "  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y"
+            " FROM documents),"
+            " t AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,"
+            "  CAST(sum(1 - y) AS BIGINT) AS n_neg,"
+            "  avg(pow(s - y, 2)) AS brier,"
+            "  avg(CASE WHEN (CASE WHEN s >= 0.5 THEN 1 ELSE 0 END) = y"
+            "   THEN 1.0 ELSE 0.0 END) AS acc FROM b),"
+            " h AS (SELECT s, CAST(sum(y) AS DOUBLE) AS pos,"
+            "   CAST(sum(1 - y) AS DOUBLE) AS neg FROM b GROUP BY s),"
+            " n AS (SELECT sum(term) AS num FROM ("
+            "  SELECT pos * (coalesce(sum(neg) OVER (ORDER BY s"
+            "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)"
+            "   + 0.5 * neg) AS term FROM h))"
+            " SELECT n_pos, n_neg,"
+            "  round(CASE WHEN n_pos > 0 AND n_neg > 0"
+            "   THEN num / CAST(n_pos * n_neg AS DOUBLE) END, 6) AS auc,"
+            "  round(brier, 6) AS brier, round(acc, 6) AS accuracy"
+            " FROM t, n"
         ),
         "manifest_diff": (
             # two independent writes, shards keyed by min_id; same row

@@ -206,6 +206,7 @@ def main() -> None:
         "emd_drift",
         "manifest_diff",
         "periodic_sequences",
+        "classifier_eval",
         "quality_survivors",
     ]
     qs = entry.queries()

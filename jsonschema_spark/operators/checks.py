@@ -538,3 +538,66 @@ def manifest_diff(
         F.coalesce("n_rows_cur", F.lit(0)).alias("n_rows_cur"),
         F.coalesce("n_rows_base", F.lit(0)).alias("n_rows_base"),
     )
+
+
+def classifier_eval(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row ``(n_pos, n_neg, auc, brier, accuracy)``: exact evaluation
+    of a classifier score column against binary labels — the QA gate for
+    the quality / language / relevance filters this engine scores with
+    (a filter is itself a data product; before gating a 10^12-row corpus
+    on it, measure it). ``auc`` is the exact Mann-Whitney statistic with
+    the standard tie correction (ties contribute 1/2); null when either
+    class is empty. ``brier`` assumes the score is probability-like in
+    [0, 1]; ``accuracy`` is at ``threshold``.
+
+    Scale shape: Brier/accuracy/class counts are one map-side-combined
+    corpus agg; AUC reduces to a groupBy(score) histogram (rows =
+    DISTINCT scores — bounded for any rounded/quantized score) and a
+    cumulative window over that bounded table, the same O(bins) compare
+    contract as ks/emd. Raw rows are never sorted globally."""
+    y = F.col(label_col).cast("int")
+    s = F.col(score_col).cast("double")
+    base = df.select(s.alias("s"), y.alias("y"))
+    totals = base.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("n_neg"),
+        F.avg(F.pow(F.col("s") - F.col("y"), F.lit(2.0))).alias("_brier"),
+        F.avg(
+            ((F.col("s") >= F.lit(threshold)).cast("int") == F.col("y"))
+            .cast("double")
+        ).alias("_acc"),
+    )
+    hist = base.groupBy("s").agg(
+        F.sum("y").cast("double").alias("_pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("double").alias("_neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    terms = hist.select(
+        (
+            F.col("_pos")
+            * (
+                F.coalesce(F.sum("_neg").over(w), F.lit(0.0))
+                + F.lit(0.5) * F.col("_neg")
+            )
+        ).alias("_t")
+    )
+    num = terms.agg(F.sum("_t").alias("_num"))
+    return totals.crossJoin(F.broadcast(num)).select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("_num") / (F.col("n_pos") * F.col("n_neg")).cast("double"),
+            ),
+            decimals,
+        ).alias("auc"),
+        F.round("_brier", decimals).alias("brier"),
+        F.round("_acc", decimals).alias("accuracy"),
+    )

@@ -286,3 +286,30 @@ def test_manifest_diff_statuses(spark):
         "f4": ("added", 3, 0),
         "f5": ("changed", 7, 6),
     }
+
+
+def test_classifier_eval_exact_auc(spark):
+    """AUC/Brier/accuracy match sklearn-free closed forms on a small
+    hand-checkable set, including score ties across classes (the 1/2
+    contribution) and the degenerate one-class case (auc null)."""
+    from jsonschema_spark.operators.checks import classifier_eval
+
+    rows = [
+        (0.9, 1), (0.8, 1), (0.8, 0), (0.4, 1), (0.3, 0), (0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = classifier_eval(df, "score", "label", threshold=0.5).collect()[0]
+    # pairs (pos, neg): (0.9 vs .8,.3,.1)=3 wins; (0.8 vs .8)=0.5, vs .3,.1 = 2
+    # (0.4 vs .3,.1)=2, vs .8 = 0 -> total 7.5 / 9
+    assert r.n_pos == 3 and r.n_neg == 3
+    assert r.auc == round(7.5 / 9, 6)
+    brier = sum((s - y) ** 2 for s, y in rows) / len(rows)
+    assert r.brier == round(brier, 6)
+    acc = sum(1 for s, y in rows if (1 if s >= 0.5 else 0) == y) / len(rows)
+    assert r.accuracy == round(acc, 6)
+
+    one_class = spark.createDataFrame(
+        [(0.9, 1), (0.2, 1)], "score double, label int"
+    )
+    r1 = classifier_eval(one_class, "score", "label").collect()[0]
+    assert r1.auc is None and r1.n_neg == 0
