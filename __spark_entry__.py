@@ -701,6 +701,32 @@ def q_decontam_spans(spark, sf_dir):
     return contamination_spans(df, "doc_id", "text", bench, "text", n=5)
 
 
+def q_contam_attribution(spark, sf_dir):
+    """Which eval set leaked where: distinct shared 5-grams per
+    (document, benchmark) pair, benchmarks = docs 0-9 each acting as its
+    own eval set. Benchmark gram table broadcasts; corpus grams explode
+    once."""
+    from jsonschema_spark.operators.dedup import contamination_attribution
+
+    df = _t(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return contamination_attribution(
+        df, "doc_id", "text", bench, "bench_id", "text", n=5
+    )
+
+
+def q_source_concentration(spark, sf_dir):
+    """Corpus mixing audit: source count, top share, HHI, and entropy of
+    the document distribution across sources — weighted by n_chars so a
+    verbose crawl shows its true dominance."""
+    from jsonschema_spark.operators.stats import source_concentration
+
+    df = _t(spark, sf_dir, "documents")
+    return source_concentration(df, "source", weight_col="n_chars")
+
+
 def q_token_decontaminate(spark, sf_dir):
     """Decontamination WITHOUT detokenizing (the payload axis is
     pre-tokenized sequences): corpus docs sharing >= 1 token 5-gram with a
@@ -2571,6 +2597,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_manifest": q_shard_manifest,
         "manifest_diff": q_manifest_diff,
         "classifier_eval": q_classifier_eval,
+        "contam_attribution": q_contam_attribution,
+        "source_concentration": q_source_concentration,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -3655,6 +3683,30 @@ def oracle_sql() -> dict[str, str]:
             " hits AS (SELECT doc_id, unnest(gs) AS g FROM cg)"
             " SELECT doc_id AS id, count(*) AS n_hits"
             " FROM hits JOIN bg USING (g) GROUP BY doc_id"
+        ),
+        "contam_attribution": (
+            # per-doc-distinct 5-gram hashes on both sides; benchmarks =
+            # docs 0-9; count per (doc, benchmark)
+            "WITH cg AS (SELECT doc_id, unnest(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-4, 0)),"
+            "   i -> " + _hex60("array_to_string(ws[i:i+4], ' ')") + "))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " bg AS (SELECT DISTINCT doc_id AS bench_id, g FROM cg"
+            "   WHERE doc_id < 10)"
+            " SELECT c.doc_id AS id, b.bench_id, count(*) AS n_shared"
+            " FROM cg c JOIN bg b USING (g) GROUP BY 1, 2"
+        ),
+        "source_concentration": (
+            "WITH c AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS w"
+            "  FROM documents GROUP BY 1),"
+            " t AS (SELECT sum(w) AS tot FROM c),"
+            " s AS (SELECT w / tot AS p FROM c, t)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_sources,"
+            "  round(max(p), 6) AS top_share,"
+            "  round(sum(p * p), 6) AS hhi,"
+            "  round(-sum(CASE WHEN p > 0 THEN p * ln(p) ELSE 0 END), 6)"
+            "   AS entropy"
+            " FROM s"
         ),
         "decontam_spans": (
             # positional 5-grams; benchmark (doc_id < 10) gram set; hits

@@ -207,6 +207,8 @@ def main() -> None:
         "manifest_diff",
         "periodic_sequences",
         "classifier_eval",
+        "contam_attribution",
+        "source_concentration",
         "quality_survivors",
     ]
     qs = entry.queries()

@@ -1960,3 +1960,63 @@ def span_token_mask(
             ).otherwise(F.lit(0)),
         ).alias("mask"),
     )
+
+
+def contamination_attribution(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bench: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    n: int = 5,
+    elements: Column | None = None,
+    bench_elements: Column | None = None,
+    shingle_sep: str = " ",
+) -> DataFrame:
+    """(id, bench_id, n_shared): which EVAL SET leaked into which corpus
+    document, with the distinct shared-gram count per (document,
+    benchmark) pair — ``contaminated_docs`` collapses all benchmarks into
+    one verdict; this attributes the hit so the right eval score gets
+    quarantined. Gram identity is ``portable_hash60`` (the oracle replays
+    it; 60-bit chance collisions are ~1e-10 per corpus-gram x bench-gram
+    pair at gate scale).
+
+    Scale shape: the benchmark side reduces to DISTINCT (bench_id, gram)
+    rows and broadcasts (eval suites are tiny vs the corpus); corpus
+    per-doc-distinct grams explode once and join it — linear in the
+    corpus, output bounded by true (doc, benchmark) overlaps."""
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    if bench_elements is None:
+        bench_elements = words(F.lower(F.col(bench_text_col)))
+    corpus_grams = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    _raw_grams(elements, n, shingle_sep),
+                    lambda g: portable_hash60(g),
+                )
+            )
+        ).alias("g"),
+    )
+    bench_grams = (
+        bench.select(
+            F.col(bench_id_col).alias("bench_id"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        _raw_grams(bench_elements, n, shingle_sep),
+                        lambda g: portable_hash60(g),
+                    )
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -732,3 +732,43 @@ def periodic_sequences(
         .filter(F.col("period").isNotNull())
         .select("id", "n_tok", F.col("period").cast("long").alias("period"))
     )
+
+
+def source_concentration(
+    df: DataFrame,
+    strata_col: str = "source",
+    weight_col: str | None = None,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row ``(n_sources, top_share, hhi, entropy)``: concentration of
+    the corpus across sources — the mixing audit a pretraining recipe
+    reads before and after re-mixing (HHI near 1 = one crawl dominates;
+    entropy in nats; ``weight_col`` weights by tokens/chars instead of
+    documents). Complements ``mix_to_proportions``/``temperature_mix``
+    (which CHANGE the mix) with the measurement of it.
+
+    Scale shape: one map-side-combined groupBy on the source key, then
+    arithmetic over <= |source-registry| rows collapsed to one."""
+    w = F.lit(1).cast("double") if weight_col is None else F.col(
+        weight_col
+    ).cast("double")
+    counts = df.groupBy(F.col(strata_col).alias("_src")).agg(
+        F.sum(w).alias("_w")
+    )
+    tot = counts.agg(F.sum("_w").alias("_tot"))
+    shares = counts.crossJoin(F.broadcast(tot)).select(
+        (F.col("_w") / F.col("_tot")).alias("p")
+    )
+    return shares.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.round(F.max("p"), decimals).alias("top_share"),
+        F.round(F.sum(F.col("p") * F.col("p")), decimals).alias("hhi"),
+        F.round(
+            -F.sum(
+                F.when(F.col("p") > 0, F.col("p") * F.log(F.col("p"))).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            decimals,
+        ).alias("entropy"),
+    )

@@ -313,3 +313,25 @@ def test_classifier_eval_exact_auc(spark):
     )
     r1 = classifier_eval(one_class, "score", "label").collect()[0]
     assert r1.auc is None and r1.n_neg == 0
+
+
+def test_source_concentration_closed_form(spark):
+    import math
+
+    from jsonschema_spark.operators.stats import source_concentration
+
+    # doc-count mode: shares 0.5 / 0.25 / 0.25
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("b", 5), ("c", 15)], "src string, w long"
+    )
+    r = source_concentration(df, "src").collect()[0]
+    assert r.n_sources == 3 and r.top_share == 0.5
+    assert r.hhi == round(0.25 + 0.0625 + 0.0625, 6)
+    h = -(0.5 * math.log(0.5) + 2 * 0.25 * math.log(0.25))
+    assert r.entropy == round(h, 6)
+
+    # weighted: a=40/60, b=5/60, c=15/60
+    rw = source_concentration(df, "src", weight_col="w").collect()[0]
+    ps = [40 / 60, 5 / 60, 15 / 60]
+    assert rw.top_share == round(max(ps), 6)
+    assert rw.hhi == round(sum(p * p for p in ps), 6)

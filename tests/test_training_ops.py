@@ -1491,3 +1491,27 @@ def test_span_token_mask_matches_spans(spark):
         assert mask == expect
         assert n_masked == sum(expect)
     assert out[3][2] == [0] * 6
+
+
+def test_contamination_attribution_per_benchmark(spark):
+    """Each (doc, benchmark) overlap reports its own distinct-gram count;
+    a doc overlapping two benchmarks yields two rows; clean docs none."""
+    from jsonschema_spark.operators.dedup import contamination_attribution
+
+    bench_rows = [(100, "q1 q2 q3 q4"), (101, "m1 m2 m3 m4 m5")]
+    corpus_rows = [
+        (1, "x q1 q2 q3 q4 y m1 m2 m3 z"),  # hits both
+        (2, "m1 m2 m3 m4 m5 m1 m2 m3 m4 m5"),  # hits 101 only, dup grams once
+        (3, "clean words here only now"),
+    ]
+    df = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["bench_id", "text"])
+    got = {
+        (r.id, r.bench_id): r.n_shared
+        for r in contamination_attribution(
+            df, "doc_id", "text", bench, "bench_id", "text", n=3
+        ).collect()
+    }
+    # doc1 x bench100: grams q1q2q3, q2q3q4 -> 2; doc1 x bench101: m1m2m3 -> 1
+    # doc2 x bench101: m1m2m3, m2m3m4, m3m4m5 -> 3 (per-doc distinct)
+    assert got == {(1, 100): 2, (1, 101): 1, (2, 101): 3}
