@@ -367,3 +367,41 @@ def test_streaming_neardup_ingest_greedy_invariants(spark, tmp_path):
     assert [(s["n_in"], s["n_new"], s["n_dropped"]) for s in stats3] == [(2, 1, 1)]
     final = {r.doc_id for r in spark.read.parquet(corpus_dir).select("doc_id").collect()}
     assert 9002 in final and 9001 not in final
+
+
+def test_streaming_manifest_matches_batch(spark, tmp_path):
+    """Per-micro-batch shard manifests (maxFilesPerTrigger=1, so one file
+    per batch) accumulate to exactly the batch shard_manifest of the same
+    directory — same file names, counts, id ranges, checksums — and the
+    state table carries one batch_id per input file."""
+    from jsonschema_spark.operators.checks import shard_manifest
+    from jsonschema_spark.streaming.manifest import run_manifest_stream
+
+    d = tmp_path / "m_in"
+    base = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        base.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(str(d))
+
+    out = str(tmp_path / "m_out")
+    stream = (
+        spark.readStream.schema("doc_id long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = run_manifest_stream(
+        stream, "doc_id", out, str(tmp_path / "m_ck")
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out)
+    batch = shard_manifest(spark.read.parquet(str(d)), "doc_id")
+    key = lambda r: r.file_name
+    g = {key(r): (r.n_rows, r.min_id, r.max_id, r.checksum) for r in got.collect()}
+    b = {key(r): (r.n_rows, r.min_id, r.max_id, r.checksum) for r in batch.collect()}
+    assert g == b and len(g) == 3
+    assert got.select("batch_id").distinct().count() == 3
