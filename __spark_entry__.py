@@ -701,6 +701,18 @@ def q_decontam_spans(spark, sf_dir):
     return contamination_spans(df, "doc_id", "text", bench, "text", n=5)
 
 
+def q_neardup_threshold_curve(spark, sf_dir):
+    """Dedup threshold chosen from data: pairs and affected docs at each
+    candidate Jaccard threshold 0.5-0.9 (3-gram shingles). 64 bands of 2
+    make the 0.5 floor recall-exact (1-1e-8); candidates are verified
+    with exact Jaccard, so the oracle is the brute-force pair set with
+    the j >= 0.5 size-ratio prefilter."""
+    from jsonschema_spark.operators.dedup import neardup_threshold_curve
+
+    df = _t(spark, sf_dir, "documents")
+    return neardup_threshold_curve(df, "doc_id", "text")
+
+
 def q_contam_attribution(spark, sf_dir):
     """Which eval set leaked where: distinct shared 5-grams per
     (document, benchmark) pair, benchmarks = docs 0-9 each acting as its
@@ -2598,6 +2610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "manifest_diff": q_manifest_diff,
         "classifier_eval": q_classifier_eval,
         "contam_attribution": q_contam_attribution,
+        "neardup_threshold_curve": q_neardup_threshold_curve,
         "source_concentration": q_source_concentration,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
@@ -3683,6 +3696,34 @@ def oracle_sql() -> dict[str, str]:
             " hits AS (SELECT doc_id, unnest(gs) AS g FROM cg)"
             " SELECT doc_id AS id, count(*) AS n_hits"
             " FROM hits JOIN bg USING (g) GROUP BY doc_id"
+        ),
+        "neardup_threshold_curve": (
+            # brute-force exact-Jaccard pairs at the 0.5 floor (size-ratio
+            # prefilter *2), expanded per threshold; the LSH side is
+            # recall-exact at this floor (64 bands of 2)
+            "WITH sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " pairs AS (SELECT id_a, id_b, j FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   round(CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END, 6) AS j"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 2 >= len(b.g) AND len(b.g) * 2 >= len(a.g))"
+            "  WHERE j >= 0.5),"
+            " t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)"
+            "   AS threshold),"
+            " f AS (SELECT t.threshold, p.id_a, p.id_b FROM pairs p"
+            "   JOIN t ON p.j >= t.threshold),"
+            " cp AS (SELECT threshold, count(*) AS n_pairs FROM f GROUP BY 1),"
+            " cd AS (SELECT threshold, count(DISTINCT id) AS n_docs FROM ("
+            "   SELECT threshold, unnest([id_a, id_b]) AS id FROM f)"
+            "  GROUP BY 1)"
+            " SELECT cp.threshold, CAST(cp.n_pairs AS BIGINT) AS n_pairs,"
+            "  CAST(cd.n_docs AS BIGINT) AS n_docs"
+            " FROM cp JOIN cd USING (threshold)"
         ),
         "contam_attribution": (
             # per-doc-distinct 5-gram hashes on both sides; benchmarks =

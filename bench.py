@@ -209,6 +209,7 @@ def main() -> None:
         "classifier_eval",
         "contam_attribution",
         "source_concentration",
+        "neardup_threshold_curve",
         "quality_survivors",
     ]
     qs = entry.queries()

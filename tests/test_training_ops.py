@@ -1515,3 +1515,38 @@ def test_contamination_attribution_per_benchmark(spark):
     # doc1 x bench100: grams q1q2q3, q2q3q4 -> 2; doc1 x bench101: m1m2m3 -> 1
     # doc2 x bench101: m1m2m3, m2m3m4, m3m4m5 -> 3 (per-doc distinct)
     assert got == {(1, 100): 2, (1, 101): 1, (2, 101): 3}
+
+
+def test_neardup_threshold_curve_matches_exact(spark, docs_with_dups):
+    """The curve equals the brute-force exact-pair curve at every
+    threshold (LSH floor 0.5 with 64x2 bands is recall-exact here), and
+    is monotone non-increasing in both columns."""
+    from jsonschema_spark.operators.dedup import (
+        near_dup_pairs_exact,
+        neardup_threshold_curve,
+    )
+
+    exact = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in near_dup_pairs_exact(
+            docs_with_dups, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    ]
+    ts = (0.5, 0.6, 0.7, 0.8, 0.9)
+    expect = {}
+    for t in ts:
+        sel = [(a, b) for a, b, j in exact if j >= t]
+        docs = {x for p in sel for x in p}
+        expect[t] = (len(sel), len(docs))
+
+    got = {
+        r.threshold: (r.n_pairs, r.n_docs)
+        for r in neardup_threshold_curve(
+            docs_with_dups, "doc_id", "text", thresholds=ts
+        ).collect()
+    }
+    assert got == expect
+    pairs_seq = [got[t][0] for t in ts]
+    docs_seq = [got[t][1] for t in ts]
+    assert pairs_seq == sorted(pairs_seq, reverse=True)
+    assert docs_seq == sorted(docs_seq, reverse=True)
