@@ -729,6 +729,19 @@ def q_contam_attribution(spark, sf_dir):
     )
 
 
+def q_source_relative_filter(spark, sf_dir):
+    """Per-source RELATIVE quality filter: keep each source's top 60% by
+    n_chars (cut = exact per-source 0.4 quantile, ties kept) — preserves
+    the source mix while dropping each source's own worst; the keep
+    decision is a scan-stage comparison against broadcast thresholds."""
+    from jsonschema_spark.operators.sampling import source_relative_filter
+
+    df = _t(spark, sf_dir, "documents")
+    return source_relative_filter(
+        df, "doc_id", "n_chars", "source", keep_frac=0.6
+    )
+
+
 def q_source_concentration(spark, sf_dir):
     """Corpus mixing audit: source count, top share, HHI, and entropy of
     the document distribution across sources — weighted by n_chars so a
@@ -2612,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contam_attribution": q_contam_attribution,
         "neardup_threshold_curve": q_neardup_threshold_curve,
         "source_concentration": q_source_concentration,
+        "source_relative_filter": q_source_relative_filter,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -3736,6 +3750,15 @@ def oracle_sql() -> dict[str, str]:
             "   WHERE doc_id < 10)"
             " SELECT c.doc_id AS id, b.bench_id, count(*) AS n_shared"
             " FROM cg c JOIN bg b USING (g) GROUP BY 1, 2"
+        ),
+        "source_relative_filter": (
+            "WITH th AS (SELECT source,"
+            "  round(quantile_cont(CAST(n_chars AS DOUBLE), 0.4), 6) AS cut"
+            "  FROM documents GROUP BY 1)"
+            " SELECT d.doc_id, d.source,"
+            "  CAST(d.n_chars AS DOUBLE) AS score, th.cut"
+            " FROM documents d JOIN th USING (source)"
+            " WHERE CAST(d.n_chars AS DOUBLE) >= th.cut"
         ),
         "source_concentration": (
             "WITH c AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS w"

@@ -210,6 +210,7 @@ def main() -> None:
         "contam_attribution",
         "source_concentration",
         "neardup_threshold_curve",
+        "source_relative_filter",
         "quality_survivors",
     ]
     qs = entry.queries()

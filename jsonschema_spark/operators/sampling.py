@@ -427,3 +427,50 @@ def global_shuffle_order(
             ),
         )
     )
+
+
+def source_relative_filter(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    strata_col: str = "source",
+    keep_frac: float = 0.6,
+    exact: bool = True,
+    decimals: int = 6,
+) -> DataFrame:
+    """Keep each source's TOP ``keep_frac`` by score — per-source RELATIVE
+    quality filtering: an absolute threshold keeps nearly all of a
+    high-scoring source and nearly none of a low-scoring one, collapsing
+    the mix; the relative form drops each source's own worst while
+    preserving source proportions. Returns ``(id, strata, score, cut)``
+    for kept rows, where ``cut`` is the source's exact
+    ``1 - keep_frac`` quantile (linear interpolation; ties at the cut are
+    kept, so the realized fraction can slightly exceed ``keep_frac`` —
+    deterministic on any engine).
+
+    Scale shape: one groupBy(strata) percentile aggregate (``exact=True``
+    uses exact ``percentile`` for oracle parity — its per-group state is
+    a value list, so at 10^12 rows pass ``exact=False`` for
+    ``approx_percentile``, same plan shape); the registry-sized threshold
+    table broadcasts back and the keep decision is a scan-stage
+    comparison — the corpus is never sorted, windowed, or re-shuffled."""
+    q = 1.0 - keep_frac
+    s = F.col(score_col).cast("double")
+    pct = (
+        F.percentile(s, F.lit(q)) if exact else F.percentile_approx(s, F.lit(q))
+    )
+    cuts = df.groupBy(F.col(strata_col).alias("_st")).agg(
+        F.round(pct, decimals).alias("cut")
+    )
+    return (
+        df.join(
+            F.broadcast(cuts), df[strata_col] == cuts["_st"]
+        )
+        .filter(s >= F.col("cut"))
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            s.alias("score"),
+            "cut",
+        )
+    )

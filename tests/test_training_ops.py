@@ -1550,3 +1550,27 @@ def test_neardup_threshold_curve_matches_exact(spark, docs_with_dups):
     docs_seq = [got[t][1] for t in ts]
     assert pairs_seq == sorted(pairs_seq, reverse=True)
     assert docs_seq == sorted(docs_seq, reverse=True)
+
+
+def test_source_relative_filter_per_source_cut(spark):
+    """Each source keeps its own top keep_frac by score (ties at the cut
+    kept); a low-scoring source is NOT wiped out by a high-scoring one."""
+    from jsonschema_spark.operators.sampling import source_relative_filter
+
+    rows = (
+        # source a: scores 1..10 ; source b: scores 101..110
+        [(i, "a", i) for i in range(1, 11)]
+        + [(100 + i, "b", 100 + i) for i in range(1, 11)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, src string, score long")
+    kept = {
+        r.doc_id: r.cut
+        for r in source_relative_filter(
+            df, "doc_id", "score", "src", keep_frac=0.6
+        ).collect()
+    }
+    # 0.4 quantile of 1..10 (linear interp) = 4.6 -> keep scores >= 4.6
+    assert {d for d in kept if d < 100} == {5, 6, 7, 8, 9, 10}
+    assert {d for d in kept if d > 100} == {105, 106, 107, 108, 109, 110}
+    assert all(c == 4.6 for d, c in kept.items() if d < 100)
+    assert all(c == 104.6 for d, c in kept.items() if d > 100)
