@@ -1985,6 +1985,44 @@ def q_url_dedup_groups(spark, sf_dir):
     )
 
 
+def q_url_content_conflicts(spark, sf_dir):
+    """Crawl QA: canonical URLs whose documents disagree in CONTENT (same
+    page fetched with different payloads — staleness, soft-404s, A/B
+    shells): per conflicting URL, doc count, distinct content
+    fingerprints, and the keeper. Same synthesized-URL canonicalizer
+    contract as url_dedup_groups; fingerprint = md5 of the normalized
+    text."""
+    from jsonschema_spark.functions.text import fingerprint
+    from jsonschema_spark.functions.url import synth_url, url_normalize
+
+    df = _t(spark, sf_dir, "documents")
+    return (
+        df.select(
+            "doc_id",
+            url_normalize(synth_url(F.col("doc_id"))).alias("url"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fp").alias("n_variants"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        .filter(F.col("n_variants") > 1)
+    )
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Pre-flight skew check for a join/groupBy key: rows-per-key
+    distribution of lineitem.l_orderkey (the engine's salting decisions
+    start here — skew_ratio near 1 means plain hash partitioning
+    balances)."""
+    from jsonschema_spark.operators.checks import key_skew_profile
+
+    df = _t(spark, sf_dir, "lineitem")
+    return key_skew_profile(df, "l_orderkey")
+
+
 def q_domain_cap(spark, sf_dir):
     """Per-registered-domain document cap (k=3, ordered by doc_id) — the
     host-share bound every crawl mixture applies so one domain cannot
@@ -2626,6 +2664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_threshold_curve": q_neardup_threshold_curve,
         "source_concentration": q_source_concentration,
         "source_relative_filter": q_source_relative_filter,
+        "url_content_conflicts": q_url_content_conflicts,
+        "key_skew_profile": q_key_skew_profile,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -3750,6 +3790,26 @@ def oracle_sql() -> dict[str, str]:
             "   WHERE doc_id < 10)"
             " SELECT c.doc_id AS id, b.bench_id, count(*) AS n_shared"
             " FROM cg c JOIN bg b USING (g) GROUP BY 1, 2"
+        ),
+        "url_content_conflicts": (
+            _URL_CTE
+            + " SELECT c.url, count(*) AS n_docs,"
+            f"  count(DISTINCT md5({_NORM})) AS n_variants,"
+            "  min(c.doc_id) AS keep_id"
+            " FROM canon c JOIN documents d ON d.doc_id = c.doc_id"
+            " GROUP BY c.url"
+            f" HAVING count(DISTINCT md5({_NORM})) > 1"
+        ),
+        "key_skew_profile": (
+            "WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem"
+            "  GROUP BY 1)"
+            " SELECT CAST(count(*) AS BIGINT) AS n_keys,"
+            "  CAST(sum(c) AS BIGINT) AS n_rows,"
+            "  CAST(max(c) AS BIGINT) AS max_count,"
+            "  round(quantile_cont(CAST(c AS DOUBLE), 0.99), 6) AS p99_count,"
+            "  round(avg(c), 6) AS avg_count,"
+            "  round(CAST(max(c) AS DOUBLE) / avg(c), 6) AS skew_ratio"
+            " FROM c"
         ),
         "source_relative_filter": (
             "WITH th AS (SELECT source,"

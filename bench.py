@@ -211,6 +211,8 @@ def main() -> None:
         "source_concentration",
         "neardup_threshold_curve",
         "source_relative_filter",
+        "url_content_conflicts",
+        "key_skew_profile",
         "quality_survivors",
     ]
     qs = entry.queries()

@@ -601,3 +601,38 @@ def classifier_eval(
         F.round("_brier", decimals).alias("brier"),
         F.round("_acc", decimals).alias("accuracy"),
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row ``(n_keys, n_rows, max_count, p99_count, avg_count,
+    skew_ratio)``: the rows-per-key distribution of a prospective join /
+    groupBy key — the pre-flight check behind every salting decision in
+    this engine (the north rule handles skew "via explicit salting and
+    AQE-tuned shuffle partitioning"; this measures whether a key needs
+    it: skew_ratio = max/avg near 1 means hash partitioning balances,
+    hundreds means the top key needs a salt or an AQE skew split).
+
+    Scale shape: one map-side-combined groupBy(key) count; every profile
+    statistic then aggregates the KEY-COUNT table (rows = distinct keys),
+    not the corpus. The exact percentile over that table is for oracle
+    parity — swap ``percentile`` for ``approx_percentile`` past ~10^8
+    distinct keys (same plan shape)."""
+    counts = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return counts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.max("_c").cast("long").alias("max_count"),
+        F.round(F.percentile(F.col("_c").cast("double"), F.lit(0.99)), decimals).alias(
+            "p99_count"
+        ),
+        F.round(F.avg("_c"), decimals).alias("avg_count"),
+        F.round(
+            F.max("_c").cast("double") / F.avg("_c"), decimals
+        ).alias("skew_ratio"),
+    )

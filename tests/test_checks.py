@@ -335,3 +335,16 @@ def test_source_concentration_closed_form(spark):
     ps = [40 / 60, 5 / 60, 15 / 60]
     assert rw.top_share == round(max(ps), 6)
     assert rw.hhi == round(sum(p * p for p in ps), 6)
+
+
+def test_key_skew_profile_closed_form(spark):
+    from jsonschema_spark.operators.checks import key_skew_profile
+
+    # keys: a x 8, b x 1, c x 1 -> n_keys 3, max 8, avg 10/3, ratio 2.4
+    df = spark.createDataFrame([("a",)] * 8 + [("b",), ("c",)], "k string")
+    r = key_skew_profile(df, "k").collect()[0]
+    assert r.n_keys == 3 and r.n_rows == 10 and r.max_count == 8
+    assert r.avg_count == round(10 / 3, 6)
+    assert r.skew_ratio == round(8 / (10 / 3), 6)
+    # p99 over counts [1, 1, 8] (quantile_cont): 1 + 0.98*7 = 7.86
+    assert r.p99_count == round(1 + 0.98 * 7, 6)
