@@ -1710,6 +1710,22 @@ def q_token_parity(spark, sf_dir):
     return token_parity(_parity_corpus(spark), _token_corpus(spark))
 
 
+def q_snapshot_churn(spark, sf_dir):
+    """Ops summary over the parity fixture pair: how many docs were
+    added / removed / changed / unchanged between the golden token corpus
+    and its perturbed 'current' snapshot — the single alert number where
+    token_parity gives the per-row detail."""
+    from jsonschema_spark.operators.checks import snapshot_churn
+    from jsonschema_spark.operators.dedup import token_content_hash
+
+    return snapshot_churn(
+        _parity_corpus(spark),
+        _token_corpus(spark),
+        "doc_id",
+        token_content_hash(F.col("tokens")),
+    )
+
+
 def q_token_sketch_drift(spark, sf_dir):
     """North rule: PSI on token-frequency sketches vs a baseline snapshot —
     the leading slice (doc_id < 500) of the tokenized corpus vs the whole
@@ -2666,6 +2682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_relative_filter": q_source_relative_filter,
         "url_content_conflicts": q_url_content_conflicts,
         "key_skew_profile": q_key_skew_profile,
+        "snapshot_churn": q_snapshot_churn,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -3360,6 +3377,22 @@ def oracle_sql() -> dict[str, str]:
             _AUDIO_FP_CTE
             + " SELECT phash, count(*) AS n_docs, min(d) AS keep_id"
             " FROM hashes GROUP BY phash HAVING count(*) > 1"
+        ),
+        "snapshot_churn": (
+            "WITH c AS (SELECT doc_id, md5(array_to_string(tokens, ',')) AS f"
+            f"  FROM read_parquet('{_parity_corpus_path()}/*.parquet')),"
+            " b AS (SELECT doc_id, md5(array_to_string(tokens, ',')) AS f"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " j AS (SELECT c.f AS fc, b.f AS fb"
+            "  FROM c FULL OUTER JOIN b ON c.doc_id = b.doc_id)"
+            " SELECT CAST(sum(CASE WHEN fb IS NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_added,"
+            "  CAST(sum(CASE WHEN fc IS NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_removed,"
+            "  CAST(sum(CASE WHEN fc IS NOT NULL AND fb IS NOT NULL"
+            "   AND fc <> fb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,"
+            "  CAST(sum(CASE WHEN fc = fb THEN 1 ELSE 0 END) AS BIGINT)"
+            "   AS n_same FROM j"
         ),
         "token_parity": (
             "WITH c AS (SELECT doc_id, tokens AS cur"

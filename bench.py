@@ -213,6 +213,7 @@ def main() -> None:
         "source_relative_filter",
         "url_content_conflicts",
         "key_skew_profile",
+        "snapshot_churn",
         "quality_survivors",
     ]
     qs = entry.queries()

@@ -636,3 +636,37 @@ def key_skew_profile(
             F.max("_c").cast("double") / F.avg("_c"), decimals
         ).alias("skew_ratio"),
     )
+
+
+def snapshot_churn(
+    current: DataFrame,
+    baseline: DataFrame,
+    id_col: str,
+    fingerprint: "Column",
+) -> DataFrame:
+    """One row ``(n_added, n_removed, n_changed, n_same)``: document-level
+    churn between two corpus snapshots — the ops summary over the same
+    full-outer-join shape whose per-row detail ``token_parity`` emits
+    (parity says WHERE each pair diverges; churn says HOW MUCH moved, the
+    number an ingest-regression alert thresholds on). ``fingerprint`` is
+    any content-hash Column evaluated on both sides (e.g.
+    ``token_content_hash``).
+
+    Scale shape: one full-outer join on the uniform id key, then a single
+    map-side-combined conditional-count aggregate — no row detail is
+    collected or shuffled twice."""
+    cur = current.select(F.col(id_col).alias("_id"), fingerprint.alias("_fc"))
+    base = baseline.select(F.col(id_col).alias("_id"), fingerprint.alias("_fb"))
+    j = cur.join(base, "_id", "full_outer")
+    return j.agg(
+        F.sum(F.col("_fb").isNull().cast("long")).alias("n_added"),
+        F.sum(F.col("_fc").isNull().cast("long")).alias("n_removed"),
+        F.sum(
+            (
+                F.col("_fc").isNotNull()
+                & F.col("_fb").isNotNull()
+                & (F.col("_fc") != F.col("_fb"))
+            ).cast("long")
+        ).alias("n_changed"),
+        F.sum((F.col("_fc") == F.col("_fb")).cast("long")).alias("n_same"),
+    )

@@ -348,3 +348,18 @@ def test_key_skew_profile_closed_form(spark):
     assert r.skew_ratio == round(8 / (10 / 3), 6)
     # p99 over counts [1, 1, 8] (quantile_cont): 1 + 0.98*7 = 7.86
     assert r.p99_count == round(1 + 0.98 * 7, 6)
+
+
+def test_snapshot_churn_counts(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.checks import snapshot_churn
+
+    base = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (4, "w")], "doc_id long, payload string"
+    )
+    cur = spark.createDataFrame(
+        [(1, "x"), (2, "CHANGED"), (5, "new")], "doc_id long, payload string"
+    )
+    r = snapshot_churn(cur, base, "doc_id", F.md5("payload")).collect()[0]
+    assert (r.n_added, r.n_removed, r.n_changed, r.n_same) == (1, 2, 1, 1)
