@@ -1726,6 +1726,28 @@ def q_snapshot_churn(spark, sf_dir):
     )
 
 
+def q_vocab_churn(spark, sf_dir):
+    """Tokenizer-skew QA: distinct-token-id set difference between the
+    perturbed 'current' snapshot and the golden token corpus — the
+    injected out-of-vocab token 999 reports as new; the drop/truncation
+    perturbations can retire rare ids."""
+    from jsonschema_spark.operators.stats import vocab_churn
+
+    return vocab_churn(_parity_corpus(spark), _token_corpus(spark))
+
+
+def q_lang_mismatch(spark, sf_dir):
+    """Metadata-vs-content QA: per source, the Wilson-bounded rate of
+    documents whose CLAIMED lang tag disagrees with the n-gram language
+    id of the text — a mislabeled-source detector built by composing
+    lang_id with the generic wilson_rates check."""
+    from jsonschema_spark.functions.text import lang_id
+    from jsonschema_spark.operators.checks import wilson_rates
+
+    df = _t(spark, sf_dir, "documents")
+    return wilson_rates(df, "source", lang_id(F.col("text")) != F.col("lang"))
+
+
 def q_token_sketch_drift(spark, sf_dir):
     """North rule: PSI on token-frequency sketches vs a baseline snapshot —
     the leading slice (doc_id < 500) of the tokenized corpus vs the whole
@@ -2683,6 +2705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_content_conflicts": q_url_content_conflicts,
         "key_skew_profile": q_key_skew_profile,
         "snapshot_churn": q_snapshot_churn,
+        "vocab_churn": q_vocab_churn,
+        "lang_mismatch": q_lang_mismatch,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -3393,6 +3417,50 @@ def oracle_sql() -> dict[str, str]:
             "   AND fc <> fb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,"
             "  CAST(sum(CASE WHEN fc = fb THEN 1 ELSE 0 END) AS BIGINT)"
             "   AS n_same FROM j"
+        ),
+        "vocab_churn": (
+            "WITH c AS (SELECT DISTINCT unnest(tokens) AS t"
+            f"  FROM read_parquet('{_parity_corpus_path()}/*.parquet')),"
+            " b AS (SELECT DISTINCT unnest(tokens) AS t"
+            f"  FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " j AS (SELECT c.t AS tc, b.t AS tb"
+            "  FROM c FULL OUTER JOIN b ON c.t = b.t)"
+            " SELECT CAST(sum(CASE WHEN tb IS NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_new,"
+            "  CAST(sum(CASE WHEN tc IS NULL THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_gone,"
+            "  CAST(sum(CASE WHEN tc IS NOT NULL AND tb IS NOT NULL"
+            "   THEN 1 ELSE 0 END) AS BIGINT) AS n_shared FROM j"
+        ),
+        "lang_mismatch": (
+            # per-doc lang_id CASE ladder (same twin as lang_id_counts),
+            # then the wilson formula from source_violation_rates
+            "WITH r AS (SELECT source, lang,"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('de')}, w))) / CAST(len(ws) AS DOUBLE) AS r_de,"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('en')}, w))) / CAST(len(ws) AS DOUBLE) AS r_en,"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('es')}, w))) / CAST(len(ws) AS DOUBLE) AS r_es,"
+            f"  len(list_filter(ws, w -> list_contains({_stoplist('fr')}, w))) / CAST(len(ws) AS DOUBLE) AS r_fr"
+            f" FROM (SELECT source, lang, {_WS} AS ws FROM documents)),"
+            " pred AS (SELECT source, lang,"
+            "  CASE WHEN greatest(r_de, r_en, r_es, r_fr) <= 0 THEN 'und'"
+            "   WHEN r_fr >= r_es AND r_fr >= r_en AND r_fr >= r_de THEN 'fr'"
+            "   WHEN r_es >= r_en AND r_es >= r_de THEN 'es'"
+            "   WHEN r_en >= r_de THEN 'en' ELSE 'de' END AS lang_pred"
+            "  FROM r),"
+            " agg AS (SELECT source, count(*) AS n,"
+            "   CAST(count(*) FILTER (WHERE lang_pred <> lang) AS BIGINT)"
+            "    AS fails FROM pred GROUP BY source),"
+            " w AS (SELECT source, n, fails,"
+            "   fails / CAST(n AS DOUBLE) AS p,"
+            "   1.96 * 1.96 AS z2, CAST(n AS DOUBLE) AS nd FROM agg)"
+            " SELECT source, n, fails, round(p, 6) AS rate,"
+            "  round(greatest((p + z2 / (2 * nd)) / (1 + z2 / nd)"
+            "   - 1.96 * sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd))"
+            "     / (1 + z2 / nd), 0.0), 6) AS wilson_lo,"
+            "  round(least((p + z2 / (2 * nd)) / (1 + z2 / nd)"
+            "   + 1.96 * sqrt(p * (1 - p) / nd + z2 / (4 * nd * nd))"
+            "     / (1 + z2 / nd), 1.0), 6) AS wilson_hi"
+            " FROM w"
         ),
         "token_parity": (
             "WITH c AS (SELECT doc_id, tokens AS cur"

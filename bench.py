@@ -214,6 +214,8 @@ def main() -> None:
         "url_content_conflicts",
         "key_skew_profile",
         "snapshot_churn",
+        "vocab_churn",
+        "lang_mismatch",
         "quality_survivors",
     ]
     qs = entry.queries()

@@ -772,3 +772,36 @@ def source_concentration(
             decimals,
         ).alias("entropy"),
     )
+
+
+def vocab_churn(
+    current: DataFrame,
+    baseline: DataFrame,
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """One row ``(n_new, n_gone, n_shared)``: distinct-token-id set
+    difference between two corpus snapshots — the tokenizer-version-skew
+    QA gate (a tokenizer upgrade, vocab remap, or id-shift bug shows up
+    as MASS churn of token ids; honest corpus growth adds a handful of
+    rare ids). Complements ``token_sketch_drift`` (frequency shape) with
+    set membership.
+
+    Scale shape: each side reduces to its distinct token-id set via
+    explode + map-side-combined groupBy (rows ≤ vocab per side); the
+    full-outer join and counts run over two vocab-bounded tables."""
+
+    def vocab(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(F.col(tokens_col)).alias("t"))
+            .groupBy("t")
+            .agg(F.lit(1).alias(name))
+        )
+
+    j = vocab(current, "_c").join(vocab(baseline, "_b"), "t", "full_outer")
+    return j.agg(
+        F.sum(F.col("_b").isNull().cast("long")).alias("n_new"),
+        F.sum(F.col("_c").isNull().cast("long")).alias("n_gone"),
+        F.sum(
+            (F.col("_c").isNotNull() & F.col("_b").isNotNull()).cast("long")
+        ).alias("n_shared"),
+    )

@@ -432,3 +432,17 @@ def test_periodic_sequences_min_period(spark):
         5: (6, 2),
         6: (40, 20),
     }
+
+
+def test_vocab_churn_set_difference(spark):
+    from jsonschema_spark.operators.stats import vocab_churn
+
+    base = spark.createDataFrame(
+        [(1, [1, 2, 3]), (2, [3, 4])], "doc_id long, tokens array<int>"
+    )
+    cur = spark.createDataFrame(
+        [(1, [2, 3, 99]), (2, [3, 98])], "doc_id long, tokens array<int>"
+    )
+    r = vocab_churn(cur, base).collect()[0]
+    # cur vocab {2,3,98,99}; base vocab {1,2,3,4}
+    assert (r.n_new, r.n_gone, r.n_shared) == (2, 2, 2)
