@@ -36,6 +36,7 @@ JOB_SCRIPTS = {
     "winnow": "winnow_scaling_job.py",
     "increm": "increm_scaling_job.py",
     "dupspans": "dupspans_scaling_job.py",
+    "shuffle": "shuffle_scaling_job.py",
 }
 
 
