@@ -1726,6 +1726,81 @@ def q_snapshot_churn(spark, sf_dir):
     )
 
 
+def _embedding_parity_paths() -> tuple[str, str]:
+    import os
+
+    cache = os.environ.get("BENCH_CACHE_DIR", "/tmp/jsonschema_spark_bench")
+    return (
+        os.path.join(cache, "emb_parity_golden_seed9.parquet"),
+        os.path.join(cache, "emb_parity_current_seed9.parquet"),
+    )
+
+
+def _embedding_parity_frames(spark):
+    """Deterministic 800x16 float embedding snapshot + perturbed twin
+    (drop %97==3, +1e-3 on dim 1 for %89==5, last dim truncated for
+    %83==11, re-emit %79==2 under id+100000) — both materialized once,
+    read by both engines."""
+    import os
+
+    gp, cp = _embedding_parity_paths()
+    if not (os.path.isdir(gp) and os.path.isdir(cp)):
+        dims = list(range(1, 17))
+        vec = F.array(
+            *[
+                (
+                    F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(1000))
+                    / F.lit(1000.0)
+                ).cast("float")
+                for d in dims
+            ]
+        )
+        g = spark.range(800).select(
+            F.col("id").alias("vec_id"), vec.alias("embedding")
+        )
+        g.repartition(4).write.mode("overwrite").parquet(gp)
+        vid = F.col("vec_id")
+        e = F.col("embedding")
+        cur = (
+            g.filter(F.pmod(vid, F.lit(97)) != 3)
+            .select(
+                "vec_id",
+                F.when(
+                    F.pmod(vid, F.lit(89)) == 5,
+                    F.concat(
+                        F.array(
+                            (F.element_at(e, 1).cast("double") + F.lit(1e-3))
+                            .cast("float")
+                        ),
+                        F.slice(e, 2, F.size(e) - 1),
+                    ),
+                )
+                .when(F.pmod(vid, F.lit(83)) == 11, F.slice(e, 1, F.size(e) - 1))
+                .otherwise(e)
+                .alias("embedding"),
+            )
+            .unionByName(
+                g.filter(F.pmod(vid, F.lit(79)) == 2).select(
+                    (vid + F.lit(100000)).alias("vec_id"), "embedding"
+                )
+            )
+        )
+        cur.repartition(4).write.mode("overwrite").parquet(cp)
+    return spark.read.parquet(cp), spark.read.parquet(gp)
+
+
+def q_embedding_parity(spark, sf_dir):
+    """Vector sibling of token_parity: per-row embedding equality within
+    atol=1e-6 between a golden snapshot and its deterministically damaged
+    twin — missing/extra vectors, a +1e-3 bump on dim 1, and a truncated
+    dimension all report with the first divergent dim and the max
+    per-dim deviation."""
+    from jsonschema_spark.operators.checks import embedding_parity
+
+    cur, gold = _embedding_parity_frames(spark)
+    return embedding_parity(cur, gold)
+
+
 def q_vocab_churn(spark, sf_dir):
     """Tokenizer-skew QA: distinct-token-id set difference between the
     perturbed 'current' snapshot and the golden token corpus — the
@@ -2707,6 +2782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_churn": q_snapshot_churn,
         "vocab_churn": q_vocab_churn,
         "lang_mismatch": q_lang_mismatch,
+        "embedding_parity": q_embedding_parity,
         "token_parity": q_token_parity,
         "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
@@ -3417,6 +3493,41 @@ def oracle_sql() -> dict[str, str]:
             "   AND fc <> fb THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,"
             "  CAST(sum(CASE WHEN fc = fb THEN 1 ELSE 0 END) AS BIGINT)"
             "   AS n_same FROM j"
+        ),
+        "embedding_parity": (
+            # same full-outer probe: null-padded per-dim |diff|, first dim
+            # over atol (list_position is NULL when absent = Spark's 0)
+            "WITH c AS (SELECT vec_id, embedding FROM"
+            f" read_parquet('{_embedding_parity_paths()[1]}/*.parquet')),"
+            " g AS (SELECT vec_id, embedding FROM"
+            f" read_parquet('{_embedding_parity_paths()[0]}/*.parquet')),"
+            " j AS (SELECT coalesce(c.vec_id, g.vec_id) AS vec_id,"
+            "   c.embedding AS cur, g.embedding AS gold"
+            "  FROM c FULL OUTER JOIN g ON c.vec_id = g.vec_id),"
+            " pr AS (SELECT vec_id, len(cur) AS dim_current,"
+            "   len(gold) AS dim_golden,"
+            "   list_transform(generate_series(1,"
+            "     greatest(len(cur), len(gold))),"
+            "    i -> abs(CAST(cur[i] AS DOUBLE) - CAST(gold[i] AS DOUBLE)))"
+            "    AS d"
+            "  FROM j WHERE cur IS NOT NULL AND gold IS NOT NULL),"
+            " v AS (SELECT vec_id, 'vector_mismatch' AS status,"
+            "   dim_current, dim_golden,"
+            "   CAST(list_position(list_transform(d,"
+            "    x -> coalesce(x <= 0.000001, false)), false) AS BIGINT)"
+            "    AS first_diff_dim,"
+            "   round(list_max(list_filter(d, x -> x IS NOT NULL)), 6)"
+            "    AS max_abs_diff"
+            "  FROM pr),"
+            " miss AS (SELECT vec_id,"
+            "   CASE WHEN cur IS NULL THEN 'missing_current'"
+            "    ELSE 'missing_golden' END AS status,"
+            "   len(cur) AS dim_current, len(gold) AS dim_golden,"
+            "   CAST(NULL AS BIGINT) AS first_diff_dim,"
+            "   CAST(NULL AS DOUBLE) AS max_abs_diff"
+            "  FROM j WHERE cur IS NULL OR gold IS NULL)"
+            " SELECT * FROM v WHERE first_diff_dim > 0"
+            " UNION ALL SELECT * FROM miss"
         ),
         "vocab_churn": (
             "WITH c AS (SELECT DISTINCT unnest(tokens) AS t"

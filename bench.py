@@ -216,6 +216,7 @@ def main() -> None:
         "snapshot_churn",
         "vocab_churn",
         "lang_mismatch",
+        "embedding_parity",
         "quality_survivors",
     ]
     qs = entry.queries()

@@ -670,3 +670,67 @@ def snapshot_churn(
         ).alias("n_changed"),
         F.sum((F.col("_fc") == F.col("_fb")).cast("long")).alias("n_same"),
     )
+
+
+def embedding_parity(
+    current: DataFrame,
+    golden: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    atol: float = 1e-6,
+    decimals: int = 6,
+) -> DataFrame:
+    """Vector sibling of ``token_parity``: per-row embedding equality
+    (within ``atol`` per dimension) between two snapshots — the per-row
+    invariant after a re-embedding run, precision migration, or storage
+    rewrite. Returns ONLY violation rows ``(vec_id, status, dim_current,
+    dim_golden, first_diff_dim, max_abs_diff)`` with status ∈
+    missing_current / missing_golden / vector_mismatch;
+    ``first_diff_dim`` is the 1-based first dimension where
+    ``|a[i] - b[i]| > atol`` (a dimensionality change diverges at
+    min(dim)+1 via the null-padding probe), ``max_abs_diff`` the largest
+    per-dim deviation over the shared prefix (rounded; the severity
+    number a tolerance decision reads).
+
+    Scale shape: identical to ``token_parity`` — ONE full-outer join on
+    the uniform id, let-bound zip_with probes in the join's project,
+    violations-only output."""
+    from ..functions.text import let_
+
+    cur = current.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cur"))
+    gold = golden.select(F.col(id_col).alias("id"), F.col(vec_col).alias("gold"))
+    joined = cur.join(gold, on="id", how="full_outer")
+    diffs = F.zip_with(
+        F.col("cur").cast("array<double>"),
+        F.col("gold").cast("array<double>"),
+        lambda a, b: F.abs(a - b),
+    )
+
+    def probe(d):
+        ok = F.transform(d, lambda x: F.coalesce(x <= F.lit(atol), F.lit(False)))
+        return F.struct(
+            F.array_position(ok, F.lit(False)).alias("pos"),
+            F.round(F.array_max(F.filter(d, lambda x: x.isNotNull())), decimals).alias(
+                "mx"
+            ),
+        )
+
+    pr = let_(diffs, probe)
+    out = joined.select(
+        F.col("id").alias(id_col),
+        F.when(F.col("cur").isNull(), F.lit("missing_current"))
+        .when(F.col("gold").isNull(), F.lit("missing_golden"))
+        .otherwise(F.lit("vector_mismatch"))
+        .alias("status"),
+        F.size("cur").alias("dim_current"),
+        F.size("gold").alias("dim_golden"),
+        F.when(F.col("cur").isNotNull() & F.col("gold").isNotNull(), pr["pos"]).alias(
+            "first_diff_dim"
+        ),
+        F.when(F.col("cur").isNotNull() & F.col("gold").isNotNull(), pr["mx"]).alias(
+            "max_abs_diff"
+        ),
+    )
+    return out.filter(
+        (F.col("status") != "vector_mismatch") | (F.col("first_diff_dim") > 0)
+    )

@@ -363,3 +363,46 @@ def test_snapshot_churn_counts(spark):
     )
     r = snapshot_churn(cur, base, "doc_id", F.md5("payload")).collect()[0]
     assert (r.n_added, r.n_removed, r.n_changed, r.n_same) == (1, 2, 1, 1)
+
+
+def test_embedding_parity_probe(spark):
+    """All four violation classes with exact probe values: per-dim bump
+    above atol (first_diff_dim + max_abs_diff), sub-atol noise ignored,
+    dimensionality change diverging at min(dim)+1, and the two missing
+    statuses; identical snapshots emit nothing."""
+    from jsonschema_spark.operators.checks import embedding_parity
+
+    gold = spark.createDataFrame(
+        [
+            (1, [0.5, 0.25, 0.125]),
+            (2, [1.0, 2.0, 3.0]),
+            (3, [1.0, 1.0, 1.0]),   # dropped from current
+            (4, [0.5, 0.5, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cur = spark.createDataFrame(
+        [
+            (1, [0.5, 0.25, 0.125]),        # identical -> no row
+            (2, [1.0, 2.5, 3.0]),           # dim 2 off by 0.5
+            (4, [0.5, 0.5]),                # truncated -> diverges at 3
+            (5, [9.0]),                     # extra -> missing_golden
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in embedding_parity(cur, gold).collect()}
+    assert set(rows) == {2, 3, 4, 5}
+    assert rows[2].status == "vector_mismatch"
+    assert rows[2].first_diff_dim == 2 and rows[2].max_abs_diff == 0.5
+    assert rows[3].status == "missing_current" and rows[3].dim_current is None
+    assert rows[4].status == "vector_mismatch"
+    assert rows[4].first_diff_dim == 3  # null-padded overhang
+    assert rows[5].status == "missing_golden" and rows[5].dim_golden is None
+
+    # sub-atol float noise is NOT a violation
+    noisy = spark.createDataFrame(
+        [(1, [0.5 + 1e-9, 0.25, 0.125])], "vec_id long, embedding array<float>"
+    )
+    base1 = gold.filter("vec_id = 1")
+    assert embedding_parity(noisy, base1).count() == 0
+    assert embedding_parity(base1, base1).count() == 0
