@@ -446,3 +446,32 @@ def test_shard_manifest_single_agg(spark):
     assert plan.count("Exchange") <= 2, plan  # partial+final agg exchange
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_plan_audit_api(spark):
+    """The public audit API sees what the pinned tests see: a clean
+    scan-stage query reports no hazards; a crossJoin and a row-Python UDF
+    are caught by name."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from jsonschema_spark.plans.audit import assert_plan, plan_report
+
+    clean = entry_mod.queries()["hash_sample"](spark, SF_DIR)
+    rep = assert_plan(clean, no_single_partition=True, max_exchanges=0)
+    assert not rep["cartesian"] and not rep["row_python"]
+
+    df = spark.range(10)
+    cart = df.crossJoin(spark.range(3))
+    with pytest.raises(AssertionError, match="cartesian"):
+        assert_plan(cart)
+    assert plan_report(cart)["cartesian"]
+
+    slow = df.select(F.udf(lambda x: x + 1, LongType())("id"))
+    with pytest.raises(AssertionError, match="row-at-a-time"):
+        assert_plan(slow)
+
+    # the engine's own global_shuffle passes the strictest gate
+    gs = entry_mod.queries()["global_shuffle"](spark, SF_DIR)
+    assert_plan(gs, no_single_partition=True)
