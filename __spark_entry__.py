@@ -1582,6 +1582,16 @@ def q_token_dup_spans(spark, sf_dir):
     )
 
 
+def q_effective_tokens(spark, sf_dir):
+    """Per-source UNIQUE token mass: total words minus keep-first dup-span
+    words — the scaling-law denominator (raw counts double-count
+    boilerplate; a source's signal is its effective tokens)."""
+    from jsonschema_spark.operators.dedup import effective_token_mass
+
+    df = _t(spark, sf_dir, "documents")
+    return effective_token_mass(df, "doc_id", "text", "source", n=13)
+
+
 def q_dup_loss_mask(spark, sf_dir):
     """Spans made trainer-ready: the per-token 0/1 loss mask implied by
     the keep-first dup spans — mask[i] = 1 iff token i is repeated text
@@ -2845,6 +2855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_dup_spans": q_token_dup_spans,
         "decontam_spans": q_decontam_spans,
         "dup_loss_mask": q_dup_loss_mask,
+        "effective_tokens": q_effective_tokens,
         "periodic_sequences": q_periodic_sequences,
         "diverse_sample": q_diverse_sample,
         "ngram_novelty": q_ngram_novelty,
@@ -4840,6 +4851,43 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,"
             "  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len"
             " FROM isl GROUP BY doc_id, isl"
+        ),
+        "effective_tokens": (
+            # keep-first dup spans (same CTE as dup_spans) -> per-doc
+            # masked-token sums -> per-source rollup
+            "WITH d AS (SELECT doc_id, source, " + _WS + " AS ws"
+            "  FROM documents),"
+            " g AS (SELECT doc_id, pg.s AS s, pg.g AS g FROM ("
+            "   SELECT doc_id, unnest(list_transform("
+            "    generate_series(1, greatest(len(ws)-12, 0)),"
+            "    i -> {'s': i, 'g': "
+            + _hex60("array_to_string(ws[i:i+12], ' ')")
+            + "})) AS pg FROM d)),"
+            " r AS (SELECT doc_id, s,"
+            "    count(*) OVER (PARTITION BY g) AS occ,"
+            "    row_number() OVER (PARTITION BY g ORDER BY doc_id, s) AS rn"
+            "   FROM g),"
+            " hits AS (SELECT doc_id, s, s + 12 AS e FROM r"
+            "   WHERE occ >= 2 AND rn > 1),"
+            " pe AS (SELECT doc_id, s, e,"
+            "    max(e) OVER (PARTITION BY doc_id ORDER BY s"
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e"
+            "   FROM hits),"
+            " isl AS (SELECT doc_id, s, e,"
+            "    sum(CASE WHEN prev_e IS NULL OR s > prev_e + 1"
+            "      THEN 1 ELSE 0 END)"
+            "      OVER (PARTITION BY doc_id ORDER BY s) AS isl FROM pe),"
+            " sp AS (SELECT doc_id, max(e) - min(s) + 1 AS sl"
+            "   FROM isl GROUP BY doc_id, isl),"
+            " agg AS (SELECT doc_id, sum(sl) AS dup FROM sp GROUP BY doc_id)"
+            " SELECT d.source, CAST(sum(len(d.ws)) AS BIGINT) AS total_tokens,"
+            "  CAST(sum(coalesce(a.dup, 0)) AS BIGINT) AS dup_tokens,"
+            "  CAST(sum(len(d.ws)) - sum(coalesce(a.dup, 0)) AS BIGINT)"
+            "   AS effective_tokens,"
+            "  round(CASE WHEN sum(len(d.ws)) > 0 THEN"
+            "   sum(coalesce(a.dup, 0)) / CAST(sum(len(d.ws)) AS DOUBLE)"
+            "   ELSE 0.0 END, 6) AS dup_rate"
+            " FROM d LEFT JOIN agg a USING (doc_id) GROUP BY d.source"
         ),
         "dup_loss_mask": (
             # keep-first dup spans (same CTE as dup_spans) -> struct list

@@ -202,6 +202,7 @@ def main() -> None:
         "decontam_spans",
         "global_shuffle",
         "dup_loss_mask",
+        "effective_tokens",
         "shard_manifest",
         "emd_drift",
         "manifest_diff",

@@ -2078,3 +2078,57 @@ def neardup_threshold_curve(
         .agg(F.countDistinct("id").alias("n_docs"))
     )
     return n_pairs.join(n_docs, "threshold")
+
+
+def effective_token_mass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_col: str,
+    n: int = 13,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
+    portable: bool = True,
+    decimals: int = 6,
+) -> DataFrame:
+    """(strata, total_tokens, dup_tokens, effective_tokens, dup_rate):
+    per-source UNIQUE token mass — total tokens minus the tokens inside
+    keep-first dup spans (each duplicated substring counted once,
+    corpus-wide). This is the denominator scaling-law work actually
+    wants: a source reporting 1T raw tokens but 0.4 dup_rate contributes
+    600B unique tokens of signal; mixing weights computed on raw counts
+    double-count boilerplate.
+
+    Scale shape: inherits ``dup_spans`` (linear, no pair join) plus one
+    uniform-id join to pick up the strata column and one registry-sized
+    groupBy."""
+    if elements is None:
+        elements = words(F.lower(F.col(text_col)))
+    stats = dup_span_stats(
+        df,
+        id_col,
+        text_col,
+        n=n,
+        elements=elements,
+        shingle_sep=shingle_sep,
+        keep_first=True,
+        portable=portable,
+    )
+    src = df.select(F.col(id_col), F.col(strata_col))
+    return (
+        stats.join(src, id_col)
+        .groupBy(strata_col)
+        .agg(
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+            F.sum("dup_tokens").cast("long").alias("dup_tokens"),
+            (F.sum("n_tok") - F.sum("dup_tokens"))
+            .cast("long")
+            .alias("effective_tokens"),
+            F.round(
+                F.when(F.sum("n_tok") > 0,
+                       F.sum("dup_tokens") / F.sum("n_tok").cast("double"))
+                .otherwise(F.lit(0.0)),
+                decimals,
+            ).alias("dup_rate"),
+        )
+    )

@@ -1574,3 +1574,23 @@ def test_source_relative_filter_per_source_cut(spark):
     assert {d for d in kept if d > 100} == {105, 106, 107, 108, 109, 110}
     assert all(c == 4.6 for d, c in kept.items() if d < 100)
     assert all(c == 104.6 for d, c in kept.items() if d > 100)
+
+
+def test_effective_token_mass_accounting(spark):
+    """Per-source totals reconcile with dup_span_stats(keep_first=True):
+    a source whose docs are all copies of one original keeps exactly one
+    copy's tokens as effective mass; a clean source keeps everything."""
+    from jsonschema_spark.operators.dedup import effective_token_mass
+
+    rows = (
+        [(i, "a", "x1 x2 x3 x4 x5 x6") for i in range(4)]  # 4 identical docs
+        + [(10, "b", "u1 u2 u3 u4 u5 u6 u7 u8")]           # unique
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    got = {
+        r.src: (r.total_tokens, r.dup_tokens, r.effective_tokens, r.dup_rate)
+        for r in effective_token_mass(df, "doc_id", "text", "src", n=3).collect()
+    }
+    # source a: 4 x 6 = 24 total; keep-first masks 3 copies -> 18 dup
+    assert got["a"] == (24, 18, 6, round(18 / 24, 6))
+    assert got["b"] == (8, 0, 8, 0.0)
