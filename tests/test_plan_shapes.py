@@ -475,3 +475,33 @@ def test_plan_audit_api(spark):
     # the engine's own global_shuffle passes the strictest gate
     gs = entry_mod.queries()["global_shuffle"](spark, SF_DIR)
     assert_plan(gs, no_single_partition=True)
+
+
+def test_effective_tokens_linear_no_pair_join(spark):
+    """Effective token mass inherits dup-spans' linear shape: no
+    cartesian, no row Python, and only equi-joins (span join-back +
+    strata pickup) — never a pair self-join."""
+    plan = _plan(entry_mod.queries()["effective_tokens"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_vocab_churn_bounded_join(spark):
+    """Vocab churn joins two vocab-bounded distinct sets: exactly one
+    join, no Python."""
+    plan = _plan(entry_mod.queries()["vocab_churn"](spark, SF_DIR))
+    joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert joins == 1, plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_snapshot_churn_single_join_single_agg(spark):
+    plan = _plan(entry_mod.queries()["snapshot_churn"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "collect_set" not in plan and "collect_list" not in plan
