@@ -1582,6 +1582,17 @@ def q_token_dup_spans(spark, sf_dir):
     )
 
 
+def q_ingest_dedup_trend(spark, sf_dir):
+    """Ingest-health trend: per 100-doc ingestion bucket (ids as arrival
+    order), the fraction of docs exactly duplicating an EARLIER doc —
+    keep-first, so the canonical copy never counts and a clean corpus is
+    all zeros; a re-crawl loop spikes one bucket."""
+    from jsonschema_spark.operators.dedup import ingest_dedup_trend
+
+    df = _t(spark, sf_dir, "documents")
+    return ingest_dedup_trend(df, "doc_id", "text", bucket_size=100)
+
+
 def q_effective_tokens(spark, sf_dir):
     """Per-source UNIQUE token mass: total words minus keep-first dup-span
     words — the scaling-law denominator (raw counts double-count
@@ -2856,6 +2867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_spans": q_decontam_spans,
         "dup_loss_mask": q_dup_loss_mask,
         "effective_tokens": q_effective_tokens,
+        "ingest_dedup_trend": q_ingest_dedup_trend,
         "periodic_sequences": q_periodic_sequences,
         "diverse_sample": q_diverse_sample,
         "ngram_novelty": q_ngram_novelty,
@@ -4851,6 +4863,19 @@ def oracle_sql() -> dict[str, str]:
             " SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,"
             "  CAST(max(e) - min(s) + 1 AS BIGINT) AS span_len"
             " FROM isl GROUP BY doc_id, isl"
+        ),
+        "ingest_dedup_trend": (
+            # fingerprint = md5 of normalized text (functions/text.py);
+            # keep-first: min-id copy never counts
+            f"WITH f AS (SELECT doc_id, md5({_NORM}) AS fp FROM documents),"
+            " m AS (SELECT fp, min(doc_id) AS first_id FROM f GROUP BY 1)"
+            " SELECT CAST(floor(f.doc_id / 100) AS BIGINT) AS bucket,"
+            "  count(*) AS n_docs,"
+            "  CAST(sum(CASE WHEN f.doc_id > m.first_id THEN 1 ELSE 0 END)"
+            "   AS BIGINT) AS n_dup_of_earlier,"
+            "  round(sum(CASE WHEN f.doc_id > m.first_id THEN 1 ELSE 0 END)"
+            "   / CAST(count(*) AS DOUBLE), 6) AS dup_rate"
+            " FROM f JOIN m USING (fp) GROUP BY 1"
         ),
         "effective_tokens": (
             # keep-first dup spans (same CTE as dup_spans) -> per-doc

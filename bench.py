@@ -203,6 +203,7 @@ def main() -> None:
         "global_shuffle",
         "dup_loss_mask",
         "effective_tokens",
+        "ingest_dedup_trend",
         "shard_manifest",
         "emd_drift",
         "manifest_diff",

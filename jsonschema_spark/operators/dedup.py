@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from jsonschema_spark.functions.text import (
+    fingerprint,
     index_range,
     let_,
     normalized,
@@ -2129,6 +2130,50 @@ def effective_token_mass(
                        F.sum("dup_tokens") / F.sum("n_tok").cast("double"))
                 .otherwise(F.lit(0.0)),
                 decimals,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def ingest_dedup_trend(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_size: int = 1000,
+    decimals: int = 6,
+) -> DataFrame:
+    """(bucket, n_docs, n_dup_of_earlier, dup_rate): per-ingestion-bucket
+    fraction of documents that exactly duplicate an EARLIER document
+    (ids as ingestion order, ``bucket = floor(id / bucket_size)``) — the
+    ingest-health trend a crawler regression shows up in: a steady
+    corpus has a flat low rate; a re-crawl loop or a stuck frontier
+    spikes one bucket. Keep-first semantics: the canonical copy (the
+    fingerprint's minimum id) never counts as a duplicate, so the
+    all-unique corpus reports all zeros.
+
+    Scale shape: fingerprint groupBy (uniform md5 key, map-side
+    combined) → min-id table joins back on the fingerprint (AQE
+    broadcasts when small); the trend agg is one registry-of-buckets
+    groupBy."""
+    fp = fingerprint(F.col(text_col))
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), fp.alias("_fp")
+    )
+    firsts = base.groupBy("_fp").agg(F.min("id").alias("_first"))
+    return (
+        base.join(firsts, "_fp")
+        .select(
+            F.floor(F.col("id") / F.lit(bucket_size)).cast("long").alias(
+                "bucket"
+            ),
+            (F.col("id") > F.col("_first")).cast("long").alias("_dup"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_dup").alias("n_dup_of_earlier"),
+            F.round(
+                F.sum("_dup") / F.count(F.lit(1)).cast("double"), decimals
             ).alias("dup_rate"),
         )
     )

@@ -1594,3 +1594,25 @@ def test_effective_token_mass_accounting(spark):
     # source a: 4 x 6 = 24 total; keep-first masks 3 copies -> 18 dup
     assert got["a"] == (24, 18, 6, round(18 / 24, 6))
     assert got["b"] == (8, 0, 8, 0.0)
+
+
+def test_ingest_dedup_trend_keep_first(spark):
+    """The canonical (earliest) copy never counts; later copies land in
+    THEIR OWN ingestion bucket; clean buckets report zero."""
+    from jsonschema_spark.operators.dedup import ingest_dedup_trend
+
+    rows = [
+        (0, "alpha"), (1, "beta"), (2, "gamma"),          # bucket 0, clean
+        (10, "alpha"), (11, "delta"), (12, "alpha"),      # bucket 1: two dups
+        (20, "beta"), (21, "epsilon"),                    # bucket 2: one dup
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.bucket: (r.n_docs, r.n_dup_of_earlier, r.dup_rate)
+        for r in ingest_dedup_trend(df, "doc_id", "text", bucket_size=10).collect()
+    }
+    assert got == {
+        0: (3, 0, 0.0),
+        1: (3, 2, round(2 / 3, 6)),
+        2: (2, 1, 0.5),
+    }
