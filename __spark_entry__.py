@@ -742,6 +742,17 @@ def q_source_relative_filter(spark, sf_dir):
     )
 
 
+def q_corpus_datasheet(spark, sf_dir):
+    """The corpus front page in one row: doc/word totals, median length,
+    exact-dup rate, mean quality score, source count and HHI — each
+    column's deep form exists as its own operator; this is the summary a
+    datasheet or model card pulls first."""
+    from jsonschema_spark.operators.stats import corpus_datasheet
+
+    df = _t(spark, sf_dir, "documents")
+    return corpus_datasheet(df)
+
+
 def q_source_concentration(spark, sf_dir):
     """Corpus mixing audit: source count, top share, HHI, and entropy of
     the document distribution across sources — weighted by n_chars so a
@@ -2798,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_threshold_curve": q_neardup_threshold_curve,
         "source_concentration": q_source_concentration,
         "source_relative_filter": q_source_relative_filter,
+        "corpus_datasheet": q_corpus_datasheet,
         "url_content_conflicts": q_url_content_conflicts,
         "key_skew_profile": q_key_skew_profile,
         "snapshot_churn": q_snapshot_churn,
@@ -4054,6 +4066,40 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(d.n_chars AS DOUBLE) AS score, th.cut"
             " FROM documents d JOIN th USING (source)"
             " WHERE CAST(d.n_chars AS DOUBLE) >= th.cut"
+        ),
+        "corpus_datasheet": (
+            # per-doc quality rounded to 6 BEFORE the avg (summation-order
+            # parity); fingerprint = md5 of normalized text
+            "WITH raw AS (SELECT doc_id, source, n_chars, text, "
+            + _WS
+            + " AS ws FROM documents),"
+            " per AS (SELECT doc_id, source, n_chars, len(ws) AS nw,"
+            f"  md5({_NORM}) AS fp,"
+            "  round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE"
+            "   (least(len(ws) / 100.0, 1.0)"
+            "    + len(list_distinct(ws)) / CAST(len(ws) AS DOUBLE)"
+            "    + least(len(list_filter(ws, w -> list_contains("
+            + _stoplist("*")
+            + ", w))) / (len(ws) * 0.4), 1.0)"
+            "    + (1.0 - least(abs(list_sum(list_transform(ws,"
+            "       w -> length(w))) / CAST(len(ws) AS DOUBLE) - 5.0)"
+            "      / 5.0, 1.0))"
+            "   ) / 4.0 END, 6) AS q"
+            "  FROM raw),"
+            " m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+            "   CAST(sum(nw) AS BIGINT) AS total_words,"
+            "   round(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6)"
+            "    AS p50_chars,"
+            "   count(DISTINCT fp) AS uniq,"
+            "   round(avg(q), 6) AS mean_quality FROM per),"
+            " s AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,"
+            "   round(sum(c * c) / (sum(c) * sum(c)), 6) AS source_hhi"
+            "  FROM (SELECT CAST(count(*) AS DOUBLE) AS c FROM per"
+            "   GROUP BY source))"
+            " SELECT n_docs, total_words, p50_chars,"
+            "  round(1.0 - uniq / CAST(n_docs AS DOUBLE), 6)"
+            "   AS exact_dup_rate,"
+            "  mean_quality, n_sources, source_hhi FROM m, s"
         ),
         "source_concentration": (
             "WITH c AS (SELECT source, CAST(sum(n_chars) AS DOUBLE) AS w"

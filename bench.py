@@ -211,6 +211,7 @@ def main() -> None:
         "classifier_eval",
         "contam_attribution",
         "source_concentration",
+        "corpus_datasheet",
         "neardup_threshold_curve",
         "source_relative_filter",
         "url_content_conflicts",

@@ -805,3 +805,67 @@ def vocab_churn(
             (F.col("_c").isNotNull() & F.col("_b").isNotNull()).cast("long")
         ).alias("n_shared"),
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    strata_col: str = "source",
+    decimals: int = 6,
+) -> DataFrame:
+    """One row — the corpus front page a datasheet/model-card pulls:
+    ``(n_docs, total_words, p50_chars, exact_dup_rate, mean_quality,
+    n_sources, source_hhi)``. Composes the engine's scalar signals into
+    the summary every downstream consumer asks for first; each column's
+    deep form exists as its own operator (dup groups, quality
+    distribution, concentration ladder, quantile grid).
+
+    Scale shape: one pass for the per-doc expressions (words/quality/
+    fingerprint are scan-stage), one count-distinct on the uniform
+    fingerprint key, one registry-sized source agg; everything reduces
+    to 1-row broadcasts before the final crossJoin."""
+    from ..functions.text import fingerprint, quality_score, words
+
+    base = df.select(
+        F.col(id_col),
+        F.col(strata_col).alias("_src"),
+        F.col("n_chars") if "n_chars" in df.columns else F.length(text_col).alias("n_chars"),
+        F.size(words(F.lower(F.col(text_col)))).alias("_nw"),
+        # per-doc rounding BEFORE the avg: cross-engine summation order
+        # differs, so averaging unrounded doubles can flip the 6th place
+        F.round(quality_score(F.col(text_col)), decimals).alias("_q"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    main = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_nw").cast("long").alias("total_words"),
+        F.round(F.percentile(F.col("n_chars").cast("double"), F.lit(0.5)), decimals).alias(
+            "p50_chars"
+        ),
+        F.countDistinct("_fp").alias("_uniq"),
+        F.round(F.avg("_q"), decimals).alias("mean_quality"),
+    )
+    srcs = (
+        base.groupBy("_src")
+        .agg(F.count(F.lit(1)).cast("double").alias("_c"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.round(
+                F.sum(F.col("_c") * F.col("_c")) / (F.sum("_c") * F.sum("_c")),
+                decimals,
+            ).alias("source_hhi"),
+        )
+    )
+    return main.crossJoin(F.broadcast(srcs)).select(
+        "n_docs",
+        "total_words",
+        "p50_chars",
+        F.round(
+            F.lit(1.0) - F.col("_uniq") / F.col("n_docs").cast("double"),
+            decimals,
+        ).alias("exact_dup_rate"),
+        "mean_quality",
+        "n_sources",
+        "source_hhi",
+    )

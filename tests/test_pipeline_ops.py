@@ -272,3 +272,36 @@ def test_emd_known_values(spark):
     base = _hist(spark, {0: 1, 100: 1})
     # CDF gap 0.5 over [0, 100) -> W1 = 50
     assert emd_statistic(cur, base).collect()[0]["emd"] == pytest.approx(50.0)
+
+
+def test_corpus_datasheet_closed_form(spark):
+    """Every datasheet column against closed forms on a tiny corpus with
+    one exact dup pair and two sources."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.functions.text import quality_score
+    from jsonschema_spark.operators.stats import corpus_datasheet
+
+    rows = [
+        (1, "the cat and the dog ran", "a"),
+        (2, "the cat and the dog ran", "a"),   # exact dup of 1
+        (3, "completely different words here", "a"),
+        (4, "one more unique document text", "b"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"]).withColumn(
+        "n_chars", F.length("text")
+    )
+    r = corpus_datasheet(df).collect()[0]
+    assert r.n_docs == 4
+    assert r.total_words == 6 + 6 + 4 + 5
+    assert r.exact_dup_rate == 0.25  # 3 distinct fingerprints / 4 docs
+    assert r.n_sources == 2
+    assert r.source_hhi == round((9 + 1) / 16, 6)
+    qs = [
+        round(x.q, 6)
+        for x in df.select(quality_score(F.col("text")).alias("q")).collect()
+    ]
+    assert r.mean_quality == round(sum(qs) / 4, 6)
+    lens = sorted(len(t) for _, t, _ in rows)
+    med = (lens[1] + lens[2]) / 2
+    assert r.p50_chars == round(med, 6)
