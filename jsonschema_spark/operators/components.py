@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from jsonschema_spark.operators.joins import BROADCAST_MAX_ROWS, guarded_broadcast
+
 
 def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
     """Undirected pair set -> canonical directed edges (u > v, no self
@@ -149,6 +151,7 @@ def leakage_safe_split(
     id_b: str = "id_b",
     buckets: int = 10,
     train_buckets: int = 8,
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """(id, representative, split): train/holdout assignment that cannot
     leak near-duplicates across the boundary. The unit of assignment is the
@@ -159,16 +162,19 @@ def leakage_safe_split(
     across reruns, partitionings, and engines, and growing the corpus
     never reassigns an existing component.
 
-    Scale shape: the component table only holds docs that had a near-dup
-    pair (≲1% of a deduped-ingest corpus) → broadcast left join; the
-    corpus itself is never shuffled, and the bucket expression stays in
-    the scan-stage projection."""
+    Scale shape: the component table holds only docs that had a near-dup
+    pair — but on a raw web crawl that is routinely 30-80% of the corpus,
+    so it is SIZE-GUARDED, not force-broadcast: under
+    ``broadcast_max_rows`` the left join broadcasts (corpus never
+    shuffles, bucket expression stays in the scan-stage projection);
+    above it the hint is dropped and AQE plans a shuffle join from the
+    real runtime size."""
     from jsonschema_spark.operators.sampling import hash_bucket
 
-    assign = connected_components(pairs, id_a, id_b)
-    joined = df.select(F.col(id_col).alias("id")).join(
-        F.broadcast(assign), "id", "left"
+    assign = guarded_broadcast(
+        connected_components(pairs, id_a, id_b), broadcast_max_rows
     )
+    joined = df.select(F.col(id_col).alias("id")).join(assign, "id", "left")
     rep = F.coalesce(F.col("component"), F.col("id"))
     return joined.select(
         "id",
@@ -185,17 +191,20 @@ def near_dedup_survivors(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Keep-one-per-cluster dedup: drop every document whose component
     representative (minimum id) is a different document; singletons and
-    representatives survive. The assignment table is tiny relative to the
-    corpus (only docs that had a near-dup pair), so the anti-join
-    broadcasts."""
+    representatives survive. The loser set is corpus-proportional on a
+    real crawl (dup losers are routinely 30-80% of raw web data), so the
+    anti-join is SIZE-GUARDED: broadcast under ``broadcast_max_rows``,
+    plain shuffle anti-join under AQE above it."""
     assign = connected_components(pairs, id_a, id_b)
-    losers = assign.filter(F.col("id") != F.col("component")).select("id")
-    return df.join(
-        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
+    losers = guarded_broadcast(
+        assign.filter(F.col("id") != F.col("component")).select("id"),
+        broadcast_max_rows,
     )
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
 
 def quality_survivor_map(
@@ -205,6 +214,7 @@ def quality_survivor_map(
     score_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """(component, keep_id, n_docs): the highest-``score_col`` member of
     every near-dup cluster with more than one document, ties broken by
@@ -215,15 +225,18 @@ def quality_survivor_map(
     non-null (ranking order of nulls differs across engines).
 
     Scale shape: the component assignment covers only docs that had a
-    pair (tiny vs the corpus) and broadcasts into the corpus scan to pick
-    up scores; ranking windows partition per component, so per-partition
-    work is one cluster's members — the same bound star contraction
-    already admits for its hub."""
+    pair — corpus-proportional on a real crawl — so the score pickup join
+    is SIZE-GUARDED (broadcast under ``broadcast_max_rows``, AQE shuffle
+    join above); ranking windows partition per component, so
+    per-partition work is one cluster's members — the same bound star
+    contraction already admits for its hub."""
     from pyspark.sql.window import Window
 
-    assign = connected_components(pairs, id_a, id_b)
+    assign = guarded_broadcast(
+        connected_components(pairs, id_a, id_b), broadcast_max_rows
+    )
     scored = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s"))
-    joined = scored.join(F.broadcast(assign), "id")
+    joined = scored.join(assign, "id")
     cw = Window.partitionBy("component")
     w = cw.orderBy(F.desc("_s"), F.asc("id"))
     return (
@@ -245,22 +258,25 @@ def quality_survivors(
     score_col: str,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    broadcast_max_rows: int = BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """Corpus rows that survive quality-aware keep-best-per-cluster
     dedup: unpaired docs plus each cluster's ``quality_survivor_map``
-    winner. Same anti-join shape as ``near_dedup_survivors`` (losers
-    broadcast), different canonical choice."""
+    winner. Same SIZE-GUARDED anti-join shape as ``near_dedup_survivors``
+    (losers broadcast only under ``broadcast_max_rows`` — they are
+    corpus-proportional on a real crawl), different canonical choice."""
     from pyspark.sql.window import Window
 
-    assign = connected_components(pairs, id_a, id_b)
+    assign = guarded_broadcast(
+        connected_components(pairs, id_a, id_b), broadcast_max_rows
+    )
     scored = df.select(F.col(id_col).alias("id"), F.col(score_col).alias("_s"))
-    joined = scored.join(F.broadcast(assign), "id")
+    joined = scored.join(assign, "id")
     w = Window.partitionBy("component").orderBy(F.desc("_s"), F.asc("id"))
-    losers = (
+    losers = guarded_broadcast(
         joined.select("id", F.row_number().over(w).alias("_rn"))
         .filter(F.col("_rn") > 1)
-        .select("id")
+        .select("id"),
+        broadcast_max_rows,
     )
-    return df.join(
-        F.broadcast(losers), df[id_col] == losers["id"], "left_anti"
-    )
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")

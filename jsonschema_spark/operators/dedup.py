@@ -660,8 +660,12 @@ def incremental_minhash_matches(
     )
     new_ids = cands.select(F.col("id_new").alias("id")).distinct()
     seen_ids = cands.select(F.col("id_seen").alias("id")).distinct()
+    # candidate id sets are unhinted: they are usually tiny (bucket
+    # collisions) and AQE runtime-broadcasts them, but on a high-dup-rate
+    # crawl they are corpus-proportional and a forced broadcast would OOM
+    # instead of degrading to a shuffle semi-join
     sh_new = (
-        batch.join(F.broadcast(new_ids), batch[id_col] == new_ids["id"], "left_semi")
+        batch.join(new_ids, batch[id_col] == new_ids["id"], "left_semi")
         .select(
             F.col(id_col).alias("id_new"),
             _raw_grams(elements, n, shingle_sep).alias("sh_new"),
@@ -669,9 +673,7 @@ def incremental_minhash_matches(
         .localCheckpoint(eager=False)
     )
     sh_seen = (
-        snapshot.join(
-            F.broadcast(seen_ids), snapshot[id_col] == seen_ids["id"], "left_semi"
-        )
+        snapshot.join(seen_ids, snapshot[id_col] == seen_ids["id"], "left_semi")
         .select(
             F.col(id_col).alias("id_seen"),
             _raw_grams(elements, n, shingle_sep).alias("sh_seen"),

@@ -368,14 +368,15 @@ def incremental_embedding_matches(
     )
     new_ids = cands.select(F.col("id_new").alias("_i")).distinct()
     seen_ids = cands.select(F.col("id_seen").alias("_i")).distinct()
+    # unhinted candidate semi-joins: AQE runtime-broadcasts small sets,
+    # and corpus-proportional ones (high-dup crawls) degrade to a shuffle
+    # semi-join instead of a forced-broadcast OOM
     newv = (
-        batch.join(F.broadcast(new_ids), batch[id_col] == new_ids["_i"], "left_semi")
+        batch.join(new_ids, batch[id_col] == new_ids["_i"], "left_semi")
         .select(F.col(id_col).alias("id_new"), F.col(vec_col).alias("v_new"))
     )
     seenv = (
-        snapshot.join(
-            F.broadcast(seen_ids), snapshot[id_col] == seen_ids["_i"], "left_semi"
-        )
+        snapshot.join(seen_ids, snapshot[id_col] == seen_ids["_i"], "left_semi")
         .select(F.col(id_col).alias("id_seen"), F.col(vec_col).alias("v_seen"))
     )
     kernel = _make_pair_cosine_kernel()

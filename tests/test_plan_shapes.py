@@ -385,6 +385,10 @@ def test_band_index_bucketed_join_shuffles_only_the_batch(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         if old_aqe is not None:
             spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
+        else:
+            # restore "unset" — leaving -1 would flip join strategies in
+            # every later test on the session-scoped fixture
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
@@ -505,3 +509,46 @@ def test_snapshot_churn_single_join_single_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "collect_set" not in plan and "collect_list" not in plan
+
+
+def test_survivor_antijoin_degrades_to_shuffle_when_losers_large(spark):
+    """The survivor family's anti-join is size-guarded, not
+    force-broadcast: on a high-dup-rate corpus (50%+ losers — routine on
+    a raw web crawl) the loser set exceeds the broadcast ceiling and the
+    plan must degrade to a shuffle anti-join (SortMergeJoin LeftAnti
+    under AQE) instead of forcing a driver-OOM broadcast — and the
+    survivor set must be identical on both paths."""
+    from jsonschema_spark.operators.components import near_dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 201)], "doc_id: long, text: string"
+    )
+    # 100 disjoint pairs -> 100 losers (50% of the corpus)
+    pairs = spark.createDataFrame(
+        [(2 * i - 1, 2 * i) for i in range(1, 101)], "id_a: long, id_b: long"
+    )
+    guarded = near_dedup_survivors(docs, "doc_id", pairs, broadcast_max_rows=10)
+    plan = _plan(guarded)
+    assert "LeftAnti" in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan
+    kept_guarded = sorted(r["doc_id"] for r in guarded.collect())
+    kept_broadcast = sorted(
+        r["doc_id"]
+        for r in near_dedup_survivors(docs, "doc_id", pairs).collect()
+    )
+    assert kept_guarded == kept_broadcast == sorted(range(1, 201, 2))
+
+
+def test_guarded_broadcast_decision_boundary(spark):
+    """guarded_broadcast hints exactly at the ceiling: n <= max_rows
+    broadcasts, n > max_rows returns the table unhinted (AQE decides)."""
+    from jsonschema_spark.operators.joins import guarded_broadcast
+
+    small = spark.range(10).withColumnRenamed("id", "k")
+    stats: dict = {}
+    guarded_broadcast(small, max_rows=10, stats=stats)
+    assert stats == {"rows": 10, "broadcast": True}
+    stats = {}
+    guarded_broadcast(small, max_rows=9, stats=stats)
+    assert stats == {"rows": 10, "broadcast": False}
