@@ -405,3 +405,126 @@ def test_streaming_manifest_matches_batch(spark, tmp_path):
     b = {key(r): (r.n_rows, r.min_id, r.max_id, r.checksum) for r in batch.collect()}
     assert g == b and len(g) == 3
     assert got.select("batch_id").distinct().count() == 3
+
+
+def test_streaming_neardup_replayed_batch_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (crash after the partition writes but before
+    the streaming checkpoint commit) must reproduce its partitions exactly:
+    the batch must dedup against STRICTLY EARLIER history only, never its
+    own previous attempt's partition — or every replayed doc self-matches
+    at jaccard 1.0 and the partition is rewritten empty (data loss), while
+    the lazy survivors plan races the overwrite deleting the files it
+    reads. Simulated by invoking the foreachBatch function twice with the
+    same batch_id."""
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+    from jsonschema_spark.streaming.neardup import neardup_ingest
+
+    df = token_neardup_corpus(spark, 200, seed=7)
+    b0 = df.filter(F.pmod("doc_id", F.lit(2)) == 0)
+    b1 = df.filter(F.pmod("doc_id", F.lit(2)) == 1)
+    corpus_dir = str(tmp_path / "acc")
+    index_dir = str(tmp_path / "idx")
+    stats = []
+    fb = neardup_ingest(
+        corpus_dir, index_dir, "doc_id", "tokens",
+        threshold=0.8, elements=F.col("tokens"), shingle_sep=",",
+        on_batch=lambda bid, s: stats.append(s),
+    )
+    fb(b0, 0)
+    fb(b1, 1)
+    assert stats[1]["n_new"] > 0 and stats[1]["n_dropped"] > 0  # non-vacuous
+    first = {
+        (r.doc_id, r.batch_id)
+        for r in spark.read.parquet(corpus_dir).select("doc_id", "batch_id").collect()
+    }
+    index_first = spark.read.parquet(index_dir).count()
+
+    # replay batch 1: same survivors, same index, stats reproduced
+    fb(b1, 1)
+    assert stats[2] == stats[1]
+    replay = {
+        (r.doc_id, r.batch_id)
+        for r in spark.read.parquet(corpus_dir).select("doc_id", "batch_id").collect()
+    }
+    assert replay == first
+    assert spark.read.parquet(index_dir).count() == index_first
+
+    # replay the FIRST batch too (batch_id=0 must see empty history, not
+    # batch 1's partition — strictly-earlier means <, not !=)
+    fb(b0, 0)
+    assert stats[3] == stats[0]
+    assert {
+        (r.doc_id, r.batch_id)
+        for r in spark.read.parquet(corpus_dir).select("doc_id", "batch_id").collect()
+    } == first
+
+
+def test_streaming_neardup_compaction_mid_stream(spark, tmp_path):
+    """Mid-stream band-index compaction: after batches 0-1 commit, fold
+    their index partitions into the bucketed table; batch 2 must still
+    dedup against the FULL history (now table + nothing residual), produce
+    exactly the same survivors as an uncompacted twin run, and stay
+    idempotent under replay. Also pins the maintenance win: the folded
+    partition dirs are gone from index_dir."""
+    import os as _os
+
+    from jsonschema_spark.sources.corpus import token_neardup_corpus
+    from jsonschema_spark.streaming.neardup import compact_band_index, neardup_ingest
+
+    df = token_neardup_corpus(spark, 300, seed=11)
+    chunks = [df.filter(F.pmod("doc_id", F.lit(3)) == k) for k in range(3)]
+    table = "t_compact_band_idx"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def run(root, index_table=None, compact_after=None):
+        corpus_dir, index_dir = str(root / "acc"), str(root / "idx")
+        stats = []
+        fb = neardup_ingest(
+            corpus_dir, index_dir, "doc_id", "tokens",
+            threshold=0.8, elements=F.col("tokens"), shingle_sep=",",
+            on_batch=lambda bid, s: stats.append(s), index_table=index_table,
+        )
+        for bid, chunk in enumerate(chunks):
+            if compact_after is not None and bid == compact_after + 1:
+                folded = compact_band_index(
+                    spark, index_dir, index_table, upto_batch_id=compact_after
+                )
+                assert folded["folded_batches"] == compact_after + 1
+                assert folded["folded_rows"] > 0
+                left = [
+                    d for d in _os.listdir(index_dir) if d.startswith("batch_id=")
+                ]
+                assert left == []  # all accumulated partitions folded
+            fb(chunk, bid)
+        return corpus_dir, index_dir, stats
+
+    try:
+        c_dir, i_dir, stats_c = run(
+            tmp_path / "with", index_table=table, compact_after=1
+        )
+        _, _, stats_plain = run(tmp_path / "plain")
+        assert stats_c == stats_plain  # identical accept/drop decisions
+        assert stats_c[2]["n_dropped"] > 0  # batch 2 really used history
+        kept_c = {
+            r.doc_id for r in spark.read.parquet(c_dir).select("doc_id").collect()
+        }
+        kept_plain = {
+            r.doc_id
+            for r in spark.read.parquet(str(tmp_path / "plain" / "acc"))
+            .select("doc_id").collect()
+        }
+        assert kept_c == kept_plain
+
+        # replay batch 2 after compaction: same partition, same decisions
+        fb = neardup_ingest(
+            c_dir, i_dir, "doc_id", "tokens",
+            threshold=0.8, elements=F.col("tokens"), shingle_sep=",",
+            on_batch=lambda bid, s: stats_c.append(s), index_table=table,
+        )
+        fb(chunks[2], 2)
+        assert stats_c[3] == stats_c[2]
+        assert {
+            r.doc_id for r in spark.read.parquet(c_dir).select("doc_id").collect()
+        } == kept_c
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
