@@ -238,26 +238,45 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total headline wall time (corpus validation pass + operator queries)",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "corpus_rows": n_rows,
-                "corpus_tokens": int(n_tokens),
-                "corpus_invalid": int(n_rows - n_valid),
-                "corpus_duplicates": int(n_dups),
-                "sequences_per_sec": round(n_rows / corpus_sec, 1),
-                "tokens_per_sec": round(n_tokens / corpus_sec, 1),
-                "cores": cores,
-                "calibration_sec": calibration_sec,
-                "calibration_scan_sec": calibration_scan_sec,
-            }
-        )
-    )
+    result = {
+        "metric": "total headline wall time (corpus validation pass + operator queries)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "corpus_rows": n_rows,
+        "corpus_tokens": int(n_tokens),
+        "corpus_invalid": int(n_rows - n_valid),
+        "corpus_duplicates": int(n_dups),
+        "sequences_per_sec": round(n_rows / corpus_sec, 1),
+        "tokens_per_sec": round(n_tokens / corpus_sec, 1),
+        "cores": cores,
+        "calibration_sec": calibration_sec,
+        "calibration_scan_sec": calibration_scan_sec,
+    }
+    # The driver captures only the LAST ~2000 chars of stdout; r3's full
+    # per-query line outgrew that and its JSON header was cut off
+    # (BENCH_r03.json parsed: null). Persist the complete result to a file,
+    # then print a stdout line guaranteed to fit the tail window: if the
+    # full line is too long, drop the FASTEST queries (their timings live
+    # in the file) until it fits and record how many were elided.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_full_latest.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(result, f, indent=2)
+        f.write("\n")
+    tail_budget = 1900
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > tail_budget:
+        stdout_result = dict(result)
+        stdout_result["full_results"] = "BENCH/bench_full_latest.json"
+        kept = dict(sorted(timings.items(), key=lambda kv: -kv[1]))
+        while len(json.dumps({**stdout_result, "queries": kept}, separators=(",", ":"))) > tail_budget and kept:
+            kept.pop(next(reversed(kept)))
+        stdout_result["queries"] = kept
+        stdout_result["queries_elided"] = len(timings) - len(kept)
+        line = json.dumps(stdout_result, separators=(",", ":"))
+    print(line)
     sys.stdout.flush()
     spark.stop()
 

@@ -162,8 +162,115 @@ def lower_predicate(
     return _lower(schema, col, dtype, seen=frozenset())
 
 
+def _has_dynamic_map_keys(s: CompiledSchema) -> bool:
+    return bool(s.pattern_properties) or (
+        s.additional_properties is not None and s.additional_properties is not True
+    )
+
+
+def lower_dynamic_key_violations(
+    schema: CompiledSchema,
+    col: Column,
+    dtype: T.DataType,
+    raw_spec: Optional[dict] = None,
+) -> Optional[Column]:
+    """``array<struct<path,detail>>`` of per-key failures for map entries
+    matched only DYNAMICALLY — ``patternProperties`` value failures (on any
+    key, declared or not) and ``additionalProperties`` failures on keys
+    matched by neither a declared name nor a pattern. The key names exist
+    only at runtime, so unlike :func:`lower_named_predicates` (static paths)
+    this returns one runtime-computed ``'/<key>'`` path per failing entry —
+    the reference's per-key wrapped object errors for arbitrary keys
+    (/root/reference/validate.go:471-500).
+
+    Contract with ``lower_named_predicates(..., dynamic_paths=True)``:
+    ``AND(static predicates) AND size(this) == 0  ==  lower_predicate``.
+    Returns None when the schema has no dynamic key constraints (or the
+    dtype is not map<string, _>). NULL maps yield an empty array (the type
+    gate reports at root). Scope: top-level map columns; nested maps under
+    declared keys keep static-prefix reporting."""
+    import json as _json
+
+    target = _deref(schema)
+    if (
+        target is None
+        or not isinstance(dtype, T.MapType)
+        or not isinstance(dtype.keyType, T.StringType)
+        or not _has_dynamic_map_keys(target)
+    ):
+        return None
+    s = target
+    seen = frozenset({id(s)})
+    vtype = dtype.valueType
+    raw = raw_spec or {}
+
+    def _frag(obj: Any, fallback: str) -> str:
+        try:
+            return _json.dumps(obj, sort_keys=True, separators=(",", ":"))
+        except TypeError:
+            return fallback
+
+    def matched(k: Column) -> Column:
+        m = (
+            F.array_contains(F.array(*[F.lit(n) for n in s.properties]), k)
+            if s.properties
+            else F.lit(False)
+        )
+        for regex, _ in s.pattern_properties:
+            m = m | _rlike(k, regex.pattern)
+        return m
+
+    raw_pp = raw.get("patternProperties") or {}
+
+    def per_entry(kv: Column) -> Column:
+        k = kv.getField("key")
+        v = kv.getField("value")
+        path = F.concat(F.lit("/"), k)
+        cases = []
+        for regex, child in s.pattern_properties:
+            ok = F.coalesce(_lower(child, v, vtype, seen), F.lit(False))
+            detail = _frag(
+                {"patternProperties": {regex.pattern: raw_pp.get(regex.pattern)}},
+                '{"patternProperties":%s}' % _json.dumps(regex.pattern),
+            )
+            cases.append(
+                F.when(
+                    _rlike(k, regex.pattern) & ~ok,
+                    F.struct(path.alias("path"), F.lit(detail).alias("detail")),
+                )
+            )
+        if s.additional_properties is False:
+            cases.append(
+                F.when(
+                    ~matched(k),
+                    F.struct(
+                        path.alias("path"),
+                        F.lit('{"additionalProperties":false}').alias("detail"),
+                    ),
+                )
+            )
+        elif s.additional_properties is not None and s.additional_properties is not True:
+            ok = F.coalesce(
+                _lower(s.additional_properties, v, vtype, seen), F.lit(False)
+            )
+            detail = _frag(
+                {"additionalProperties": raw.get("additionalProperties")},
+                '"additionalProperties"',
+            )
+            cases.append(
+                F.when(
+                    ~matched(k) & ~ok,
+                    F.struct(path.alias("path"), F.lit(detail).alias("detail")),
+                )
+            )
+        return F.filter(F.array(*cases), lambda x: x.isNotNull())
+
+    empty = F.array().cast("array<struct<path: string, detail: string>>")
+    return F.coalesce(F.flatten(F.transform(F.map_entries(col), per_entry)), empty)
+
+
 def lower_named_predicates(
-    schema: CompiledSchema, col: Column, dtype: T.DataType
+    schema: CompiledSchema, col: Column, dtype: T.DataType, dynamic_paths: bool = False
 ) -> dict:
     """Per-path boolean predicates whose conjunction equals
     ``lower_predicate``: for struct columns, each property subschema keys
@@ -180,9 +287,13 @@ def lower_named_predicates(
 
     Map columns (dynamic keys) get per-key entries for the spec's DECLARED
     property names — the statically known part, matching the reference's
-    per-key wrapped object errors (validate.go:500); pattern/additional
-    properties over arbitrary keys stay at ``''`` (their keys don't exist
-    at compile time)."""
+    per-key wrapped object errors (validate.go:500). Pattern/additional
+    properties over arbitrary keys stay at ``''`` by default (their keys
+    don't exist at compile time); with ``dynamic_paths=True`` the caller
+    pairs this with :func:`lower_dynamic_key_violations` (which reports
+    those per-key at runtime), so the root entry DROPS
+    patternProperties/additionalProperties and the invariant becomes
+    ``AND(static) AND size(dynamic) == 0 == lower_predicate``."""
     import dataclasses
 
     target = _deref(schema)
@@ -190,7 +301,7 @@ def lower_named_predicates(
         target is not None
         and isinstance(dtype, T.MapType)
         and isinstance(dtype.keyType, T.StringType)
-        and target.properties
+        and (target.properties or (dynamic_paths and _has_dynamic_map_keys(target)))
     ):
         s = target
         seen = frozenset({id(s)})
@@ -212,9 +323,15 @@ def lower_named_predicates(
         # root keeps everything else; declared property VALUES are already
         # covered above, so they become empty schemas — but the NAMES must
         # survive so additionalProperties key-matching still sees them
-        root = dataclasses.replace(
-            s, properties={name: CompiledSchema() for name in s.properties}
-        )
+        replacements: dict = {
+            "properties": {name: CompiledSchema() for name in s.properties}
+        }
+        if dynamic_paths and _has_dynamic_map_keys(s):
+            # covered per-key by lower_dynamic_key_violations — dropping
+            # them here is what keeps the conjunction-with-dynamic exact
+            replacements["pattern_properties"] = []
+            replacements["additional_properties"] = None
+        root = dataclasses.replace(s, **replacements)
         entries[""] = lower_predicate(root, col, dtype)
         return entries
 

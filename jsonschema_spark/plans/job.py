@@ -173,6 +173,20 @@ class ValidationJob:
             else:
                 items.append(F.when(~F.col(c), entry(name, "")))
         entries = F.filter(F.array(*items), lambda x: x.isNotNull())
+        # dynamic map keys (patternProperties/additionalProperties over
+        # arbitrary keys): the plan carries a runtime array of failing
+        # '/<key>' paths per row — same scan stage, concatenated in
+        def _tag(check_name: str):
+            # NOTE: must be unary — F.transform inspects lambda arity, and a
+            # second (defaulted) parameter would receive the element INDEX
+            return lambda x: F.struct(
+                F.lit(check_name).alias("check"),
+                x.getField("path").alias("path"),
+                x.getField("detail").alias("detail"),
+            )
+
+        for name, arr in (getattr(self.plan, "detail_dynamic", None) or {}).items():
+            entries = F.concat(entries, F.transform(arr, _tag(name)))
         return (
             annotated.select(F.col(self.id_column).alias("id"), entries.alias("failed"))
             .filter(F.size("failed") > 0)

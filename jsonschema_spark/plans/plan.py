@@ -48,6 +48,7 @@ from pyspark.sql import types as T
 from jsonschema_spark.compiler.columns import (
     LoweringError,
     PrecisionWarning,
+    lower_dynamic_key_violations,
     lower_named_predicates,
     lower_predicate,
 )
@@ -105,6 +106,13 @@ class CompiledPlan:
     # materializes the struct once and derives the boolean from it, so
     # violations() can report the evaluator's own path/keyword/message
     kernel_verdicts: dict = field(default_factory=dict)
+    # check name -> array<struct<path,detail>> Column of per-key failures on
+    # map keys matched only dynamically (patternProperties /
+    # additionalProperties) — their names exist only at runtime, so these
+    # paths can't live in `detail`'s static dict. Invariant (pinned by
+    # tests/test_violation_paths.py): AND(detail[name].values()) AND
+    # size(detail_dynamic[name]) == 0 == checks[name].
+    detail_dynamic: dict = field(default_factory=dict)
 
     @property
     def check_names(self) -> list:
@@ -136,6 +144,7 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
     checks: dict = {}
     kernel_checks: dict = {}
     detail: dict = {}
+    detail_dynamic: dict = {}
     detail_specs: dict = {}
     fields = {f.name: f.dataType for f in schema.fields}
 
@@ -173,10 +182,18 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
                 continue
             checks[name] = native
             if isinstance(fields[col_name], (T.StructType, T.MapType)):
-                named = lower_named_predicates(
-                    compiled, F.col(col_name), fields[col_name]
+                dyn = lower_dynamic_key_violations(
+                    compiled, F.col(col_name), fields[col_name], raw_spec=col_spec
                 )
-                if len(named) > 1:
+                named = lower_named_predicates(
+                    compiled,
+                    F.col(col_name),
+                    fields[col_name],
+                    dynamic_paths=dyn is not None,
+                )
+                if dyn is not None:
+                    detail_dynamic[name] = dyn
+                if len(named) > 1 or dyn is not None:
                     detail[name] = named
                     detail_specs[name] = {
                         path: _spec_fragment_at(col_spec, path) for path in named
@@ -226,6 +243,7 @@ def compile_table_spec(spec: TableSpec, schema: T.StructType) -> CompiledPlan:
         references=dict(spec.references),
         drift=dict(spec.drift),
         detail=detail,
+        detail_dynamic=detail_dynamic,
         detail_specs=detail_specs,
         kernel_verdicts=kernel_verdicts,
     )

@@ -37,6 +37,7 @@ JOB_SCRIPTS = {
     "increm": "increm_scaling_job.py",
     "dupspans": "dupspans_scaling_job.py",
     "shuffle": "shuffle_scaling_job.py",
+    "survivors": "survivors_scaling_job.py",
 }
 
 

@@ -250,22 +250,89 @@ def test_map_named_conjunction_equals_single_predicate(spark, map_docs):
 
 def test_map_violations_pinpoint_declared_keys(spark, map_docs):
     """Map columns report the failing DECLARED key in the path — the
-    reference's per-key wrapped object errors (validate.go:500); dynamic
-    keys (pattern/additional properties) stay at root, their key names
-    don't exist at compile time."""
+    reference's per-key wrapped object errors (validate.go:500) — AND
+    (VERDICT r3 #4) dynamic keys rejected by additionalProperties report
+    their runtime key name too, not the check-level root."""
     plan = compile_table_spec(
         TableSpec.from_dict({"columns": {"doc": MAP_SPEC}}), map_docs.schema
     )
     assert "col_doc" in plan.detail
+    assert "col_doc" in plan.detail_dynamic
     job = ValidationJob(plan, id_column="id")
     got = {(r.id, r.path) for r in job.violations(job.annotate(map_docs)).collect()}
     assert got == {
         (2, "/a"),
         (3, "/b"),
-        (4, ""),   # object-level required -> root
-        (5, ""),   # dynamic extra key -> root
-        (6, ""),   # null object fails type at root
+        (4, ""),    # object-level required -> root
+        (5, "/x"),  # additionalProperties: false -> the offending key
+        (6, ""),    # null object fails type at root
     }
+
+
+DYN_SPEC = {
+    "type": "object",
+    "properties": {"a": {"type": "integer", "minimum": 0}},
+    "patternProperties": {"^n_": {"minimum": 0}},
+    "additionalProperties": {"maximum": 100},
+}
+
+DYN_ROWS = [
+    (1, {"a": 5, "n_x": 1, "other": 50}),    # all pass
+    (2, {"a": 5, "n_bad": -3}),              # pattern key fails -> /n_bad
+    (3, {"a": 5, "free": 999}),              # additional schema fails -> /free
+    (4, {"a": -1, "n_ok": 2}),               # declared key fails -> /a (static)
+    (5, {"n_bad": -1, "wild": 101, "z": 3}), # two dynamic failures at once
+]
+
+
+@pytest.fixture(scope="module")
+def dyn_docs(spark):
+    return spark.createDataFrame(DYN_ROWS, "id long, doc map<string, long>")
+
+
+def test_dynamic_key_violations_carry_runtime_paths(spark, dyn_docs):
+    """VERDICT r3 #4: keys matched only by patternProperties /
+    additionalProperties produce per-key '/name' paths computed at runtime
+    (reference validate.go:471-500), with the violated keyword fragment in
+    detail."""
+    plan = compile_table_spec(
+        TableSpec.from_dict({"columns": {"doc": DYN_SPEC}}), dyn_docs.schema
+    )
+    assert "col_doc" in plan.detail_dynamic
+    job = ValidationJob(plan, id_column="id")
+    rows = job.violations(job.annotate(dyn_docs)).collect()
+    got = {(r.id, r.path) for r in rows}
+    assert got == {
+        (2, "/n_bad"),
+        (3, "/free"),
+        (4, "/a"),
+        (5, "/n_bad"),
+        (5, "/wild"),
+    }
+    details = {(r.id, r.path): r.detail for r in rows}
+    assert details[(2, "/n_bad")] == '{"patternProperties":{"^n_":{"minimum":0}}}'
+    assert details[(3, "/free")] == '{"additionalProperties":{"maximum":100}}'
+
+
+def test_dynamic_conjunction_equals_single_predicate(spark, dyn_docs, map_docs):
+    """The split contract: AND(static named predicates) AND
+    size(dynamic failures) == 0 must equal lower_predicate exactly —
+    nothing double-reported, nothing dropped."""
+    from jsonschema_spark.compiler.columns import lower_dynamic_key_violations
+
+    for spec, docs in ((DYN_SPEC, dyn_docs), (MAP_SPEC, map_docs)):
+        compiled = compile_spec(spec)
+        dtype = docs.schema["doc"].dataType
+        single = lower_predicate(compiled, F.col("doc"), dtype)
+        named = lower_named_predicates(
+            compiled, F.col("doc"), dtype, dynamic_paths=True
+        )
+        dyn = lower_dynamic_key_violations(compiled, F.col("doc"), dtype)
+        assert dyn is not None
+        conj = F.size(dyn) == 0
+        for pred in named.values():
+            conj = conj & pred
+        assert docs.filter(single != conj).count() == 0
 
 
 def test_beyond_decimal38_routes_to_exact_kernel(spark):
