@@ -2790,6 +2790,58 @@ def q_bigram_pmi(spark, sf_dir):
     return bigram_pmi(_token_corpus(spark), min_count=3, top_k=50)
 
 
+def q_component_size_hist(spark, sf_dir):
+    """Near-dup cluster-size distribution — the dedup-policy dial: a
+    heavy-tailed histogram (one mega-component) means keep-one-per-cluster
+    is about to delete a corpus slice through boilerplate, a cleaning
+    problem. Oracle: the dup_components recursive-CTE closure + two
+    GROUP BYs."""
+    from jsonschema_spark.operators.components import component_size_histogram
+
+    return component_size_histogram(_minhash_pairs(spark, sf_dir))
+
+
+def q_containment_dups(spark, sf_dir):
+    """Asymmetric (containment) near-dup pairs: C = shared 5-grams /
+    min-side gram count >= 0.8 — the wrapper/superset duplicates symmetric
+    Jaccard misses (A ⊂ B at 4x length is J=0.25 but C=1.0; Broder 1997).
+    Integer threshold arithmetic (10*shared >= 8*min) so the boundary is
+    engine-exact. Oracle: unnest-join candidate prefilter + list_intersect
+    over candidates only."""
+    from jsonschema_spark.operators.dedup import containment_pairs
+
+    df = _t(spark, sf_dir, "documents")
+    return containment_pairs(df, "doc_id", "text", n=5, threshold_tenths=8)
+
+
+def q_token_burstiness(spark, sf_dir):
+    """Variance-to-mean ratio (Church & Gale burstiness) of per-doc counts
+    for the 20 head tokens: VMR ≈ 1 is Poisson-ish (function words),
+    VMR >> 1 is bursty (topical/template) — a template-dominated head is a
+    cleaning signal marginal frequencies can't show. Zeros handled in
+    closed form (mean = total/N, var = Σc²/N − mean²), so only occurrences
+    ever materialize."""
+    from jsonschema_spark.operators.stats import token_burstiness
+
+    return token_burstiness(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", top_k=20
+    )
+
+
+def q_doremi_weights(spark, sf_dir):
+    """One DoReMi-style (Xie et al. 2023) mixture-reweighting step over
+    sources: w_s ∝ share_s * exp(avg_score_s / T) with score =
+    ln(1 + n_chars) as the stand-in per-doc signal, T=1. Corpus reduces to
+    |sources| rows in one agg; both normalizations are 1-row broadcast
+    cross-joins."""
+    from jsonschema_spark.operators.sampling import doremi_weights
+
+    df = _t(spark, sf_dir, "documents").withColumn(
+        "score", F.log(F.lit(1.0) + F.col("n_chars").cast("double"))
+    )
+    return doremi_weights(df, "source", "score", temperature=1.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness gate takes the FIRST 50
     # entries in insertion order. Round-4 rotation (VERDICT r3 "Next
@@ -2850,6 +2902,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_diversity": q_vocab_diversity,
         "quality_survivors": q_quality_survivors,
         "emd_drift": q_emd_drift,
+        # r4 additions (sweep-covered; queue just behind emd_drift for the
+        # r5 gate rotation)
+        "component_size_hist": q_component_size_hist,
+        "containment_dups": q_containment_dups,
+        "token_burstiness": q_token_burstiness,
+        "doremi_weights": q_doremi_weights,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -5631,5 +5689,80 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(least(chunk_idx * 32 + 48, n) - chunk_idx * 32 AS INT)"
             "   AS n_tok"
             " FROM e"
+        ),
+        "component_size_hist": (
+            # dup_components' recursive-CTE closure + two GROUP BYs
+            "WITH RECURSIVE sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-2, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " pairs AS (SELECT id_a, id_b FROM ("
+            "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+            "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+            "    ELSE len(list_intersect(a.g, b.g))"
+            "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
+            "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+            "   AND len(a.g) * 5 >= len(b.g) * 4 AND len(b.g) * 5 >= len(a.g) * 4) WHERE j >= 0.8),"
+            " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+            "  UNION ALL SELECT id_b, id_a FROM pairs),"
+            " nodes AS (SELECT DISTINCT src AS id FROM edges),"
+            " reach(id, r) AS ("
+            "  SELECT id, id FROM nodes"
+            "  UNION"
+            "  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id),"
+            " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),"
+            " cs AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)"
+            " SELECT cluster_size, count(*) AS n_clusters FROM cs GROUP BY cluster_size"
+        ),
+        "containment_dups": (
+            # candidate prefilter via unnest-join (same shape as the engine:
+            # only gram-sharing pairs reach the intersection), exact
+            # containment over per-doc DISTINCT 5-gram sets, INTEGER
+            # threshold arithmetic (10*shared >= 8*min) on both sides
+            "WITH g AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+            "   generate_series(1, greatest(len(ws)-4, 0)),"
+            "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||"
+            "    ws[i+3] || ' ' || ws[i+4]))) AS gs"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " e AS (SELECT doc_id, unnest(gs) AS gram FROM g),"
+            " cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM e a"
+            "  JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),"
+            " j AS (SELECT id_a, id_b,"
+            "   len(list_intersect(ga.gs, gb.gs)) AS n_shared,"
+            "   least(len(ga.gs), len(gb.gs)) AS min_grams"
+            "  FROM cand JOIN g ga ON ga.doc_id = cand.id_a"
+            "   JOIN g gb ON gb.doc_id = cand.id_b)"
+            " SELECT id_a, id_b, n_shared, min_grams,"
+            "  round(n_shared / CAST(min_grams AS DOUBLE), 6) AS containment"
+            " FROM j WHERE n_shared * 10 >= 8 * min_grams"
+        ),
+        "token_burstiness": (
+            # zeros in closed form: mean = total/N over ALL docs, var =
+            # sumsq/N - mean*mean (mean*mean, NOT pow(mean,2) — pow is not
+            # ulp-identical across libm builds)
+            "WITH w AS (SELECT doc_id, unnest(ws) AS token"
+            f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+            " pd AS (SELECT doc_id, token, count(*) AS c FROM w GROUP BY 1, 2),"
+            " agg AS (SELECT token, sum(c) AS total, sum(c * c) AS sumsq"
+            "  FROM pd GROUP BY token),"
+            " n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),"
+            " ranked AS (SELECT token, total, sumsq,"
+            "   row_number() OVER (ORDER BY total DESC, token ASC) AS rn FROM agg),"
+            " calc AS (SELECT token, total, sumsq, nd, total / nd AS mean"
+            "  FROM ranked, n WHERE rn <= 20)"
+            " SELECT token, total, round(mean, 6) AS mean_per_doc,"
+            "  round((sumsq / nd - mean * mean) / mean, 6) AS vmr FROM calc"
+        ),
+        "doremi_weights": (
+            "WITH agg AS (SELECT source, count(*) AS n,"
+            "   avg(ln(1.0 + CAST(n_chars AS DOUBLE))) AS avg_score"
+            "  FROM documents GROUP BY source),"
+            " tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM agg),"
+            " sh AS (SELECT source, avg_score, n / t AS share,"
+            "   (n / t) * exp(avg_score / 1.0) AS tt FROM agg, tot),"
+            " z AS (SELECT sum(tt) AS zz FROM sh)"
+            " SELECT source, round(share, 6) AS share,"
+            "  round(avg_score, 6) AS avg_score,"
+            "  round(tt / zz, 6) AS weight FROM sh, z"
         ),
     }

@@ -280,3 +280,30 @@ def quality_survivors(
         broadcast_max_rows,
     )
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def component_size_histogram(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """(cluster_size, n_clusters): the size distribution of near-dup
+    components — the dedup-policy dial. Web-crawl dup clusters are heavy-
+    tailed (a few boilerplate/mirror templates explode into giant
+    components); this histogram is how a pipeline decides whether
+    keep-one-per-cluster is about to delete 30% of the corpus through one
+    mega-component (a cleaning problem, not a dedup problem) before running
+    the irreversible survivor pass.
+
+    Scale shape: :func:`connected_components` (O(log n) star-contraction
+    rounds) plus two map-side-combined aggregates; the output is bounded by
+    the number of DISTINCT cluster sizes (<= max component size, in
+    practice tens of rows at any corpus scale), so nothing corpus-sized
+    ever reaches the driver. Singleton docs never appear in ``pairs`` and
+    are excluded by construction — size 1 would be corpus-sized and
+    uninformative."""
+    assign = connected_components(pairs, id_a, id_b)
+    sizes = assign.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

@@ -2179,3 +2179,72 @@ def ingest_dedup_trend(
             ).alias("dup_rate"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    threshold_tenths: int = 8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id_a, id_b, n_shared, min_grams, containment): ASYMMETRIC near-dup
+    via gram-set containment C = |grams(A) ∩ grams(B)| / min(|A|, |B|)
+    (Broder 1997's containment measure) — catches wrapper/superset
+    duplicates that symmetric Jaccard structurally misses: a page embedding
+    another whole page at 4x its length has J = 0.25 (below any sane
+    near-dup threshold) but C = 1.0. Pairs with 10*n_shared >=
+    threshold_tenths*min_grams survive; the threshold compares in exact
+    INTEGER arithmetic so engine replays can't flip boundary pairs through
+    a float ulp.
+
+    Scale shape: pair generation IS :func:`shared_ngram_pairs` (per-doc
+    distinct 31-bit gram hashes, hot-gram prefilter, optional per-gram
+    doc-freq ceiling, exact-gram verify) — no new quadratic step; per-doc
+    distinct gram counts come from one corpus projection semi-joined down
+    to candidate ids (the verified pair table is small), localCheckpointed
+    once because it joins both sides of the pair. NOTE: unlike symmetric
+    near-dup, a SIZE-RATIO prefilter must NOT be applied here — the
+    different-size pairs are exactly the signal."""
+    pairs = shared_ngram_pairs(
+        df, id_col, text_col, n=n, max_doc_freq=max_doc_freq
+    ).localCheckpoint(eager=False)
+    elements = words(F.lower(F.col(text_col)))
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    corpus = ensure_parallelism(df)
+    sizes = (
+        corpus.join(cand_ids, corpus[id_col] == cand_ids["id"], "left_semi")
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(F.array_distinct(_raw_grams(elements, n, " "))).alias("n_grams"),
+        )
+        .localCheckpoint(eager=False)  # joined twice below (rule: aliased
+        # self-reads don't reuse exchanges)
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    out = (
+        pairs.join(sa, F.col("id_a") == F.col("sa.id"))
+        .join(sb, F.col("id_b") == F.col("sb.id"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            F.least(F.col("sa.n_grams"), F.col("sb.n_grams")).alias("min_grams"),
+        )
+    )
+    return out.filter(
+        F.col("n_shared") * 10 >= F.lit(threshold_tenths) * F.col("min_grams")
+    ).select(
+        "id_a",
+        "id_b",
+        "n_shared",
+        "min_grams",
+        F.round(F.col("n_shared") / F.col("min_grams").cast("double"), 6).alias(
+            "containment"
+        ),
+    )

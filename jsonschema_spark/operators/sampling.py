@@ -474,3 +474,50 @@ def source_relative_filter(
             "cut",
         )
     )
+
+
+def doremi_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    score_col: str = "score",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """(source, share, avg_score, weight): ONE exponentiated-gradient
+    mixture-reweighting step in the shape of DoReMi (Xie et al. 2023,
+    "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    Pretraining"): each source's current mass share is tilted by the
+    exponential of its average per-document score (there: excess proxy
+    loss; here: whatever the caller scores) and renormalized —
+    ``w_s ∝ share_s * exp(avg_score_s / T)``. High-score (hard/
+    informative) sources gain mass, low-score ones shrink; T flattens or
+    sharpens the update.
+
+    Scale shape: ONE map-side-combined aggregate reduces the corpus to
+    |sources| rows (registry-bounded); the two normalizations (total mass,
+    softmax denominator) are unpartitioned windows over that metadata-sized
+    table — a deliberate SinglePartition over tens of rows, never the
+    corpus, which is neither shuffled nor collected."""
+    w = Window.partitionBy()
+    agg = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(F.col(score_col)).alias("avg_score"),
+    )
+    shared = agg.select(
+        "source",
+        "avg_score",
+        (F.col("_n") / F.sum("_n").over(w)).alias("share"),
+    )
+    tilted = shared.select(
+        "source",
+        "share",
+        "avg_score",
+        (F.col("share") * F.exp(F.col("avg_score") / F.lit(float(temperature)))).alias(
+            "_t"
+        ),
+    )
+    return tilted.select(
+        "source",
+        F.round("share", 6).alias("share"),
+        F.round("avg_score", 6).alias("avg_score"),
+        F.round(F.col("_t") / F.sum("_t").over(w), 6).alias("weight"),
+    )

@@ -869,3 +869,59 @@ def corpus_datasheet(
         "n_sources",
         "source_hhi",
     )
+
+
+def token_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 20,
+) -> DataFrame:
+    """(token, total, mean_per_doc, vmr) for the ``top_k`` most frequent
+    word tokens: the variance-to-mean ratio (index of dispersion) of
+    per-document counts — Church & Gale 1995's burstiness. Function words
+    sit near VMR ≈ 1 (Poisson-ish across docs); topical/boilerplate tokens
+    run VMR >> 1 (concentrated bursts). A corpus whose HEAD tokens are all
+    highly bursty is template-dominated — a cleaning signal no marginal
+    frequency table can show.
+
+    Zeros count without materializing: over N total docs, mean = total/N
+    and var = Σc²/N − mean² (population), so documents lacking the token
+    never produce a row — the explode emits only occurrences. Scale shape:
+    one explode → per-(doc, token) count (map-side combined) → one
+    token-level agg bounded by vocab; the top-k cut is a vocab-bounded
+    sort with a deterministic (total DESC, token ASC) tie-break so engine
+    replays pick the same head set. N comes from one bounded aggregate
+    (a driver scalar, O(1) state)."""
+    from pyspark.sql.window import Window
+
+    from jsonschema_spark.functions.text import words
+
+    n_docs = df.count()
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(words(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .groupBy("id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = per_doc.groupBy("token").agg(
+        F.sum("c").alias("total"),
+        F.sum(F.col("c") * F.col("c")).alias("sumsq"),
+    )
+    # vocab-bounded rank: the window input is the token-level aggregate
+    # (|vocab| rows), never the corpus
+    w = Window.orderBy(F.desc("total"), F.asc("token"))
+    mean = F.col("total") / F.lit(float(n_docs))
+    var = F.col("sumsq") / F.lit(float(n_docs)) - mean * mean
+    return (
+        agg.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_k)
+        .select(
+            "token",
+            "total",
+            F.round(mean, 6).alias("mean_per_doc"),
+            F.round(var / mean, 6).alias("vmr"),
+        )
+    )

@@ -189,3 +189,20 @@ def test_quality_survivor_map_and_survivors(spark):
         m for ms in clusters.values() for m in ms
     } - {k for k, _ in expect.values()}
     assert kept == set(range(200)) - losers
+
+
+def test_component_size_histogram(spark):
+    """Histogram over CC sizes: chain of 4 (one 4-cluster), a pair, and a
+    triangle (3-cluster) -> sizes {4:1, 3:1, 2:1}; singletons absent by
+    construction."""
+    from jsonschema_spark.operators.components import component_size_histogram
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.cluster_size: r.n_clusters
+        for r in component_size_histogram(pairs).collect()
+    }
+    assert got == {4: 1, 3: 1, 2: 1}

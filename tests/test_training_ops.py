@@ -1616,3 +1616,96 @@ def test_ingest_dedup_trend_keep_first(spark):
         1: (3, 2, round(2 / 3, 6)),
         2: (2, 1, 0.5),
     }
+
+
+def test_containment_pairs_catches_superset_dup(spark):
+    """A ⊂ B at ~4x length: symmetric 5-gram Jaccard is far below 0.8 but
+    containment is 1.0 — the wrapper-dup case the asymmetric measure
+    exists for. Unrelated docs never pair."""
+    from jsonschema_spark.operators.dedup import containment_pairs
+
+    inner = "alpha beta gamma delta epsilon zeta eta theta"
+    wrapper = (
+        "header menu nav crumbs one two three four five six seven eight "
+        + inner
+        + " footer legal contact copyright terms privacy about sitemap"
+    )
+    rows = [
+        (1, inner),
+        (2, wrapper),
+        (3, "totally different words with no overlap at all here folks"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): (r.n_shared, r.min_grams, r.containment)
+        for r in containment_pairs(df, "doc_id", "text", n=5).collect()
+    }
+    # inner has 8 words -> 4 distinct 5-grams, all present in wrapper
+    assert set(got) == {(1, 2)}
+    n_shared, min_grams, c = got[(1, 2)]
+    assert (n_shared, min_grams, c) == (4, 4, 1.0)
+
+
+def test_containment_threshold_integer_boundary(spark):
+    """10*shared >= 8*min is exact: shared=4 of min=5 grams (0.8) keeps,
+    shared=3 of min=4 (0.75) drops."""
+    from jsonschema_spark.operators.dedup import containment_pairs
+
+    keep_small = "a b c d e f g h i"          # 5 grams
+    keep_big = "a b c d e f g h X " + "p q r s t u v w y z"  # shares 4
+    rows = [(1, keep_small), (2, keep_big)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.id_a, r.id_b, r.n_shared, r.min_grams)
+        for r in containment_pairs(df, "doc_id", "text", n=5).collect()
+    ]
+    assert got == [(1, 2, 4, 5)]
+
+    drop_small = "a b c d e f g X"            # 4 grams, shares 3
+    drop_big = "a b c d e f g Y " + "p q r s t u v w"
+    df2 = spark.createDataFrame(
+        [(1, drop_small), (2, drop_big)], "doc_id long, text string"
+    )
+    assert containment_pairs(df2, "doc_id", "text", n=5).count() == 0
+
+
+def test_token_burstiness_closed_form(spark):
+    """3 docs; 'the' appears (2,1,1) -> mean 4/3, var 2/9, vmr 1/6;
+    'spam' appears (6,0,0) -> mean 2, var 8, vmr 4 (bursty)."""
+    from jsonschema_spark.operators.stats import token_burstiness
+
+    rows = [
+        (1, "the cat the spam spam spam spam spam spam"),
+        (2, "the dog"),
+        (3, "the bird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.token: (r.total, r.mean_per_doc, r.vmr)
+        for r in token_burstiness(df, "text", "doc_id", top_k=2).collect()
+    }
+    assert set(got) == {"the", "spam"}
+    assert got["spam"] == (6, 2.0, 4.0)
+    total, mean, vmr = got["the"]
+    assert total == 4 and mean == round(4 / 3, 6)
+    # var = (4+1+1)/3 - (4/3)^2 = 2/9; vmr = (2/9)/(4/3) = 1/6
+    assert vmr == round((6 / 3 - (4 / 3) ** 2) / (4 / 3), 6)
+
+
+def test_doremi_weights_tilts_toward_high_score(spark):
+    """Two sources, equal mass: weights ∝ exp(avg_score/T); shares sum to
+    1, weights sum to 1, higher-score source gains."""
+    import math
+
+    from jsonschema_spark.operators.sampling import doremi_weights
+
+    rows = [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "source string, score double")
+    got = {r.source: (r.share, r.avg_score, r.weight) for r in doremi_weights(df).collect()}
+    za = 0.5 * math.exp(1.0)
+    zb = 0.5 * math.exp(2.0)
+    assert got["a"] == (0.5, 1.0, round(za / (za + zb), 6))
+    assert got["b"] == (0.5, 2.0, round(zb / (za + zb), 6))
+    # temperature flattens: T -> inf recovers shares
+    flat = {r.source: r.weight for r in doremi_weights(df, temperature=1e9).collect()}
+    assert flat == {"a": 0.5, "b": 0.5}
