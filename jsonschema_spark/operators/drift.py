@@ -266,10 +266,12 @@ def windowed_psi(
     counts (map-side combine; ≤ windows·(bins+2) rows survive the
     shuffle); the global baseline is re-aggregated from that small table
     — the raw input is never scanned twice. The per-window compare runs
-    on a dense (window × bucket) grid built by cross-joining the two
-    aggregate key sets, so a bucket missing from one window still
-    contributes its epsilon-floored PSI term exactly as in
-    :func:`psi_terms`.
+    on a dense (window × bucket) grid built by exploding the closed
+    bucket domain (-1..bins) under each window key — no nested-loop join
+    — so a bucket missing from one window still contributes its
+    epsilon-floored PSI term exactly as in :func:`psi_terms`; buckets
+    empty in EVERY window are dropped by the inner join against the
+    baseline, exactly as the old cross-join grid dropped them.
     """
     width = (hi - lo) / bins
     bucket = (
@@ -291,7 +293,12 @@ def windowed_psi(
     wtot = counts.groupBy("ws").agg(F.sum("cnt").alias("n_cur"))
     grid = (
         counts.select("ws").distinct()
-        .crossJoin(F.broadcast(base.select("bucket")))
+        .select(
+            "ws",
+            F.explode(
+                F.sequence(F.lit(-1), F.lit(int(bins)))
+            ).alias("bucket"),
+        )
         .join(counts, on=["ws", "bucket"], how="left")
         .select("ws", "bucket", F.coalesce("cnt", F.lit(0)).alias("cur"))
     )

