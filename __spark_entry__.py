@@ -2842,6 +2842,158 @@ def q_doremi_weights(spark, sf_dir):
     return doremi_weights(df, "source", "score", temperature=1.0)
 
 
+def _rollout_specs() -> tuple[dict, dict]:
+    """v1 = the flagship corpus contract's row-level checks; v2 = the
+    next contract revision: n_tok ceiling tightened 2048 → 1024 and the
+    len-consistency row check dropped (the new ingest recomputes n_tok
+    itself) — a tighten + a loosen, so every transition cell is
+    exercised."""
+    from jsonschema_spark.sources.corpus import MAX_TOKENS, VOCAB_SIZE
+
+    v1 = {
+        "columns": {
+            "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+            "tokens": {
+                "type": "array",
+                "minItems": 1,
+                "items": {
+                    "type": "integer",
+                    "minimum": 0,
+                    "maximum": VOCAB_SIZE - 1,
+                },
+            },
+            "n_tok": {"type": "integer", "minimum": 1, "maximum": MAX_TOKENS},
+        },
+        "required": ["doc_id", "tokens", "n_tok", "source"],
+        "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+    }
+    v2 = {
+        "columns": {
+            "doc_id": v1["columns"]["doc_id"],
+            "tokens": v1["columns"]["tokens"],
+            "n_tok": {"type": "integer", "minimum": 1, "maximum": 1024},
+        },
+        "required": v1["required"],
+    }
+    return v1, v2
+
+
+def _materialized_corpus(spark):
+    import os
+
+    from jsonschema_spark.sources.corpus import corpus
+
+    path = _corpus_oracle_path()
+    if not os.path.isdir(path):
+        corpus(spark, 50_000, seed=42).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _rollout_check_sql() -> dict:
+    """DuckDB twins of the v1 row-level checks, keyed by the compiler's
+    check names (same expressions as _corpus_validate_oracle_sql)."""
+    from jsonschema_spark.sources.corpus import MAX_TOKENS, VOCAB_SIZE
+
+    return {
+        "col_doc_id": (
+            "(doc_id IS NULL OR regexp_matches(doc_id, '^doc-[0-9]{12}$'))"
+        ),
+        "col_tokens": (
+            "(tokens IS NULL OR (len(tokens) >= 1 AND len(list_filter(tokens,"
+            f" t -> t < 0 OR t > {VOCAB_SIZE - 1})) = 0))"
+        ),
+        "col_n_tok": f"(n_tok IS NULL OR (n_tok >= 1 AND n_tok <= {MAX_TOKENS}))",
+        "required_doc_id": "(doc_id IS NOT NULL)",
+        "required_tokens": "(tokens IS NOT NULL)",
+        "required_n_tok": "(n_tok IS NOT NULL)",
+        "required_source": "(source IS NOT NULL)",
+        "row_len_consistent": "(n_tok = len(tokens))",
+    }
+
+
+def _spec_rollout_oracle_sql() -> str:
+    ok = _rollout_check_sql()
+    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
+    v1 = " AND ".join(ok.values())
+    v2 = " AND ".join(
+        "(n_tok IS NULL OR (n_tok >= 1 AND n_tok <= 1024))"
+        if name == "col_n_tok"
+        else expr
+        for name, expr in ok.items()
+        if name != "row_len_consistent"
+    )
+    return (
+        f"WITH t AS (SELECT source, {v1} AS v1, {v2} AS v2 FROM {tbl})"
+        ' SELECT source AS "group", count(*) AS n,'
+        " count(*) FILTER (WHERE v1 AND v2) AS pass_pass,"
+        " count(*) FILTER (WHERE v1 AND NOT v2) AS pass_fail,"
+        " count(*) FILTER (WHERE NOT v1 AND v2) AS fail_pass,"
+        " count(*) FILTER (WHERE NOT v1 AND NOT v2) AS fail_fail,"
+        " round(count(*) FILTER (WHERE v1 AND NOT v2)"
+        "   / CAST(count(*) AS DOUBLE), 6) AS break_rate"
+        " FROM t GROUP BY source"
+    )
+
+
+def _violation_cooccur_oracle_sql() -> str:
+    from jsonschema_spark.sources.corpus import VOCAB_SIZE
+
+    ok = _rollout_check_sql()
+    ok["col_tokens"] = (
+        "(tokens IS NULL OR (len(tokens) >= 1 AND len(tokens) <= 2000"
+        " AND len(list_filter(tokens,"
+        f" t -> t < 0 OR t > {VOCAB_SIZE - 1})) = 0))"
+    )
+    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
+    cases = ", ".join(
+        f"CASE WHEN NOT {expr} THEN '{name}' END" for name, expr in ok.items()
+    )
+    return (
+        f"WITH f AS (SELECT list_filter([{cases}], x -> x IS NOT NULL)"
+        f"  AS fl FROM {tbl}),"
+        " g AS (SELECT fl FROM f WHERE len(fl) >= 2),"
+        " p AS (SELECT a.u AS check_a, b.u AS check_b"
+        "  FROM g, unnest(g.fl) AS a(u), unnest(g.fl) AS b(u)"
+        "  WHERE a.u < b.u)"
+        " SELECT check_a, check_b, count(*) AS n_docs"
+        " FROM p GROUP BY check_a, check_b"
+    )
+
+
+def q_spec_rollout(spark, sf_dir):
+    """Pre-rollout audit of a contract change: validate the corpus against
+    spec v1 AND v2 in ONE scan (both compiled to native Columns in the
+    same codegen projection) and emit the per-source pass/fail transition
+    matrix — pass_fail is the rollout blast radius, fail_pass the checks
+    the revision silently loosened. Shuffle is O(sources)."""
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+    from jsonschema_spark.plans.rollout import spec_rollout_audit
+
+    df = _materialized_corpus(spark)
+    v1, v2 = _rollout_specs()
+    p1 = compile_table_spec(TableSpec.from_dict(v1), df.schema)
+    p2 = compile_table_spec(TableSpec.from_dict(v2), df.schema)
+    return spec_rollout_audit(df, p1, p2, group_col="source")
+
+
+def q_violation_cooccur(spark, sf_dir):
+    """Root-cause view of a validation run: which checks fail TOGETHER
+    (injected bad-n_tok rows co-fire col_n_tok + len_consistent; overlong
+    token arrays co-fire col_tokens with whichever injection hits the same
+    row). Failing rows are filtered inside the scan stage; the pair
+    fan-out is a HOF over a ≤|checks| array, aggregate keys ≤ checks²."""
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+    from jsonschema_spark.plans.rollout import violation_cooccurrence
+
+    df = _materialized_corpus(spark)
+    v1, _ = _rollout_specs()
+    v1 = {**v1, "columns": {**v1["columns"], "tokens": {
+        **v1["columns"]["tokens"], "maxItems": 2000,
+    }}}
+    plan = compile_table_spec(TableSpec.from_dict(v1), df.schema)
+    return violation_cooccurrence(plan.annotate(df))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness gate takes the FIRST 50
     # entries in insertion order. Round-4 rotation (VERDICT r3 "Next
@@ -2908,6 +3060,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dups": q_containment_dups,
         "token_burstiness": q_token_burstiness,
         "doremi_weights": q_doremi_weights,
+        "spec_rollout": q_spec_rollout,
+        "violation_cooccur": q_violation_cooccur,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -5765,4 +5919,6 @@ def oracle_sql() -> dict[str, str]:
             "  round(avg_score, 6) AS avg_score,"
             "  round(tt / zz, 6) AS weight FROM sh, z"
         ),
+        "spec_rollout": _spec_rollout_oracle_sql(),
+        "violation_cooccur": _violation_cooccur_oracle_sql(),
     }
