@@ -2994,6 +2994,65 @@ def q_violation_cooccur(spark, sf_dir):
     return violation_cooccurrence(plan.annotate(df))
 
 
+def _check_activation_oracle_sql() -> str:
+    # NULL verdicts count as failures on both sides: the engine's row
+    # checks coalesce NULL -> False (plans/plan.py), so the oracle wraps
+    # every predicate in coalesce(expr, FALSE) for the same truth table
+    from jsonschema_spark.sources.corpus import VOCAB_SIZE
+
+    ok = _rollout_check_sql()
+    ok["col_tokens"] = (
+        "(tokens IS NULL OR (len(tokens) >= 1 AND len(tokens) <= 2000"
+        " AND len(list_filter(tokens,"
+        f" t -> t < 0 OR t > {VOCAB_SIZE - 1})) = 0))"
+    )
+    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
+    parts = []
+    for name, expr in ok.items():
+        fail = f"count(*) FILTER (WHERE NOT coalesce({expr}, FALSE))"
+        parts.append(
+            f"SELECT '{name}' AS \"check\", count(*) AS n,"
+            f" {fail} AS n_fail,"
+            f" round({fail} / CAST(count(*) AS DOUBLE), 6) AS fail_rate,"
+            f" CASE WHEN {fail} = 0 THEN 'dead'"
+            f"  WHEN {fail} = count(*) THEN 'always'"
+            f"  ELSE 'active' END AS status"
+            f" FROM {tbl}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def q_check_activation(spark, sf_dir):
+    """Per-check fire-rate profile of the flagship contract over the
+    corpus — the marginal complement of violation_cooccur: 'dead' checks
+    (never fail) are removal candidates, 'always' checks mean the
+    contract no longer matches the data. One map-side-combined aggregate;
+    no data row shuffles (the agg emits a single row of per-check sums)."""
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+    from jsonschema_spark.plans.rollout import check_activation_profile
+
+    df = _materialized_corpus(spark)
+    v1, _ = _rollout_specs()
+    v1 = {**v1, "columns": {**v1["columns"], "tokens": {
+        **v1["columns"]["tokens"], "maxItems": 2000,
+    }}}
+    plan = compile_table_spec(TableSpec.from_dict(v1), df.schema)
+    return check_activation_profile(plan.annotate(df))
+
+
+def q_bigram_kn_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram perplexity of every non-reference
+    sequence against the doc_id%5==0 reference slice — the smoothing
+    KenLM ships (absolute discount + continuation-count backoff), one
+    quality step above bigram_ppl's add-k. The model is the same bigram
+    count table plus two vocab-bounded aggregates over it; scoring
+    shuffles ~1 row per document."""
+    from jsonschema_spark.operators.relevance import kn_bigram_perplexity
+
+    df = _token_corpus(spark)
+    return kn_bigram_perplexity(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness gate takes the FIRST 50
     # entries in insertion order. Round-4 rotation (VERDICT r3 "Next
@@ -3062,6 +3121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doremi_weights": q_doremi_weights,
         "spec_rollout": q_spec_rollout,
         "violation_cooccur": q_violation_cooccur,
+        "check_activation": q_check_activation,
+        "bigram_kn_ppl": q_bigram_kn_ppl,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -5921,4 +5982,37 @@ def oracle_sql() -> dict[str, str]:
         ),
         "spec_rollout": _spec_rollout_oracle_sql(),
         "violation_cooccur": _violation_cooccur_oracle_sql(),
+        "check_activation": _check_activation_oracle_sql(),
+        "bigram_kn_ppl": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " ref AS (SELECT * FROM t WHERE doc_id % 5 = 0),"
+            " rp AS (SELECT unnest(tokens[1:len(tokens) - 1]) AS a,"
+            "   unnest(tokens[2:len(tokens)]) AS b FROM ref),"
+            " bg AS (SELECT a, b, count(*) AS nb FROM rp GROUP BY 1, 2),"
+            " h AS (SELECT a, CAST(sum(nb) AS BIGINT) AS na,"
+            "   count(*) AS n1f FROM bg GROUP BY 1),"
+            " cb AS (SELECT b, count(*) AS n1b FROM bg GROUP BY 1),"
+            " tot AS (SELECT count(*) AS n1all FROM bg),"
+            " vt AS (SELECT count(DISTINCT tok) AS v FROM"
+            "  (SELECT unnest(tokens) AS tok FROM ref)),"
+            " sp AS (SELECT doc_id AS id,"
+            "   unnest(tokens[1:len(tokens) - 1]) AS a,"
+            "   unnest(tokens[2:len(tokens)]) AS b"
+            "  FROM t WHERE doc_id % 5 <> 0),"
+            " j AS (SELECT id, h.na IS NOT NULL AS seen,"
+            "   (coalesce(cb.n1b, 0) + CAST(0.5 AS DOUBLE))"
+            "    / (tot.n1all + CAST(0.5 AS DOUBLE) * vt.v) AS pc,"
+            "   coalesce(bg.nb, 0) AS nb, h.na, h.n1f"
+            "  FROM sp LEFT JOIN bg USING (a, b) LEFT JOIN h USING (a)"
+            "   LEFT JOIN cb ON sp.b = cb.b CROSS JOIN tot CROSS JOIN vt),"
+            " s AS (SELECT id, seen, CASE WHEN seen THEN"
+            "    greatest(nb - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / na"
+            "     + CAST(0.75 AS DOUBLE) * n1f / na * pc"
+            "   ELSE pc END AS p FROM j)"
+            " SELECT id, count(*) AS n_bigrams,"
+            "  CAST(count(*) FILTER (WHERE seen) AS BIGINT) AS n_seen_hist,"
+            "  round(avg(-ln(p)), 6) AS xent,"
+            "  round(exp(avg(-ln(p))), 6) AS ppl"
+            " FROM s GROUP BY 1"
+        ),
     }

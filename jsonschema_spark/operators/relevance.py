@@ -404,6 +404,109 @@ def bigram_perplexity(
     )
 
 
+def kn_bigram_perplexity(
+    df: DataFrame,
+    is_reference: Column,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    discount: float = 0.75,
+    smoothing: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity (Kneser & Ney 1995;
+    Chen & Goodman 1999) — the smoothing KenLM actually ships, one
+    quality step above :func:`bigram_perplexity`'s add-k: instead of
+    backing off to raw unigram frequency (which overprices tokens that
+    are frequent but only in one context, e.g. the second half of a
+    fixed collocation), the lower-order model is the CONTINUATION
+    distribution ``Pc(b) ∝ N1+(·,b)`` = in how many distinct contexts
+    ``b`` was seen. Seen history ``a``::
+
+        P(b|a) = max(B(a,b) - d, 0) / H(a)  +  d·N1+(a,·)/H(a) · Pc(b)
+
+    with ``B`` = bigram counts, ``H(a) = Σ_b B(a,b)``, ``N1+(a,·)`` =
+    distinct continuations of ``a``, and absolute discount ``d``.
+    Unseen histories score ``Pc(b)`` directly. ``Pc`` is add-k smoothed
+    over the reference vocabulary (``(N1+(·,b)+k) / (N1+(··)+k·V)``) so
+    unseen continuations are priced, not dropped — same contract as the
+    unigram/bigram scorers. Returns ``(id, n_bigrams, n_seen_hist,
+    xent, ppl)`` for non-reference sequences with ≥1 adjacent pair.
+
+    Scale shape: identical to :func:`bigram_perplexity` — the model is
+    the SAME map-side-combined bigram count table plus two vocab-bounded
+    aggregates OVER it (distinct-continuation counts are a groupBy of
+    the ≤|bigrams| count table, never a second corpus pass) and two
+    scalars. Scoring joins the bigram table on its uniform (a, b) key
+    (AQE broadcasts when it fits) and broadcasts the two ≤|vocab|
+    per-token tables; the final per-doc agg moves ~1 row per document.
+    """
+    from ..functions.text import index_range
+
+    toks = F.col(tokens_col)
+    pairs_arr = F.transform(
+        index_range(F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"),
+            F.element_at(toks, i + 1).alias("b"),
+        ),
+    )
+    ref = df.filter(is_reference)
+    ref_pairs = ref.select(F.explode(pairs_arr).alias("p")).select(
+        "p.a", "p.b"
+    )
+    bigrams = ref_pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    # history totals + distinct-continuation fan-outs: aggregates over
+    # the bigram COUNT table (≤ distinct bigrams rows), not the corpus
+    hist = bigrams.groupBy("a").agg(
+        F.sum("nb").alias("na"), F.count(F.lit(1)).alias("n1f")
+    )
+    cont = bigrams.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    n1_all = ref_pairs.agg(F.count_distinct("a", "b")).collect()[0][0]
+    v = float(
+        ref.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    d = float(discount)
+    k = float(smoothing)
+    scored = (
+        df.filter(~is_reference)
+        .select(F.col(id_col).alias("id"), F.explode(pairs_arr).alias("p"))
+        .select("id", "p.a", "p.b")
+    )
+    pc = (F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(k)) / F.lit(
+        float(n1_all) + k * v
+    )
+    seen = F.col("na").isNotNull()
+    p = F.when(
+        seen,
+        F.greatest(F.coalesce(F.col("nb"), F.lit(0)) - F.lit(d), F.lit(0.0))
+        / F.col("na")
+        + F.lit(d) * F.col("n1f") / F.col("na") * pc,
+    ).otherwise(pc)
+    return (
+        scored.join(bigrams, on=["a", "b"], how="left")
+        .join(F.broadcast(hist), on="a", how="left")
+        .join(F.broadcast(cont), on="b", how="left")
+        .select("id", seen.cast("long").alias("_s"), (-F.ln(p)).alias("nll"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("_s").alias("n_seen_hist"),
+            F.avg("nll").alias("_x"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            "n_seen_hist",
+            F.round(F.col("_x"), decimals).alias("xent"),
+            F.round(F.exp(F.col("_x")), decimals).alias("ppl"),
+        )
+    )
+
+
 def trigram_stupid_backoff(
     df: DataFrame,
     is_reference: Column,

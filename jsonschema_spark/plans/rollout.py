@@ -85,6 +85,60 @@ def spec_rollout_audit(
     )
 
 
+def check_activation_profile(
+    annotated: DataFrame, decimals: int = 6
+) -> DataFrame:
+    """The marginal complement of :func:`violation_cooccurrence` —
+    ``(check, n, n_fail, fail_rate, status)`` per compiled check, where
+    ``status`` flags the two states a spec review must surface: ``dead``
+    (the check never fails — it costs a codegen column but gates nothing,
+    so it's either a removal candidate or evidence the defect it guarded
+    is fixed upstream) and ``always`` (the check fails every row — the
+    contract no longer describes the data; shipping it would quarantine
+    the whole corpus). Everything else is ``active``. A NULL verdict
+    counts as a failure, matching the engine's reject-on-unknown
+    semantics (the reference fails fast on any non-accept,
+    validate.go:18).
+
+    Scale shape: ONE map-side-combined aggregate over the already
+    annotated scan — two sums per check, so the aggregate output is a
+    single row of ``2·|checks|`` longs and no data row ever shuffles;
+    the per-check unpivot is a ``stack()`` over that one row,
+    metadata-sized at any corpus size.
+    """
+    checks = sorted(c for c in annotated.columns if c.startswith("chk_"))
+    if not checks:
+        raise ValueError("no chk_* columns: annotate the frame first")
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum((~F.coalesce(F.col(c), F.lit(False))).cast("long")).alias(
+            f"_f_{c}"
+        )
+        for c in checks
+    ]
+    one = annotated.agg(*aggs)
+    stack = ", ".join(
+        f"'{c.removeprefix('chk_')}', `_f_{c}`" for c in checks
+    )
+    return (
+        one.selectExpr(
+            "_n", f"stack({len(checks)}, {stack}) AS (`check`, n_fail)"
+        )
+        .select(
+            "check",
+            F.col("_n").alias("n"),
+            "n_fail",
+            F.round(
+                F.col("n_fail") / F.col("_n").cast("double"), decimals
+            ).alias("fail_rate"),
+            F.when(F.col("n_fail") == 0, F.lit("dead"))
+            .when(F.col("n_fail") == F.col("_n"), F.lit("always"))
+            .otherwise(F.lit("active"))
+            .alias("status"),
+        )
+        .orderBy("check")
+    )
+
+
 def violation_cooccurrence(
     annotated: DataFrame, min_docs: int = 1
 ) -> DataFrame:

@@ -323,3 +323,43 @@ def test_trigram_stupid_backoff_closed_forms(spark):
     # in-domain strictly better than out-of-domain, tier by tier
     assert rows[1]["xent"] < rows[2]["xent"] < rows[3]["xent"]
     assert 4 not in rows and 0 not in rows
+
+
+def test_kn_bigram_perplexity_closed_forms(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.relevance import kn_bigram_perplexity
+
+    # reference doc 0 = "1 2 1 2 1 2": B(1,2)=3, B(2,1)=2, H(1)=3, H(2)=2,
+    # N1+(1,.)=N1+(2,.)=1, N1+(.,1)=N1+(.,2)=1, N1+(..)=2, V=2
+    df = spark.createDataFrame(
+        [
+            (0, [1, 2, 1, 2, 1, 2]),
+            (1, [1, 2]),
+            (2, [9, 9]),
+            (3, [5]),
+            (4, [1, 9]),
+        ],
+        "doc_id: long, tokens: array<int>",
+    )
+    rows = {
+        r["id"]: r
+        for r in kn_bigram_perplexity(df, F.col("doc_id") == 0).collect()
+    }
+    pc_seen = (1 + 0.5) / (2 + 0.5 * 2)    # = 0.5 for tokens 1 and 2
+    pc_unseen = 0.5 / (2 + 0.5 * 2)        # = 1/6 for token 9
+    # seen bigram, seen history: discounted ML + continuation backoff
+    p12 = (3 - 0.75) / 3 + 0.75 * 1 / 3 * pc_seen
+    assert rows[1]["ppl"] == pytest.approx(1 / p12, abs=1e-6)
+    assert rows[1]["n_seen_hist"] == 1
+    # unseen history -> pure continuation probability
+    assert rows[2]["ppl"] == pytest.approx(1 / pc_unseen, abs=1e-6)
+    assert rows[2]["n_seen_hist"] == 0
+    # seen history, unseen continuation: only the backoff term survives
+    p19 = 0.75 * 1 / 3 * pc_unseen
+    assert rows[4]["ppl"] == pytest.approx(1 / p19, abs=1e-6)
+    # in-domain strictly better than out-of-domain; the seen-history/
+    # unseen-continuation case is priced below the raw continuation prob
+    assert rows[1]["xent"] < rows[2]["xent"] < rows[4]["xent"]
+    # single-token doc has no conditional to price; ref doc not scored
+    assert 3 not in rows and 0 not in rows

@@ -131,3 +131,70 @@ def test_cooccurrence_min_docs_and_order(spark):
     # names are emitted in sorted order: check_a < check_b always
     for r in rows:
         assert r["check_a"] < r["check_b"]
+
+
+def test_check_activation_profile_statuses(spark):
+    from jsonschema_spark.plans.rollout import check_activation_profile
+
+    df = spark.createDataFrame(
+        [(0, 200), (1, 1), (2, 999), (3, 4)], "doc_id int, x int"
+    )
+    spec = TableSpec.from_dict(
+        {
+            "columns": {"x": {"type": "integer", "maximum": 100}},
+            "required": ["x"],
+            "row_checks": {
+                "small": "x < 500",
+                "even": "x % 2 = 0",
+                "never": "x < -1000",
+            },
+        }
+    )
+    plan = compile_table_spec(spec, df.schema)
+    out = {
+        r["check"]: r
+        for r in check_activation_profile(plan.annotate(df)).collect()
+    }
+    assert set(out) == {
+        "col_x", "required_x", "row_small", "row_even", "row_never"
+    }
+    assert all(r["n"] == 4 for r in out.values())
+    assert (out["col_x"]["n_fail"], out["col_x"]["status"]) == (2, "active")
+    assert (out["required_x"]["n_fail"], out["required_x"]["status"]) == (
+        0, "dead",
+    )
+    assert (out["row_never"]["n_fail"], out["row_never"]["status"]) == (
+        4, "always",
+    )
+    assert out["row_small"]["fail_rate"] == 0.25
+    assert out["row_even"]["fail_rate"] == 0.5
+
+
+def test_check_activation_null_verdict_counts_as_fail(spark):
+    from jsonschema_spark.plans.rollout import check_activation_profile
+
+    df = spark.createDataFrame([(0, 4), (1, None)], "doc_id int, x int")
+    spec = TableSpec.from_dict(
+        {"required": ["x"], "row_checks": {"small": "x < 500"}}
+    )
+    plan = compile_table_spec(spec, df.schema)
+    out = {
+        r["check"]: r
+        for r in check_activation_profile(plan.annotate(df)).collect()
+    }
+    # the NULL x row fails the row check (NULL verdict = reject), so the
+    # check is active, not dead
+    assert (out["row_small"]["n_fail"], out["row_small"]["status"]) == (
+        1, "active",
+    )
+    assert out["required_x"]["n_fail"] == 1
+
+
+def test_check_activation_requires_annotation(spark):
+    import pytest as _pytest
+
+    from jsonschema_spark.plans.rollout import check_activation_profile
+
+    df = spark.createDataFrame([(0, 4)], "doc_id int, x int")
+    with _pytest.raises(ValueError):
+        check_activation_profile(df)
