@@ -3040,6 +3040,48 @@ def q_check_activation(spark, sf_dir):
     return check_activation_profile(plan.annotate(df))
 
 
+def q_repeat_value(spark, sf_dir):
+    """Data-constrained scaling value of each source's raw mass
+    (Muennighoff et al. 2023): implied epochs over the unique
+    (dup-span-complement) token mass, the exponential-decay effective
+    value of those repeats, and utilization = value/total — the number
+    that decides whether a duplicated source is worth dedup or just
+    down-weighting. Inherits the linear dup-span pass; the decay math
+    runs over |sources| rows."""
+    from jsonschema_spark.operators.dedup import repeated_epoch_value
+
+    df = _t(spark, sf_dir, "documents")
+    return repeated_epoch_value(df, "doc_id", "text", "source", n=13)
+
+
+def q_epoch_order_audit(spark, sf_dir):
+    """Audit of a two-epoch training order built by the seed-7 and
+    seed-11 content-addressed shuffles: each epoch must be an exact
+    permutation of the corpus (every doc exactly once, positions exactly
+    1..N) and consecutive epochs must be decorrelated — positions are
+    ranks, so corr(pos, prev_pos) IS Spearman's rho; a seed-reuse bug
+    would report 1.0. Exact-distinct agg per epoch + one consecutive-
+    epoch join on the uniform id key."""
+    from jsonschema_spark.operators.sampling import (
+        global_shuffle_order,
+        training_order_audit,
+    )
+
+    df = _t(spark, sf_dir, "documents")
+    orders = [
+        global_shuffle_order(df, "doc_id", seed=s).withColumn(
+            "epoch", F.lit(e)
+        )
+        for e, s in enumerate((7, 11))
+    ]
+    return training_order_audit(
+        orders[0].unionByName(orders[1]),
+        id_col="doc_id",
+        epoch_col="epoch",
+        pos_col="shuffle_pos",
+    )
+
+
 def q_bigram_kn_ppl(spark, sf_dir):
     """Interpolated Kneser-Ney bigram perplexity of every non-reference
     sequence against the doc_id%5==0 reference slice — the smoothing
@@ -3123,6 +3165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_cooccur": q_violation_cooccur,
         "check_activation": q_check_activation,
         "bigram_kn_ppl": q_bigram_kn_ppl,
+        "repeat_value": q_repeat_value,
+        "epoch_order_audit": q_epoch_order_audit,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -3654,7 +3698,7 @@ _URL_CTE = (
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    out = {
         "url_dedup_groups": (
             _URL_CTE
             + " SELECT url, count(*) AS n_docs, min(doc_id) AS keep_id"
@@ -6016,3 +6060,53 @@ def oracle_sql() -> dict[str, str]:
             " FROM s GROUP BY 1"
         ),
     }
+    # composed twins: built from other entries' SQL so the shared CTE
+    # chains stay defined exactly once
+    out["repeat_value"] = (
+        "WITH eff AS (" + out["effective_tokens"] + "),"
+        " v AS (SELECT source, total_tokens, effective_tokens,"
+        "   CASE WHEN effective_tokens > 0 THEN"
+        "    total_tokens / CAST(effective_tokens AS DOUBLE)"
+        "    ELSE CAST(1.0 AS DOUBLE) END AS e FROM eff),"
+        " w AS (SELECT source, total_tokens, effective_tokens, e,"
+        "   CASE WHEN effective_tokens > 0 THEN"
+        "    CAST(effective_tokens AS DOUBLE) * (CAST(1.0 AS DOUBLE)"
+        "     + CAST(15.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE)"
+        "      - exp(-(e - CAST(1.0 AS DOUBLE)) / CAST(15.0 AS DOUBLE))))"
+        "    ELSE CAST(0.0 AS DOUBLE) END AS value_d FROM v)"
+        " SELECT source, total_tokens,"
+        "  effective_tokens AS unique_tokens,"
+        "  round(e, 6) AS epochs, round(value_d, 6) AS value_tokens,"
+        "  round(CASE WHEN total_tokens > 0 THEN"
+        "   value_d / CAST(total_tokens AS DOUBLE)"
+        "   ELSE CAST(0.0 AS DOUBLE) END, 6) AS utilization"
+        " FROM w"
+    )
+    out["epoch_order_audit"] = (
+        "WITH o AS ("
+        " SELECT 0 AS epoch, doc_id,"
+        "  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos"
+        " FROM (SELECT doc_id, "
+        + _hex60("concat('7:', CAST(doc_id AS VARCHAR))")
+        + " AS h FROM documents)"
+        " UNION ALL"
+        " SELECT 1 AS epoch, doc_id,"
+        "  CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS pos"
+        " FROM (SELECT doc_id, "
+        + _hex60("concat('11:', CAST(doc_id AS VARCHAR))")
+        + " AS h FROM documents)),"
+        " s AS (SELECT epoch, count(*) AS n_rows,"
+        "   count(DISTINCT doc_id) AS n_ids,"
+        "   count(DISTINCT pos) AS n_pos,"
+        "   min(pos) AS pos_min, max(pos) AS pos_max FROM o GROUP BY 1),"
+        " r AS (SELECT a.epoch, round(corr(a.pos, b.pos), 6)"
+        "   AS spearman_vs_prev FROM o a JOIN o b"
+        "   ON b.epoch = a.epoch - 1 AND b.doc_id = a.doc_id GROUP BY 1)"
+        " SELECT CAST(s.epoch AS BIGINT) AS epoch, n_rows, n_ids, n_pos,"
+        "  pos_min, pos_max,"
+        "  (n_ids = n_rows AND n_pos = n_rows AND pos_min = 1"
+        "   AND pos_max = n_rows) AS is_permutation,"
+        "  r.spearman_vs_prev"
+        " FROM s LEFT JOIN r ON r.epoch = s.epoch"
+    )
+    return out

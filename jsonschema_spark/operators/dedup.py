@@ -2137,6 +2137,75 @@ def effective_token_mass(
     )
 
 
+def repeated_epoch_value(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_col: str,
+    r_decay: float = 15.0,
+    n: int = 13,
+    elements: Column | None = None,
+    shingle_sep: str = " ",
+    portable: bool = True,
+    decimals: int = 6,
+) -> DataFrame:
+    """(strata, total_tokens, unique_tokens, epochs, value_tokens,
+    utilization): the diminishing-returns VALUE of each source's raw
+    mass under data-constrained scaling (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): a source whose total
+    mass is ``E = total/unique`` implied epochs over its unique mass
+    ``U`` contributes effective data ``D'(E) = U + U·R·(1 −
+    exp(−(E−1)/R))`` — the value of repeats decays exponentially with
+    constant ``R`` (the paper's fitted R* ≈ 15 epochs), so
+    ``value(1) = U`` and ``value(∞) = U·(1+R)``. ``utilization =
+    value/total`` is the fraction of the raw token count that survives
+    as training signal: a source reporting 1T raw tokens at 0.5
+    utilization is buying 500B tokens of signal with 1T tokens of
+    compute — the number that decides whether to dedup it or just
+    down-weight it. Unique mass is :func:`effective_token_mass`'s
+    keep-first dup-span complement (substring-level, not just
+    whole-doc).
+
+    Scale shape: inherits :func:`effective_token_mass` (linear dup-span
+    pass, no pair join, registry-sized rollup); the decay math runs
+    over ≤ |strata| rows.
+    """
+    eff = effective_token_mass(
+        df,
+        id_col,
+        text_col,
+        strata_col,
+        n=n,
+        elements=elements,
+        shingle_sep=shingle_sep,
+        portable=portable,
+        decimals=decimals,
+    )
+    u = F.col("effective_tokens").cast("double")
+    t = F.col("total_tokens").cast("double")
+    has = F.col("effective_tokens") > 0
+    e = F.when(has, t / u).otherwise(F.lit(1.0))
+    r = float(r_decay)
+    value = F.when(
+        has,
+        u
+        * (
+            F.lit(1.0)
+            + F.lit(r) * (F.lit(1.0) - F.exp(-(e - F.lit(1.0)) / F.lit(r)))
+        ),
+    ).otherwise(F.lit(0.0))
+    return eff.select(
+        strata_col,
+        "total_tokens",
+        F.col("effective_tokens").alias("unique_tokens"),
+        F.round(e, decimals).alias("epochs"),
+        F.round(value, decimals).alias("value_tokens"),
+        F.round(
+            F.when(t > 0, value / t).otherwise(F.lit(0.0)), decimals
+        ).alias("utilization"),
+    )
+
+
 def ingest_dedup_trend(
     df: DataFrame,
     id_col: str,

@@ -429,6 +429,80 @@ def global_shuffle_order(
     )
 
 
+def training_order_audit(
+    order: DataFrame,
+    id_col: str = "id",
+    epoch_col: str = "epoch",
+    pos_col: str = "shuffle_pos",
+    decimals: int = 6,
+) -> DataFrame:
+    """(epoch, n_rows, n_ids, n_pos, pos_min, pos_max, is_permutation,
+    spearman_vs_prev): validates a multi-epoch training-order table the
+    way the engine validates every other artifact it emits. Two gates:
+    each epoch must be an exact permutation (every id exactly once,
+    positions exactly 1..N), and consecutive epochs must be
+    DECORRELATED — positions are ranks, so the Pearson correlation of
+    matched positions IS Spearman's rho: near 0 means independent
+    orders; near 1 means the "shuffle" is replaying the previous epoch
+    (the classic seed-reuse bug that silently turns multi-epoch
+    training into N identical passes).
+
+    Scale shape: one exact-distinct aggregate keyed by epoch (two-phase
+    partial agg over the uniform (epoch, id)/(epoch, pos) keys — the
+    audit needs EXACT distincts, approx would wave through a single
+    duplicated position) plus one consecutive-epoch self-join on the
+    uniform (epoch, id) key; the order table is localCheckpointed so
+    the self-join doesn't recompute its lineage twice (the repo's
+    standing self-join rule). ``corr`` is a single-pass commutative
+    aggregate; output is one row per epoch.
+    """
+    base = order.select(
+        F.col(epoch_col).cast("long").alias("epoch"),
+        F.col(id_col).alias("id"),
+        F.col(pos_col).cast("long").alias("pos"),
+    ).localCheckpoint(eager=False)
+    stats = base.groupBy("epoch").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("id").alias("n_ids"),
+        F.count_distinct("pos").alias("n_pos"),
+        F.min("pos").alias("pos_min"),
+        F.max("pos").alias("pos_max"),
+    )
+    prev = base.select(
+        (F.col("epoch") + 1).alias("epoch"),
+        "id",
+        F.col("pos").alias("_prev"),
+    )
+    rho = (
+        base.join(prev, ["epoch", "id"])
+        .groupBy("epoch")
+        .agg(
+            F.round(F.corr("pos", "_prev"), decimals).alias(
+                "spearman_vs_prev"
+            )
+        )
+    )
+    return (
+        stats.join(rho, "epoch", "left")
+        .select(
+            "epoch",
+            "n_rows",
+            "n_ids",
+            "n_pos",
+            "pos_min",
+            "pos_max",
+            (
+                (F.col("n_ids") == F.col("n_rows"))
+                & (F.col("n_pos") == F.col("n_rows"))
+                & (F.col("pos_min") == 1)
+                & (F.col("pos_max") == F.col("n_rows"))
+            ).alias("is_permutation"),
+            "spearman_vs_prev",
+        )
+        .orderBy("epoch")
+    )
+
+
 def source_relative_filter(
     df: DataFrame,
     id_col: str,

@@ -1709,3 +1709,93 @@ def test_doremi_weights_tilts_toward_high_score(spark):
     # temperature flattens: T -> inf recovers shares
     flat = {r.source: r.weight for r in doremi_weights(df, temperature=1e9).collect()}
     assert flat == {"a": 0.5, "b": 0.5}
+
+
+def test_repeated_epoch_value_closed_forms(spark):
+    """value(1 epoch) = unique mass exactly; a duplicated source's value
+    follows the exponential-decay formula and its utilization drops
+    below the clean source's 1.0."""
+    import math
+
+    from jsonschema_spark.operators.dedup import repeated_epoch_value
+
+    rows = (
+        [(i, "a", "x1 x2 x3 x4 x5 x6") for i in range(4)]  # 4 identical docs
+        + [(10, "b", "u1 u2 u3 u4 u5 u6 u7 u8")]           # unique
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "src", "text"])
+    got = {
+        r.src: r
+        for r in repeated_epoch_value(df, "doc_id", "text", "src", n=3).collect()
+    }
+    # source a: U=6, T=24 -> E=4; D'(4) = 6*(1 + 15*(1 - exp(-3/15)))
+    e = 24 / 6
+    value = 6 * (1 + 15 * (1 - math.exp(-(e - 1) / 15)))
+    ra = got["a"]
+    assert (ra.total_tokens, ra.unique_tokens) == (24, 6)
+    assert ra.epochs == 4.0
+    assert ra.value_tokens == round(value, 6)
+    assert ra.utilization == round(value / 24, 6)
+    # clean source: E=1, value == unique == total, utilization 1.0
+    rb = got["b"]
+    assert (rb.total_tokens, rb.unique_tokens) == (8, 8)
+    assert (rb.epochs, rb.value_tokens, rb.utilization) == (1.0, 8.0, 1.0)
+
+
+def test_training_order_audit_permutation_and_decorrelation(spark):
+    """Two distinct-seed epochs: both exact permutations, |rho| << 1;
+    a seed-reuse epoch pair reports rho == 1.0; a corrupted position
+    breaks is_permutation without touching the other epoch."""
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.sampling import (
+        global_shuffle_order,
+        training_order_audit,
+    )
+
+    n = 200
+    df = spark.range(0, n).selectExpr("id AS doc_id")
+
+    def order_for(epoch, seed):
+        return global_shuffle_order(
+            df, "doc_id", seed=seed, num_buckets=16
+        ).withColumn("epoch", F.lit(epoch))
+
+    # independent seeds -> decorrelated permutations
+    out = {
+        r.epoch: r
+        for r in training_order_audit(
+            order_for(0, 7).unionByName(order_for(1, 11)),
+            id_col="doc_id",
+        ).collect()
+    }
+    assert out[0].is_permutation and out[1].is_permutation
+    assert out[0].spearman_vs_prev is None
+    assert abs(out[1].spearman_vs_prev) < 0.3
+    assert out[0].n_rows == out[0].n_ids == out[0].n_pos == n
+
+    # seed reuse -> rho exactly 1
+    replay = {
+        r.epoch: r
+        for r in training_order_audit(
+            order_for(0, 7).unionByName(order_for(1, 7)),
+            id_col="doc_id",
+        ).collect()
+    }
+    assert replay[1].spearman_vs_prev == 1.0
+
+    # corrupt one position in epoch 1 (duplicate pos, one id lost)
+    bad = order_for(1, 11).withColumn(
+        "shuffle_pos",
+        F.when(F.col("doc_id") == 0, F.lit(1)).otherwise(
+            F.col("shuffle_pos")
+        ),
+    )
+    out2 = {
+        r.epoch: r
+        for r in training_order_audit(
+            order_for(0, 7).unionByName(bad), id_col="doc_id"
+        ).collect()
+    }
+    assert out2[0].is_permutation
+    assert not out2[1].is_permutation
