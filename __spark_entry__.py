@@ -3082,6 +3082,110 @@ def q_epoch_order_audit(spark, sf_dir):
     )
 
 
+_ASOF_DIM_TYPES = ["click", "error", "purchase", "signup", "view"]
+_ASOF_DIM_REVS = ["2024-01-02", "2024-01-09", "2024-01-16", "2024-01-23"]
+
+
+def _asof_dim_rows() -> list[tuple[str, str, float]]:
+    # deterministic per-type threshold revisions; day-1 events predate
+    # every revision and must keep NULL payloads (left as-of semantics)
+    return [
+        (t, f"{r} 00:00:00", 10.0 + 3.0 * ti + 2.5 * ri)
+        for ti, t in enumerate(_ASOF_DIM_TYPES)
+        for ri, r in enumerate(_ASOF_DIM_REVS)
+    ]
+
+
+def q_asof_thresholds(spark, sf_dir):
+    """As-of join (the SCD lookup Spark lacks as an operator): every
+    event picks up the threshold from the LATEST revision at or before
+    its timestamp for its event_type — implemented as a tag-union +
+    one keyed shuffle + carry-forward window, so no range condition
+    ever reaches a join planner (a BETWEEN-theta formulation plans
+    into BroadcastNestedLoop at scale). Day-1 events predate every
+    revision and report NULL."""
+    import datetime as _dt
+
+    from jsonschema_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "value", "event_type"
+    )
+    dim = spark.createDataFrame(
+        [
+            (t, _dt.datetime.strptime(ts, "%Y-%m-%d %H:%M:%S"), v)
+            for t, ts, v in _asof_dim_rows()
+        ],
+        "event_type string, rev_ts timestamp, threshold double",
+    )
+    out = asof_join(
+        ev,
+        dim,
+        key_col="event_type",
+        ts_col="ts",
+        dim_ts_col="rev_ts",
+        payload_cols=["threshold"],
+    )
+    return out.select(
+        "event_id",
+        F.round("threshold", 6).alias("threshold"),
+        (F.col("value") > F.col("threshold")).alias("exceeded"),
+    )
+
+
+_MAINT_WINDOWS = [
+    ("w0", "2024-01-02 00:00:00", "2024-01-02 06:00:00"),
+    ("w1", "2024-01-05 12:00:00", "2024-01-06 00:00:00"),
+    ("w2", "2024-01-10 03:00:00", "2024-01-10 04:30:00"),
+    ("w3", "2024-01-15 00:00:00", "2024-01-16 00:00:00"),
+    ("w4", "2024-01-15 12:00:00", "2024-01-15 18:00:00"),  # overlaps w3
+    ("w5", "2024-01-28 23:00:00", "2024-01-29 01:00:00"),
+]
+
+
+def q_maintenance_overlap(spark, sf_dir):
+    """Interval containment join (range join as an equi-join): which
+    events fall inside which maintenance windows — intervals explode to
+    fixed-width time buckets, points compute their bucket, the exact
+    BETWEEN runs as a residual on hash-join candidates. Candidate
+    volume is |points| + interval replication, never the
+    |points|×|intervals| nested loop. Overlapping windows (w3/w4) both
+    match."""
+    import datetime as _dt
+
+    from jsonschema_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    win = spark.createDataFrame(
+        [
+            (
+                w,
+                _dt.datetime.strptime(s, "%Y-%m-%d %H:%M:%S"),
+                _dt.datetime.strptime(e, "%Y-%m-%d %H:%M:%S"),
+            )
+            for w, s, e in _MAINT_WINDOWS
+        ],
+        "window_id string, start_ts timestamp, end_ts timestamp",
+    )
+    return interval_join(
+        ev, win, "ts", "start_ts", "end_ts", bucket_seconds=21600
+    ).select("event_id", "window_id")
+
+
+def q_event_sessions(spark, sf_dir):
+    """Gap-based sessionization of the event stream (2h inactivity gap,
+    per-user): one shuffle on user_id; lag + running-sum windows and the
+    session aggregate all reuse the same hash partitioning. Session
+    bounds are exact epoch microseconds — integers, so no float
+    timestamp formatting for two engines to disagree on."""
+    from jsonschema_spark.operators.temporal import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(
+        ev, "user_id", "ts", gap_seconds=7200, agg_value=F.col("value")
+    )
+
+
 def q_bigram_kn_ppl(spark, sf_dir):
     """Interpolated Kneser-Ney bigram perplexity of every non-reference
     sequence against the doc_id%5==0 reference slice — the smoothing
@@ -3167,6 +3271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_kn_ppl": q_bigram_kn_ppl,
         "repeat_value": q_repeat_value,
         "epoch_order_audit": q_epoch_order_audit,
+        "asof_thresholds": q_asof_thresholds,
+        "maintenance_overlap": q_maintenance_overlap,
+        "event_sessions": q_event_sessions,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -6081,6 +6188,46 @@ def oracle_sql() -> dict[str, str]:
         "   value_d / CAST(total_tokens AS DOUBLE)"
         "   ELSE CAST(0.0 AS DOUBLE) END, 6) AS utilization"
         " FROM w"
+    )
+    dim_vals = ", ".join(
+        f"('{t}', TIMESTAMP '{ts}', CAST({v!r} AS DOUBLE))"
+        for t, ts, v in _asof_dim_rows()
+    )
+    out["asof_thresholds"] = (
+        f"WITH dim AS (SELECT * FROM (VALUES {dim_vals})"
+        "  AS d(event_type, rev_ts, threshold))"
+        " SELECT e.event_id, round(d.threshold, 6) AS threshold,"
+        "  e.value > d.threshold AS exceeded"
+        " FROM events e ASOF LEFT JOIN dim d"
+        "  ON e.event_type = d.event_type AND e.ts >= d.rev_ts"
+    )
+    win_vals = ", ".join(
+        f"('{w}', TIMESTAMP '{s}', TIMESTAMP '{e}')"
+        for w, s, e in _MAINT_WINDOWS
+    )
+    out["maintenance_overlap"] = (
+        f"WITH win AS (SELECT * FROM (VALUES {win_vals})"
+        "  AS w(window_id, start_ts, end_ts))"
+        " SELECT e.event_id, w.window_id FROM events e JOIN win w"
+        "  ON e.ts >= w.start_ts AND e.ts <= w.end_ts"
+    )
+    out["event_sessions"] = (
+        "WITH b AS (SELECT user_id, epoch_us(ts) AS us, value"
+        "  FROM events),"
+        " fl AS (SELECT user_id, us, value,"
+        "   CASE WHEN us - lag(us) OVER"
+        "      (PARTITION BY user_id ORDER BY us) > 7200000000"
+        "     THEN 1 ELSE 0 END AS brk FROM b),"
+        " s AS (SELECT user_id, us, value,"
+        "   1 + sum(brk) OVER (PARTITION BY user_id ORDER BY us"
+        "      ROWS UNBOUNDED PRECEDING) AS session_seq"
+        "  FROM fl)"
+        " SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,"
+        "  min(us) AS start_us, max(us) AS end_us,"
+        "  count(*) AS n_events,"
+        "  max(us) - min(us) AS duration_us,"
+        "  round(sum(value), 6) AS value_sum"
+        " FROM s GROUP BY 1, 2"
     )
     out["epoch_order_audit"] = (
         "WITH o AS ("
