@@ -528,3 +528,79 @@ def test_streaming_neardup_compaction_mid_stream(spark, tmp_path):
         } == kept_c
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Native session_window streaming sessions == batch sessionize on the
+    same rows (membership, start, value sums; native end = last + gap),
+    with append mode emitting every real session once the sentinel
+    batches push the watermark past it."""
+    import datetime as dt
+
+    from jsonschema_spark.operators.temporal import sessionize
+    from jsonschema_spark.streaming.sessions import streaming_sessions
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 6 users x 4 sessions x 3 events: 10-min strides inside a session,
+    # 3h gaps between sessions (gap=2h; no exact-boundary deltas)
+    for u in range(6):
+        t = base + dt.timedelta(minutes=7 * u)
+        for s in range(4):
+            for e in range(3):
+                rows.append((u, t, float(u + s + e)))
+                t += dt.timedelta(minutes=10)
+            t += dt.timedelta(hours=3)
+    in_dir = tmp_path / "in"
+    schema = "user_id long, ts timestamp, value double"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(in_dir / "b1")
+    )
+    # two future sentinels: the first advances the max event time, the
+    # second triggers the eviction pass that emits the closed sessions
+    for i, days in enumerate((400, 800)):
+        spark.createDataFrame(
+            [(999, base + dt.timedelta(days=days), 0.0)], schema
+        ).coalesce(1).write.parquet(str(in_dir / f"sent{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = (
+        streaming_sessions(
+            stream, "user_id", "ts", gap_seconds=7200,
+            watermark="1 minute", agg_value=F.col("value"),
+        )
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["start_us"]): r
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+        if r["user_id"] != 999
+    }
+    batch = spark.createDataFrame(rows, schema)
+    want = {
+        (r["user_id"], r["start_us"]): r
+        for r in sessionize(
+            batch, "user_id", "ts", gap_seconds=7200,
+            agg_value=F.col("value"),
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) == 24
+    gap_us = 7200 * 1_000_000
+    for k, g in got.items():
+        w = want[k]
+        assert g["n_events"] == w["n_events"] == 3
+        assert g["value_sum"] == w["value_sum"]
+        # native close time = last event + gap
+        assert g["end_us"] - gap_us == w["end_us"]
