@@ -38,6 +38,7 @@ JOB_SCRIPTS = {
     "dupspans": "dupspans_scaling_job.py",
     "shuffle": "shuffle_scaling_job.py",
     "survivors": "survivors_scaling_job.py",
+    "asof": "asof_scaling_job.py",
 }
 
 
