@@ -3186,6 +3186,47 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_watermark_audit(spark, sf_dir):
+    """Measured watermark: the exact lateness histogram of the event
+    stream under a deterministic bounded-disorder arrival order (events
+    permuted within 64-event ingest blocks — the real table arrives
+    sorted, so disorder is synthesized reproducibly). lateness =
+    running-max event time at arrival minus own event time; the
+    histogram's tail IS the withWatermark setting, measured instead of
+    guessed. Global running max runs as order-preserving range buckets
+    + broadcast prefix maxima — no single-partition window."""
+    from jsonschema_spark.functions.text import portable_hash60
+    from jsonschema_spark.operators.temporal import watermark_audit
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    blk = F.floor(F.col("event_id") / 64).cast("long")
+    h = portable_hash60(
+        F.concat(F.lit("wm:"), F.col("event_id").cast("string"))
+    )
+    wb = Window.partitionBy("_blk").orderBy("_h", "event_id")
+    arrived = (
+        ev.select("event_id", "ts", blk.alias("_blk"), h.alias("_h"))
+        .select(
+            "ts",
+            (F.col("_blk") * 64 + F.row_number().over(wb)).alias("arrival"),
+        )
+    )
+    return watermark_audit(arrived, "arrival", "ts", bucket_size=1024)
+
+
+def q_event_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: the day level is computed
+    by MERGING the hour level's partial aggregates (count/sum/min/max
+    re-aggregate; avg = merged sum / merged count) — raw events are
+    scanned once; the oracle aggregates the raw table directly at day
+    grain, so a PASS is the mergeability proof."""
+    from jsonschema_spark.operators.temporal import rollup_from_partials
+
+    ev = _t(spark, sf_dir, "events")
+    return rollup_from_partials(ev, "ts", "value", fine="hour", coarse="day")
+
+
 def q_bigram_kn_ppl(spark, sf_dir):
     """Interpolated Kneser-Ney bigram perplexity of every non-reference
     sequence against the doc_id%5==0 reference slice — the smoothing
@@ -3274,6 +3315,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_thresholds": q_asof_thresholds,
         "maintenance_overlap": q_maintenance_overlap,
         "event_sessions": q_event_sessions,
+        "watermark_audit": q_watermark_audit,
+        "event_rollup": q_event_rollup,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -6228,6 +6271,27 @@ def oracle_sql() -> dict[str, str]:
         "  max(us) - min(us) AS duration_us,"
         "  round(sum(value), 6) AS value_sum"
         " FROM s GROUP BY 1, 2"
+    )
+    out["watermark_audit"] = (
+        "WITH b AS (SELECT event_id, ts,"
+        "   CAST(floor(event_id / 64) AS BIGINT) AS blk, "
+        + _hex60("concat('wm:', CAST(event_id AS VARCHAR))")
+        + " AS h FROM events),"
+        " a AS (SELECT ts, blk * 64 + row_number() OVER"
+        "   (PARTITION BY blk ORDER BY h, event_id) AS arr FROM b),"
+        " r AS (SELECT ts, max(ts) OVER (ORDER BY arr"
+        "   ROWS UNBOUNDED PRECEDING) AS run FROM a)"
+        " SELECT CAST(floor((epoch_us(run) - epoch_us(ts)) / 1000000)"
+        "   AS BIGINT) AS lateness_sec, count(*) AS n_events"
+        " FROM r GROUP BY 1"
+    )
+    out["event_rollup"] = (
+        "SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS bucket,"
+        " count(*) AS n_events, round(sum(value), 6) AS value_sum,"
+        " round(min(value), 6) AS value_min,"
+        " round(max(value), 6) AS value_max,"
+        " round(sum(value) / count(*), 6) AS value_avg"
+        " FROM events GROUP BY 1"
     )
     out["epoch_order_audit"] = (
         "WITH o AS ("

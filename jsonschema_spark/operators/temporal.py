@@ -168,6 +168,124 @@ def interval_join(
     return matches.unionByName(uncovered)
 
 
+def watermark_audit(
+    df: DataFrame,
+    order_col: str,
+    ts_col: str,
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """(lateness_sec, n_events): the exact out-of-orderness histogram of
+    an event stream — each event's lateness is ``running_max(event
+    time over everything that ARRIVED before it) − its own event
+    time``, with arrival order given by ``order_col`` (an ingest
+    sequence / offset). This is precisely the delay a Structured
+    Streaming watermark must absorb: the histogram's p99 tail IS the
+    ``withWatermark`` setting that keeps 99% of events inside the
+    horizon, measured instead of guessed.
+
+    Scale shape: a global running max is an ordered prefix scan — the
+    naive window (``ORDER BY order`` unpartitioned) single-partitions
+    the corpus. Same cure as global_shuffle_order: ``order/bucket_size``
+    range buckets are order-preserving, so one map-side-combined
+    per-bucket max (≤ n/bucket_size driver rows) turns into broadcast
+    EXCLUSIVE prefix maxima, and the within-bucket running max is a
+    window over ~bucket_size-row partitions. The histogram aggregate is
+    keyed by whole seconds of lateness — bounded by the actual
+    disorder, not the corpus.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = (
+        df.select(
+            F.col(order_col).alias("_o"),
+            us.alias("_us"),
+            F.floor(F.col(order_col) / F.lit(int(bucket_size))).alias("_b"),
+        )
+    ).localCheckpoint(eager=False)
+    per_bucket = (
+        base.groupBy("_b").agg(F.max("_us").alias("_mx")).collect()
+    )
+    prefix = []
+    run = None
+    for r in sorted(per_bucket, key=lambda r: r["_b"]):
+        prefix.append((r["_b"], run))
+        run = r["_mx"] if run is None else max(run, r["_mx"])
+    pre = df.sparkSession.createDataFrame(
+        prefix, "_b long, _pre long"
+    )
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_o")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.greatest(
+        F.max("_us").over(w), F.coalesce(F.col("_pre"), F.lit(0))
+    )
+    return (
+        base.join(F.broadcast(pre), "_b")
+        .select(
+            F.floor((running - F.col("_us")) / F.lit(1_000_000))
+            .cast("long")
+            .alias("lateness_sec")
+        )
+        .groupBy("lateness_sec")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("lateness_sec")
+    )
+
+
+def rollup_from_partials(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    fine: str = "hour",
+    coarse: str = "day",
+    decimals: int = 6,
+) -> DataFrame:
+    """(bucket, n_events, value_sum, value_min, value_max, value_avg) at
+    the COARSE granularity, computed by re-aggregating the FINE level's
+    partial aggregates — the continuous-aggregate / hypertable-rollup
+    pattern: raw events are scanned once to build the fine level, and
+    every coarser level merges partials (count→sum, sum→sum, min→min,
+    max→max, avg = merged sum / merged count). The test/oracle contract
+    is that this equals aggregating the raw events directly at the
+    coarse grain — the mergeability proof that makes the fine table a
+    safe materialization to serve every coarser query from.
+
+    Scale shape: shuffle #1 is keyed by the fine bucket (map-side
+    combined: partitions × fine-buckets rows at most); shuffle #2 runs
+    over ≤ |fine buckets| rows — raw data is never re-scanned for the
+    coarse level.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    fine_tbl = (
+        df.select(
+            F.date_trunc(fine, ts).alias("_f"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("_f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_v").alias("s"),
+            F.min("_v").alias("mn"),
+            F.max("_v").alias("mx"),
+        )
+    )
+    return (
+        fine_tbl.groupBy(
+            F.date_format(F.date_trunc(coarse, F.col("_f")), "yyyy-MM-dd")
+            .alias("bucket")
+        )
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.round(F.sum("s"), decimals).alias("value_sum"),
+            F.round(F.min("mn"), decimals).alias("value_min"),
+            F.round(F.max("mx"), decimals).alias("value_max"),
+            F.round(F.sum("s") / F.sum("n"), decimals).alias("value_avg"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def sessionize(
     df: DataFrame,
     key_col: str,

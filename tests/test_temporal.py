@@ -192,3 +192,78 @@ class TestSessionize:
         )
         assert sessionize(df, "user_id", "ts", gap_seconds=100).count() == 1
         assert sessionize(df, "user_id", "ts", gap_seconds=99).count() == 2
+
+
+class TestWatermarkAudit:
+    def test_matches_python_prefix_scan(self, spark):
+        from jsonschema_spark.operators.temporal import watermark_audit
+
+        base = 1_700_000_000
+        ts_sec = [10, 5, 20, 15, 30, 25, 40, 1, 50, 45]
+        rows = [
+            (i, dt.datetime.utcfromtimestamp(base + s))
+            for i, s in enumerate(ts_sec)
+        ]
+        df = spark.createDataFrame(rows, "arrival long, ts timestamp")
+        # bucket_size=4 forces the cross-bucket broadcast-prefix path
+        got = {
+            r["lateness_sec"]: r["n_events"]
+            for r in watermark_audit(df, "arrival", "ts", bucket_size=4).collect()
+        }
+        run, want = -1, {}
+        for s in ts_sec:
+            run = max(run, s)
+            late = run - s
+            want[late] = want.get(late, 0) + 1
+        assert got == want
+        # event arriving 7th (ts=1) saw running max 40 from bucket 0/1
+        assert want[39] == 1 and got[39] == 1
+
+    def test_sorted_stream_all_zero(self, spark):
+        from jsonschema_spark.operators.temporal import watermark_audit
+
+        df = spark.range(100).select(
+            F.col("id").alias("arrival"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        )
+        [row] = watermark_audit(df, "arrival", "ts", bucket_size=16).collect()
+        assert (row["lateness_sec"], row["n_events"]) == (0, 100)
+
+
+class TestRollupFromPartials:
+    def test_merged_partials_equal_direct(self, spark):
+        from jsonschema_spark.operators.temporal import rollup_from_partials
+
+        base = _ts("2024-01-01 00:00:00")
+        rows = [
+            (base + dt.timedelta(minutes=17 * i), float((i * 7) % 13) + 0.25)
+            for i in range(300)  # spans ~3.5 days, many hours
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, value double")
+        got = {
+            r["bucket"]: r
+            for r in rollup_from_partials(
+                df, "ts", "value", fine="hour", coarse="day"
+            ).collect()
+        }
+        want = {
+            r["bucket"]: r
+            for r in df.groupBy(
+                F.date_format(
+                    F.date_trunc("day", F.col("ts")), "yyyy-MM-dd"
+                ).alias("bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 6).alias("value_sum"),
+                F.round(F.min("value"), 6).alias("value_min"),
+                F.round(F.max("value"), 6).alias("value_max"),
+                F.round(F.sum("value") / F.count(F.lit(1)), 6).alias(
+                    "value_avg"
+                ),
+            )
+            .collect()
+        }
+        assert set(got) == set(want) and len(got) >= 4
+        for k in got:
+            assert got[k].asDict() == want[k].asDict()
