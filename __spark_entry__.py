@@ -3186,6 +3186,22 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Measured MinHash-LSH recall (16 bands x 2 rows at j>=0.5) vs
+    exact-Jaccard ground truth on a deterministic ~50% document sample,
+    with the Wilson lower bound — the pre-flight gate that says whether
+    the banding config leaves duplicates behind on THIS corpus's
+    similarity distribution. Sample is constant-size by construction, so
+    the all-pairs truth is a bounded probe, not a dedup path."""
+    from jsonschema_spark.operators.dedup import lsh_recall_probe
+
+    df = _t(spark, sf_dir, "documents")
+    return lsh_recall_probe(
+        df, "doc_id", "text", threshold=0.5, n=3,
+        num_perms=32, rows_per_band=2, sample_mod=2,
+    )
+
+
 def q_watermark_audit(spark, sf_dir):
     """Measured watermark: the exact lateness histogram of the event
     stream under a deterministic bounded-disorder arrival order (events
@@ -3317,6 +3333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessions": q_event_sessions,
         "watermark_audit": q_watermark_audit,
         "event_rollup": q_event_rollup,
+        "lsh_recall": q_lsh_recall,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -6271,6 +6288,41 @@ def oracle_sql() -> dict[str, str]:
         "  max(us) - min(us) AS duration_us,"
         "  round(sum(value), 6) AS value_sum"
         " FROM s GROUP BY 1, 2"
+    )
+    _lz = "CAST(1.96 AS DOUBLE)"
+    _lz2 = f"({_lz} * {_lz})"
+    _lp = "(n_det / CAST(n_true AS DOUBLE))"
+    out["lsh_recall"] = (
+        "WITH d AS (SELECT doc_id, " + _WS + " AS ws FROM documents"
+        "   WHERE " + _hex60("concat('lshqa:', CAST(doc_id AS VARCHAR))")
+        + " % 2 = 0),"
+        " sh AS (SELECT doc_id, list_distinct(list_transform("
+        "   generate_series(1, greatest(len(ws) - 2, 0)),"
+        "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM d),"
+        " ne AS (SELECT * FROM sh WHERE len(g) > 0),"
+        " sg AS (SELECT doc_id, g, list_transform(generate_series(0, 31),"
+        "   p -> list_min(list_transform(g, x -> "
+        + _hex60("concat('lshp:', p, ':', x)")
+        + "))) AS sig FROM ne),"
+        " bk AS (SELECT doc_id, g, list_transform(generate_series(0, 15),"
+        "   b -> array_to_string(list_transform(sig[b*2+1:b*2+2],"
+        "    v -> CAST(v AS VARCHAR)), ',')) AS bands FROM sg),"
+        " p AS (SELECT CASE WHEN len(list_distinct(a.g || b.g)) = 0"
+        "    THEN 0.0 ELSE len(list_intersect(a.g, b.g))"
+        "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j,"
+        "   len(list_intersect(a.bands, b.bands)) > 0 AS caught"
+        "  FROM bk a JOIN bk b ON a.doc_id < b.doc_id),"
+        " s AS (SELECT count(*) FILTER (WHERE j >= 0.5) AS n_true,"
+        "   count(*) FILTER (WHERE j >= 0.5 AND caught) AS n_det FROM p),"
+        " c AS (SELECT count(*) AS n_docs FROM ne)"
+        " SELECT c.n_docs, s.n_true AS n_true_pairs, s.n_det AS n_detected,"
+        f"  round(CASE WHEN n_true > 0 THEN {_lp} END, 6) AS recall,"
+        "  round(CASE WHEN n_true > 0 THEN"
+        f"   (({_lp} + {_lz2} / (CAST(2.0 AS DOUBLE) * n_true))"
+        f"    - {_lz} * sqrt({_lp} * (CAST(1.0 AS DOUBLE) - {_lp}) / n_true"
+        f"       + {_lz2} / (CAST(4.0 AS DOUBLE) * n_true * n_true)))"
+        f"   / (CAST(1.0 AS DOUBLE) + {_lz2} / n_true) END, 6) AS wilson_lo"
+        " FROM s CROSS JOIN c"
     )
     out["watermark_audit"] = (
         "WITH b AS (SELECT event_id, ts,"

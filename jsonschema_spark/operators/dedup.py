@@ -2137,6 +2137,129 @@ def effective_token_mass(
     )
 
 
+def lsh_recall_probe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_perms: int = 32,
+    rows_per_band: int = 2,
+    sample_mod: int = 10,
+    z: float = 1.96,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row dedup QA gate: MEASURED recall of an (b × r) MinHash
+    banding against exact-Jaccard ground truth on a deterministic
+    content-addressed sample — ``(n_docs, n_true_pairs, n_detected,
+    recall, wilson_lo)`` where ``wilson_lo`` is the Wilson lower bound
+    on recall at confidence ``z``. The S-curve says what banding SHOULD
+    catch; this probe says what it DID catch on your corpus's actual
+    similarity distribution — the number that decides whether the
+    banding config is leaving duplicates behind before a full run.
+
+    The probe uses the portable (md5-derived) permutation family
+    ``h_p(g) = portable_hash60('lshp:p:' + g)`` so an external SQL
+    engine reproduces the signatures bit-exactly; the production kernel
+    (:func:`minhash_signature`) uses a faster affine family with the
+    same (r, b) collision law, so the measured recall transfers.
+
+    Scale shape: the sample is CONSTANT-SIZE by construction
+    (``hash(id) % sample_mod == 0`` of a fixed-rate slice — tune
+    ``sample_mod`` so m ≈ hundreds regardless of corpus size), so the
+    all-pairs ground truth is a bounded O(m²) QA probe, not a dedup
+    path — the corpus itself is scanned once for the sample filter and
+    never pairwise-joined. The m×m join is an intentional, bounded
+    cartesian (allow-listed in the plan audit alongside the exact
+    oracle baselines).
+    """
+    bands = num_perms // rows_per_band
+    if bands * rows_per_band != num_perms:
+        raise ValueError("rows_per_band must divide num_perms")
+    sample_key = F.pmod(
+        portable_hash60(
+            F.concat(F.lit("lshqa:"), F.col(id_col).cast("string"))
+        ),
+        F.lit(int(sample_mod)),
+    )
+    grams = word_shingles(F.col(text_col), n)
+
+    def _with_sig(g: Column) -> Column:
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        g,
+                        lambda s, p=p: portable_hash60(
+                            F.concat(F.lit(f"lshp:{p}:"), s)
+                        ),
+                    )
+                )
+                for p in range(num_perms)
+            ]
+        )
+        return let_(
+            sig,
+            lambda sg: F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.slice(sg, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                ),
+            ),
+        )
+
+    sample = (
+        ensure_parallelism(df)
+        .filter(sample_key == 0)
+        .select(
+            F.col(id_col).alias("id"),
+            let_(grams, lambda g: F.struct(
+                g.alias("g"), _with_sig(g).alias("bk")
+            )).alias("_s"),
+        )
+        .select("id", F.col("_s.g").alias("g"), F.col("_s.bk").alias("bk"))
+        .filter(F.size("g") > 0)
+        .localCheckpoint(eager=False)
+    )
+    a, b = sample.alias("a"), sample.alias("b")
+    pairs = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        jaccard(F.col("a.g"), F.col("b.g")).alias("j"),
+        F.arrays_overlap(F.col("a.bk"), F.col("b.bk")).alias("caught"),
+    )
+    t = float(threshold)
+    agg = pairs.agg(
+        F.sum((F.col("j") >= t).cast("long")).alias("n_true_pairs"),
+        F.sum(((F.col("j") >= t) & F.col("caught")).cast("long")).alias(
+            "n_detected"
+        ),
+    )
+    n_docs = sample.count()
+    nn = F.col("n_true_pairs").cast("double")
+    p = F.col("n_detected") / nn
+    z2 = F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / nn
+    wilson_lo = (
+        (p + z2 / (F.lit(2.0) * nn))
+        - F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / nn + z2 / (F.lit(4.0) * nn * nn))
+    ) / denom
+    return agg.select(
+        F.lit(n_docs).cast("long").alias("n_docs"),
+        "n_true_pairs",
+        "n_detected",
+        F.round(
+            F.when(F.col("n_true_pairs") > 0, p), decimals
+        ).alias("recall"),
+        F.round(
+            F.when(F.col("n_true_pairs") > 0, wilson_lo), decimals
+        ).alias("wilson_lo"),
+    )
+
+
 def repeated_epoch_value(
     df: DataFrame,
     id_col: str,

@@ -41,6 +41,9 @@ PLAN_ALLOW_CARTESIAN = {
     "embedding_near_dup",   # exact all-pairs cosine baseline (similarity.py)
     "ngram_jaccard_pairs",  # exact n-gram Jaccard baseline (dedup.py) — the
                             # scale path is minhash_near_dup / winnow_dups
+    "lsh_recall",           # bounded QA probe: all-pairs ground truth over a
+                            # CONSTANT-SIZE content-addressed sample (dedup.py
+                            # lsh_recall_probe) — corpus-size-independent
 }
 
 

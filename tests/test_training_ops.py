@@ -1799,3 +1799,47 @@ def test_training_order_audit_permutation_and_decorrelation(spark):
     }
     assert out2[0].is_permutation
     assert not out2[1].is_permutation
+
+
+def test_lsh_recall_probe_measures_banding(spark):
+    """Strong banding (16x2) catches the planted near-dups -> recall 1.0
+    with a meaningful Wilson bound; a deliberately starved banding (1 band
+    of 32 rows) still catches exact copies but misses moderate-similarity
+    pairs -> measured recall drops below 1. sample_mod=1 keeps every doc."""
+    import pytest as _pytest
+
+    from jsonschema_spark.operators.dedup import lsh_recall_probe
+
+    docs = []
+    base = "w%d " * 30
+    for i in range(10):
+        text = " ".join(f"t{i}w{j}" for j in range(30))
+        docs.append((2 * i, text))                       # original
+        # copy with 2/30 words changed -> 3-gram jaccard well above 0.5
+        words = text.split()
+        words[5] = f"x{i}"
+        docs.append((2 * i + 1, " ".join(words)))
+    for i in range(10):
+        docs.append((100 + i, " ".join(f"u{i}w{j}" for j in range(30))))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    strong = lsh_recall_probe(
+        df, "doc_id", "text", threshold=0.5, num_perms=32,
+        rows_per_band=2, sample_mod=1,
+    ).collect()[0]
+    assert strong["n_docs"] == 30
+    assert strong["n_true_pairs"] == 10
+    assert strong["n_detected"] == 10
+    assert strong["recall"] == 1.0
+    assert 0.6 < strong["wilson_lo"] < 1.0
+
+    starved = lsh_recall_probe(
+        df, "doc_id", "text", threshold=0.5, num_perms=32,
+        rows_per_band=32, sample_mod=1,
+    ).collect()[0]
+    assert starved["n_true_pairs"] == 10
+    assert starved["n_detected"] < 10  # the gate catches the bad config
+    assert starved["recall"] < 1.0
+
+    with _pytest.raises(ValueError):
+        lsh_recall_probe(df, "doc_id", "text", num_perms=32, rows_per_band=5)
