@@ -221,6 +221,23 @@ def main() -> None:
         "lang_mismatch",
         "embedding_parity",
         "quality_survivors",
+        # round-4 additions
+        "component_size_hist",
+        "containment_dups",
+        "token_burstiness",
+        "doremi_weights",
+        "spec_rollout",
+        "violation_cooccur",
+        "check_activation",
+        "bigram_kn_ppl",
+        "repeat_value",
+        "epoch_order_audit",
+        "asof_thresholds",
+        "maintenance_overlap",
+        "event_sessions",
+        "watermark_audit",
+        "event_rollup",
+        "lsh_recall",
     ]
     qs = entry.queries()
     for name in headline:
