@@ -105,6 +105,42 @@ def main() -> None:
     _calibration_scan()  # page-cache / reader warm-up
     calibration_scan_sec = _calibration_scan()
 
+    # Third calibration axis: an INTERPRETED-HOF unit of work (transform/
+    # filter lambdas over synthetic arrays — no codegen, no parquet).
+    # Round-4 adjudication found this class drifting independently of the
+    # other two: repair/chunking/dup-gram-style queries (HOF-dominated)
+    # moved ~1.7x together while codegen improved and scan degraded, and
+    # an interleaved old-code-vs-HEAD A/B proved the code identical.
+    # Normalize HOF-heavy queries by THIS row.
+    def _calibration_hof() -> float:
+        hdf = spark.range(2_000_000, numPartitions=64).select(
+            F.sequence(F.lit(0), F.pmod(F.col("id"), F.lit(50)) + 10).alias(
+                "arr"
+            )
+        )
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            hdf.select(
+                F.sum(
+                    F.aggregate(
+                        F.filter(
+                            F.transform(
+                                "arr", lambda x: F.pmod(x * 7 + 3, F.lit(97))
+                            ),
+                            lambda x: x % 2 == 0,
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                )
+            ).collect()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    _calibration_hof()  # interpreter warm-up
+    calibration_hof_sec = _calibration_hof()
+
     # warm-up pass (JIT + parquet footer caches), then best-of-N steady state
     corpus_validation_pass(spark, corpus_path)
     # 4 timed passes: the shared host shows 5-8% CPU steal with bursts that
@@ -269,6 +305,7 @@ def main() -> None:
         "tokens_per_sec": round(n_tokens / corpus_sec, 1),
         "cores": cores,
         "calibration_sec": calibration_sec,
+        "calibration_hof_sec": calibration_hof_sec,
         "calibration_scan_sec": calibration_scan_sec,
     }
     # The driver captures only the LAST ~2000 chars of stdout; r3's full

@@ -26,7 +26,8 @@ import sys
 NON_QUERY_KEYS = {
     "sf", "corpus_rows", "corpus_tokens", "corpus_invalid",
     "corpus_duplicates", "sequences_per_sec", "tokens_per_sec", "cores",
-    "calibration_sec", "calibration_scan_sec", "value",
+    "calibration_sec", "calibration_scan_sec", "calibration_hof_sec",
+    "value", "queries_elided",
 }
 
 
