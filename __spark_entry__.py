@@ -3186,6 +3186,53 @@ def q_event_sessions(spark, sf_dir):
     )
 
 
+def _violation_examples_oracle_sql() -> str:
+    from jsonschema_spark.sources.corpus import VOCAB_SIZE
+
+    ok = _rollout_check_sql()
+    ok["col_tokens"] = (
+        "(tokens IS NULL OR (len(tokens) >= 1 AND len(tokens) <= 2000"
+        " AND len(list_filter(tokens,"
+        f" t -> t < 0 OR t > {VOCAB_SIZE - 1})) = 0))"
+    )
+    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
+    cases = ", ".join(
+        f"CASE WHEN NOT coalesce({expr}, FALSE) THEN '{name}' END"
+        for name, expr in ok.items()
+    )
+    prio = _hex60("concat('vx:', id)")
+    return (
+        f"WITH f AS (SELECT doc_id, list_filter([{cases}],"
+        f"  x -> x IS NOT NULL) AS fl FROM {tbl}),"
+        " e AS (SELECT u.x AS chk, CAST(doc_id AS VARCHAR) AS id"
+        "  FROM f, unnest(f.fl) AS u(x)),"
+        f" p AS (SELECT chk, id, {prio} AS prio FROM e),"
+        " r AS (SELECT chk, id, prio, row_number() OVER"
+        "  (PARTITION BY chk ORDER BY prio, id) AS rn FROM p)"
+        ' SELECT chk AS "check", count(*) AS n_examples,'
+        "  list(id ORDER BY prio, id) AS example_ids"
+        " FROM r WHERE rn <= 5 GROUP BY 1"
+    )
+
+
+def q_violation_examples(spark, sf_dir):
+    """Deterministic debug samples: the 5 content-addressed example rows
+    per failing check (smallest portable hash of the id) — identical on
+    any partitioning or engine, unlike a LIMIT k. Exact two-phase
+    salted top-k, so a hot check never funnels through one reducer;
+    output is ≤ |checks| rows."""
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+    from jsonschema_spark.plans.rollout import violation_examples
+
+    df = _materialized_corpus(spark)
+    v1, _ = _rollout_specs()
+    v1 = {**v1, "columns": {**v1["columns"], "tokens": {
+        **v1["columns"]["tokens"], "maxItems": 2000,
+    }}}
+    plan = compile_table_spec(TableSpec.from_dict(v1), df.schema)
+    return violation_examples(plan.annotate(df), id_col="doc_id", k=5)
+
+
 def q_lsh_recall(spark, sf_dir):
     """Measured MinHash-LSH recall (16 bands x 2 rows at j>=0.5) vs
     exact-Jaccard ground truth on a deterministic ~50% document sample,
@@ -3334,6 +3381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "watermark_audit": q_watermark_audit,
         "event_rollup": q_event_rollup,
         "lsh_recall": q_lsh_recall,
+        "violation_examples": q_violation_examples,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -6289,6 +6337,7 @@ def oracle_sql() -> dict[str, str]:
         "  round(sum(value), 6) AS value_sum"
         " FROM s GROUP BY 1, 2"
     )
+    out["violation_examples"] = _violation_examples_oracle_sql()
     _lz = "CAST(1.96 AS DOUBLE)"
     _lz2 = f"({_lz} * {_lz})"
     _lp = "(n_det / CAST(n_true AS DOUBLE))"

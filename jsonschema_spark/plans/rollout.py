@@ -139,6 +139,83 @@ def check_activation_profile(
     )
 
 
+def violation_examples(
+    annotated: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    salt_buckets: int = 64,
+) -> DataFrame:
+    """(check, n_examples, example_ids): ``k`` DETERMINISTIC example rows
+    per failing check — the debug artifact a violation report needs
+    next to its counts ("show me five rows that fail col_tokens").
+    Examples are content-addressed (the k smallest
+    ``portable_hash60('vx:' + id)``), so the same corpus yields the
+    same examples on any partitioning, engine, or cluster size — a
+    ``LIMIT k`` would be layout-dependent noise.
+
+    Scale shape: failing rows emit one (check, id) pair per failed
+    check (array filter + explode bounded by |checks|); top-k is the
+    EXACT two-phase form — phase 1 ranks inside (check, salt) windows
+    (salt = hash % salt_buckets, so no reducer sees more than a salt
+    share of a hot check), phase 2 merges the ≤ salt_buckets·k
+    survivors per check. The global top-k of a union of per-salt top-ks
+    is exact because every global winner wins its own salt. Output is
+    ≤ |checks| rows.
+    """
+    from jsonschema_spark.functions.text import portable_hash60
+
+    checks = sorted(c for c in annotated.columns if c.startswith("chk_"))
+    if not checks:
+        raise ValueError("no chk_* columns: annotate the frame first")
+    failed = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.coalesce(F.col(c), F.lit(False)),
+                    F.lit(c.removeprefix("chk_")),
+                )
+                for c in checks
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    from pyspark.sql import Window
+
+    pairs = (
+        annotated.select(
+            F.col(id_col).cast("string").alias("id"), failed.alias("_f")
+        )
+        .filter(F.size("_f") > 0)
+        .select("id", F.explode("_f").alias("check"))
+        .select(
+            "check",
+            "id",
+            portable_hash60(F.concat(F.lit("vx:"), F.col("id"))).alias(
+                "prio"
+            ),
+        )
+    )
+    w1 = Window.partitionBy(
+        "check", F.pmod(F.col("prio"), F.lit(int(salt_buckets)))
+    ).orderBy("prio", "id")
+    w2 = Window.partitionBy("check").orderBy("prio", "id")
+    return (
+        pairs.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= k)
+        .groupBy("check")
+        .agg(
+            F.count(F.lit(1)).alias("n_examples"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("prio", "id"))),
+                lambda x: x.getField("id"),
+            ).alias("example_ids"),
+        )
+        .orderBy("check")
+    )
+
+
 def violation_cooccurrence(
     annotated: DataFrame, min_docs: int = 1
 ) -> DataFrame:

@@ -198,3 +198,55 @@ def test_check_activation_requires_annotation(spark):
     df = spark.createDataFrame([(0, 4)], "doc_id int, x int")
     with _pytest.raises(ValueError):
         check_activation_profile(df)
+
+
+def test_violation_examples_deterministic_topk(spark):
+    import hashlib
+
+    from jsonschema_spark.plans.rollout import violation_examples
+
+    df = spark.createDataFrame(
+        [(f"d{i}", 999 if i % 3 == 0 else 4) for i in range(60)],
+        "doc_id string, x int",
+    )
+    spec = TableSpec.from_dict(
+        {"columns": {"x": {"type": "integer", "maximum": 100}}}
+    )
+    plan = compile_table_spec(spec, df.schema)
+    out = {
+        r["check"]: r
+        for r in violation_examples(
+            plan.annotate(df), id_col="doc_id", k=5, salt_buckets=8
+        ).collect()
+    }
+    assert set(out) == {"col_x"}
+    row = out["col_x"]
+    assert row["n_examples"] == 5
+
+    def h(s):
+        return int(hashlib.md5(f"vx:{s}".encode()).hexdigest()[:15], 16)
+
+    failing = [f"d{i}" for i in range(60) if i % 3 == 0]
+    want = [d for _, d in sorted((h(d), d) for d in failing)[:5]]
+    assert row["example_ids"] == want
+
+    # layout-independent: repartitioned input yields identical examples
+    out2 = {
+        r["check"]: r["example_ids"]
+        for r in violation_examples(
+            plan.annotate(df.repartition(13)), id_col="doc_id", k=5,
+            salt_buckets=4,
+        ).collect()
+    }
+    assert out2["col_x"] == want
+
+    # fewer failures than k: all of them, still hash-ordered
+    small = spark.createDataFrame(
+        [("a", 999), ("b", 999), ("c", 1)], "doc_id string, x int"
+    )
+    [r] = violation_examples(
+        compile_table_spec(spec, small.schema).annotate(small),
+        id_col="doc_id", k=5,
+    ).collect()
+    assert r["n_examples"] == 2
+    assert sorted(r["example_ids"]) == ["a", "b"]
