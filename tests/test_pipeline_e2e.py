@@ -83,11 +83,27 @@ def _run_pipeline(spark):
     # 7. pack into 512-token training windows
     packs = pack_assignments(mixed, "doc_id", "n_tok", budget=512)
     counts["packed_docs"] = packs.count()
-    return counts, mixed, packs
+
+    # 8. two decorrelated epoch orders over the final corpus, then the
+    # order audit as the pipeline's closing gate
+    from jsonschema_spark.operators.sampling import (
+        global_shuffle_order,
+        training_order_audit,
+    )
+
+    orders = [
+        global_shuffle_order(mixed, "doc_id", seed=s, num_buckets=16)
+        .withColumn("epoch", F.lit(e))
+        for e, s in enumerate((101, 202))
+    ]
+    audit = training_order_audit(
+        orders[0].unionByName(orders[1]), id_col="doc_id"
+    )
+    return counts, mixed, packs, audit
 
 
 def test_pipeline_composes_with_monotone_counts(spark):
-    counts, mixed, packs = _run_pipeline(spark)
+    counts, mixed, packs, audit = _run_pipeline(spark)
     order = [
         "raw", "validated", "exact_dedup", "near_dedup", "quality",
         "decontaminated", "mixed",
@@ -117,10 +133,18 @@ def test_pipeline_composes_with_monotone_counts(spark):
     )
     assert over == 0
 
+    # the closing gate: both epoch orders are exact permutations of the
+    # final corpus and the two epochs are decorrelated (seed reuse would
+    # report rho == 1.0)
+    rows = {r["epoch"]: r for r in audit.collect()}
+    assert rows[0]["is_permutation"] and rows[1]["is_permutation"]
+    assert rows[0]["n_rows"] == counts["mixed"]
+    assert abs(rows[1]["spearman_vs_prev"]) < 0.3
+
 
 def test_pipeline_is_deterministic(spark):
-    _, mixed_a, _ = _run_pipeline(spark)
-    _, mixed_b, _ = _run_pipeline(spark)
+    _, mixed_a, _, _ = _run_pipeline(spark)
+    _, mixed_b, _, _ = _run_pipeline(spark)
     ids_a = {r["doc_id"] for r in mixed_a.select("doc_id").collect()}
     ids_b = {r["doc_id"] for r in mixed_b.select("doc_id").collect()}
     assert ids_a == ids_b
