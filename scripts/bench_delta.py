@@ -31,16 +31,17 @@ NON_QUERY_KEYS = {
 }
 
 
-def load_full(path: str) -> tuple[dict[str, float], float, float]:
+def load_full(path: str):
     d = json.load(open(path))
     return (
         {k: float(v) for k, v in d["queries"].items()},
         float(d["calibration_sec"]),
         float(d["calibration_scan_sec"]),
+        float(d["calibration_hof_sec"]) if "calibration_hof_sec" in d else None,
     )
 
 
-def load_tail_recovered(path: str) -> tuple[dict[str, float], float, float]:
+def load_tail_recovered(path: str):
     d = json.load(open(path))
     if "queries" in d:  # already a full artifact
         return load_full(path)
@@ -48,10 +49,12 @@ def load_tail_recovered(path: str) -> tuple[dict[str, float], float, float]:
     vals = {k: float(v) for k, v in pairs}
     cal = vals.pop("calibration_sec")
     cal_scan = vals.pop("calibration_scan_sec")
+    cal_hof = vals.pop("calibration_hof_sec", None)
     return (
         {k: v for k, v in vals.items() if k not in NON_QUERY_KEYS},
         cal,
         cal_scan,
+        cal_hof,
     )
 
 
@@ -60,21 +63,34 @@ def main() -> None:
     new_path = (
         sys.argv[2] if len(sys.argv) > 2 else "BENCH/bench_full_latest.json"
     )
-    old_q, old_cal, old_scan = load_tail_recovered(old_path)
-    new_q, new_cal, new_scan = load_full(new_path)
+    old_q, old_cal, old_scan, old_hof = load_tail_recovered(old_path)
+    new_q, new_cal, new_scan, new_hof = load_full(new_path)
     cg_ratio = new_cal / old_cal
     scan_ratio = new_scan / old_scan
+    # the interpreted-HOF class (CLAUDE.md rule 12) — present only when
+    # both artifacts carry the third calibration row (bench.py >= r4)
+    hof_ratio = (
+        new_hof / old_hof if old_hof is not None and new_hof is not None
+        else None
+    )
 
     shared = sorted(set(old_q) & set(new_q))
     print(
         f"calibration: codegen {old_cal:.3f}->{new_cal:.3f}"
         f" (x{cg_ratio:.2f}), scan {old_scan:.3f}->{new_scan:.3f}"
-        f" (x{scan_ratio:.2f}); {len(shared)} shared queries"
+        f" (x{scan_ratio:.2f})"
+        + (
+            f", hof {old_hof:.3f}->{new_hof:.3f} (x{hof_ratio:.2f})"
+            if hof_ratio is not None
+            else ""
+        )
+        + f"; {len(shared)} shared queries"
         f" ({len(old_q)} recovered old, {len(new_q)} new)"
     )
     print()
-    print("| query | old s | new s | raw x | xCG | xSCAN |")
-    print("|---|---|---|---|---|---|")
+    hof_col = " xHOF |" if hof_ratio is not None else ""
+    print(f"| query | old s | new s | raw x | xCG | xSCAN |{hof_col}")
+    print("|---|---|---|---|---|---|" + ("---|" if hof_ratio else ""))
     rows = []
     for k in shared:
         raw = new_q[k] / old_q[k] if old_q[k] else float("inf")
@@ -83,15 +99,17 @@ def main() -> None:
         print(
             f"| {k} | {old_q[k]:.3f} | {new_q[k]:.3f} | {raw:.2f}"
             f" | {raw / cg_ratio:.2f} | {raw / scan_ratio:.2f} |"
+            + (f" {raw / hof_ratio:.2f} |" if hof_ratio is not None else "")
         )
+    ratios = [cg_ratio, scan_ratio] + (
+        [hof_ratio] if hof_ratio is not None else []
+    )
     worst = [
-        k
-        for raw, k in rows
-        if raw / cg_ratio > 1.5 and raw / scan_ratio > 1.5
+        k for raw, k in rows if all(raw / r > 1.5 for r in ratios)
     ]
     print()
     print(
-        "regressions >1.5x under BOTH normalizations: "
+        "regressions >1.5x under ALL calibration normalizations: "
         + (", ".join(sorted(worst)) if worst else "none")
     )
 
