@@ -82,6 +82,31 @@ def cmd_validate(args) -> int:
     job = ValidationJob(plan, dims=dims)
     t0 = time.time()
     summary = job.run(df, args.results, resume=args.resume)
+    if args.diagnostics:
+        # one extra pass over the corpus, shared by all three diagnostic
+        # artifacts via persist (they are check-keyed and metadata-sized
+        # on the way out; the scan is the only corpus-sized cost)
+        from jsonschema_spark.plans.rollout import (
+            check_activation_profile,
+            violation_cooccurrence,
+            violation_examples,
+        )
+
+        ann = plan.annotate(df).persist()
+        try:
+            base = Path(args.results)
+            check_activation_profile(ann).write.mode("overwrite").parquet(
+                str(base / "activation")
+            )
+            violation_cooccurrence(ann).write.mode("overwrite").parquet(
+                str(base / "cooccurrence")
+            )
+            violation_examples(ann, id_col=args.id_col).write.mode(
+                "overwrite"
+            ).parquet(str(base / "examples"))
+        finally:
+            ann.unpersist()
+        summary["diagnostics"] = ["activation", "cooccurrence", "examples"]
     summary["wall_sec_total"] = round(time.time() - t0, 3)
     n_tokens = None
     if "tokens" in df.columns:
@@ -225,6 +250,13 @@ def main(argv=None) -> int:
     pv.add_argument("--seed", type=int, default=42)
     pv.add_argument("--cores", type=int, default=None)
     pv.add_argument("--dim", action="append", help="name=parquet_path")
+    pv.add_argument(
+        "--diagnostics",
+        action="store_true",
+        help="also write activation/cooccurrence/examples to the results"
+        " tree (one extra corpus pass)",
+    )
+    pv.add_argument("--id-col", default="doc_id")
     pv.set_defaults(fn=cmd_validate)
 
     pr = sub.add_parser("repair")

@@ -109,3 +109,36 @@ def test_repair_cli_refreshes_n_tok(tmp_path, spark):
         " WHERE n_tok <> len(tokens)"
     ).fetchone()[0]
     assert stale == 0
+
+
+def test_validate_cli_diagnostics(tmp_path, spark):
+    spec = {
+        "columns": {
+            "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+            "n_tok": {"type": "integer", "minimum": 1, "maximum": 2048},
+        },
+        "required": ["doc_id", "tokens", "n_tok", "source"],
+        "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+    }
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(json.dumps(spec))
+    results = tmp_path / "results"
+
+    from jsonschema_spark.cli import main
+
+    rc = main([
+        "validate", "--input", "synthetic", "--rows", "5000",
+        "--spec", str(spec_file), "--results", str(results), "--cores", "8",
+        "--diagnostics",
+    ])
+    assert rc == 0
+    act = {
+        r["check"]: r
+        for r in spark.read.parquet(str(results / "activation")).collect()
+    }
+    # the synthetic corpus injects violations, so the length check fires
+    assert act["row_len_consistent"]["status"] == "active"
+    assert all(r["n"] == 5000 for r in act.values())
+    ex = spark.read.parquet(str(results / "examples")).collect()
+    assert all(1 <= r["n_examples"] <= 5 for r in ex)
+    assert (results / "cooccurrence").is_dir()
