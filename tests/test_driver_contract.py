@@ -80,3 +80,45 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(df.columns) == {"check", "n_fail", "n_rows"}
+
+
+def test_r4_gate_window_order_pinned():
+    """The driver's correctness gate takes the FIRST 50 queries() entries.
+    Round 4 rotated the 50 never-previously-gated queries into that
+    window (VERDICT r3 'Next round' #1); this pin fails if a later edit
+    inserts or reorders entries ahead of them, which would silently
+    un-gate queries the rotation plan promised to cover."""
+    import __spark_entry__ as entry_mod
+
+    want_first_51 = [
+        "chunk_sequences", "dup_gram_scale", "repair_sequences",
+        "temperature_mix", "positional_entropy", "bigram_ppl",
+        "vocab_coverage", "embedding_norm_qa", "structure_scorecard",
+        "winnow_dups", "token_ngram_diversity", "bigram_pmi",
+        "source_violation_rates", "ntok_iqr_outliers", "monotonic_check",
+        "embedding_drift", "sequence_packing", "tfidf_top_terms",
+        "source_divergence", "dsir_select", "source_mix",
+        "shared_ngram_pairs", "longest_shared_run", "dup_spans",
+        "dup_span_stats", "token_dup_spans", "decontam_spans",
+        "dup_loss_mask", "effective_tokens", "ingest_dedup_trend",
+        "periodic_sequences", "diverse_sample", "ngram_novelty",
+        "infer_spec", "weighted_sample", "global_shuffle",
+        "windowed_drift", "script_mojibake", "classifier_score",
+        "corpus_overlap", "trigram_sbo", "semdedup", "padding_waste",
+        "stratified_split", "unimax_alloc", "split_leakage_audit",
+        "embedding_quant_qa", "vocab_richness", "vocab_diversity",
+        "quality_survivors", "emd_drift",
+    ]
+    assert list(entry_mod.queries())[:51] == want_first_51
+
+
+def test_every_query_has_oracle_twin_or_is_known_rows_only():
+    """queries() and oracle_sql() stay in lockstep: every query has a
+    DuckDB twin (the repo currently carries zero rows-only queries —
+    adding one is a deliberate decision, not a forgotten entry)."""
+    import __spark_entry__ as entry_mod
+
+    q = set(entry_mod.queries())
+    o = set(entry_mod.oracle_sql())
+    assert o <= q, f"oracle entries without queries: {sorted(o - q)}"
+    assert q == o, f"queries missing oracle twins: {sorted(q - o)}"
