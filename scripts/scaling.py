@@ -39,6 +39,7 @@ JOB_SCRIPTS = {
     "shuffle": "shuffle_scaling_job.py",
     "survivors": "survivors_scaling_job.py",
     "asof": "asof_scaling_job.py",
+    "sessions": "sessions_scaling_job.py",
 }
 
 
