@@ -1040,6 +1040,17 @@ def q_dup_components(spark, sf_dir):
     return connected_components(_minhash_pairs(spark, sf_dir))
 
 
+def q_component_purity(spark, sf_dir):
+    """Transitive-chaining audit of the near-dup clusters: per-component
+    edge density (verified pairs / possible pairs). density 1.0 = a
+    genuine clique; low density on a big cluster = LSH daisy-chaining
+    collapsing barely-related docs — review before keep-one deletes
+    distinct content. One CC run + two component-keyed aggregates."""
+    from jsonschema_spark.operators.components import component_purity
+
+    return component_purity(_minhash_pairs(spark, sf_dir))
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Contamination-safe train/holdout split: every near-dup cluster is
     assigned atomically via its representative's portable hash bucket, so
@@ -3382,6 +3393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_rollup": q_event_rollup,
         "lsh_recall": q_lsh_recall,
         "violation_examples": q_violation_examples,
+        "component_purity": q_component_purity,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -6338,6 +6350,38 @@ def oracle_sql() -> dict[str, str]:
         " FROM s GROUP BY 1, 2"
     )
     out["violation_examples"] = _violation_examples_oracle_sql()
+    out["component_purity"] = (
+        "WITH RECURSIVE sh AS (SELECT doc_id, list_sort(list_distinct(list_transform("
+        "   generate_series(1, greatest(len(ws)-2, 0)),"
+        "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS g"
+        f"  FROM (SELECT doc_id, {_WS} AS ws FROM documents)),"
+        " pairs AS (SELECT id_a, id_b FROM ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+        "   CASE WHEN len(list_distinct(a.g || b.g)) = 0 THEN 0.0"
+        "    ELSE len(list_intersect(a.g, b.g))"
+        "     / CAST(len(list_distinct(a.g || b.g)) AS DOUBLE) END AS j"
+        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+        "   AND len(a.g) * 5 >= len(b.g) * 4"
+        "   AND len(b.g) * 5 >= len(a.g) * 4) WHERE j >= 0.8),"
+        " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        "  UNION ALL SELECT id_b, id_a FROM pairs),"
+        " nodes AS (SELECT DISTINCT src AS id FROM edges),"
+        " reach(id, r) AS ("
+        "  SELECT id, id FROM nodes"
+        "  UNION"
+        "  SELECT e.dst, re.r FROM reach re JOIN edges e ON e.src = re.id),"
+        " comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),"
+        " sz AS (SELECT component, count(*) AS n_members FROM comp"
+        "  GROUP BY 1),"
+        " ec AS (SELECT c.component, count(*) AS n_edges FROM pairs p"
+        "  JOIN comp c ON p.id_a = c.id GROUP BY 1)"
+        " SELECT sz.component, sz.n_members,"
+        "  CAST(coalesce(ec.n_edges, 0) AS BIGINT) AS n_edges,"
+        "  round(coalesce(ec.n_edges, 0) / (CAST(sz.n_members AS DOUBLE)"
+        "   * (CAST(sz.n_members AS DOUBLE) - CAST(1.0 AS DOUBLE))"
+        "   / CAST(2.0 AS DOUBLE)), 6) AS density"
+        " FROM sz LEFT JOIN ec ON ec.component = sz.component"
+    )
     _lz = "CAST(1.96 AS DOUBLE)"
     _lz2 = f"({_lz} * {_lz})"
     _lp = "(n_det / CAST(n_true AS DOUBLE))"

@@ -282,6 +282,57 @@ def quality_survivors(
     return df.join(losers, df[id_col] == losers["id"], "left_anti")
 
 
+def component_purity(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    decimals: int = 6,
+) -> DataFrame:
+    """(component, n_members, n_edges, density): edge density of every
+    near-dup cluster — the transitive-chaining audit. LSH dedup merges
+    via connected components, so A~B and B~C collapse A,B,C into one
+    cluster even when A and C share nothing ("semantic drift" chains on
+    real crawls: template pages daisy-chain hundreds of barely-related
+    docs into one mega-cluster and keep-one-per-cluster then deletes
+    distinct content). density = verified_pairs / (k·(k−1)/2): 1.0 means
+    a genuine clique of mutual near-dups; low density on a large
+    component means chaining — route those clusters to review or a
+    stricter second pass instead of blind keep-first.
+
+    Scale shape: one CC run over the pair set (large-star/small-star,
+    O(log n) rounds), then two aggregates keyed by component; the edge
+    count joins the pair table to the assignment on the uniform id key
+    (AQE-planned). Output is one row per multi-member component.
+    """
+    comp = connected_components(pairs, id_a, id_b)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    # both endpoints share a component by construction; joining id_a is
+    # enough to attribute each verified edge
+    edges = (
+        pairs.select(F.col(id_a).alias("id"))
+        .join(comp, "id")
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    k = F.col("n_members").cast("double")
+    return (
+        sizes.join(edges, "component", "left")
+        .select(
+            "component",
+            "n_members",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            F.round(
+                F.coalesce(F.col("n_edges"), F.lit(0))
+                / (k * (k - F.lit(1.0)) / F.lit(2.0)),
+                decimals,
+            ).alias("density"),
+        )
+        .orderBy("component")
+    )
+
+
 def component_size_histogram(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
 ) -> DataFrame:

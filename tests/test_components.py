@@ -206,3 +206,30 @@ def test_component_size_histogram(spark):
         for r in component_size_histogram(pairs).collect()
     }
     assert got == {4: 1, 3: 1, 2: 1}
+
+
+def test_component_purity_detects_chaining(spark):
+    from jsonschema_spark.operators.components import component_purity
+
+    pairs = spark.createDataFrame(
+        [
+            # triangle 1-2-3: clique, density 1.0
+            (1, 2), (2, 3), (1, 3),
+            # chain 10-11-12-13: 3 edges of 6 possible -> 0.5
+            (10, 11), (11, 12), (12, 13),
+            # isolated pair
+            (20, 21),
+        ],
+        "id_a long, id_b long",
+    )
+    out = {
+        r["component"]: r for r in component_purity(pairs).collect()
+    }
+    assert set(out) == {1, 10, 20}
+    assert (out[1]["n_members"], out[1]["n_edges"], out[1]["density"]) == (
+        3, 3, 1.0,
+    )
+    assert (out[10]["n_members"], out[10]["n_edges"], out[10]["density"]) == (
+        4, 3, 0.5,
+    )
+    assert (out[20]["n_members"], out[20]["density"]) == (2, 1.0)
