@@ -3301,6 +3301,19 @@ def q_event_rollup(spark, sf_dir):
     return rollup_from_partials(ev, "ts", "value", fine="hour", coarse="day")
 
 
+def q_trigram_kn_ppl(spark, sf_dir):
+    """Interpolated Kneser-Ney trigram perplexity (Chen & Goodman 1999;
+    KenLM order-3) of every non-reference sequence against the
+    doc_id%5==0 reference slice — the top of the LM ladder. All model
+    tables are aggregates over the one trigram count table or the bigram
+    table (gram-type-bounded, no second corpus pass); scoring shuffles
+    ~1 row per document."""
+    from jsonschema_spark.operators.relevance import kn_trigram_perplexity
+
+    df = _token_corpus(spark)
+    return kn_trigram_perplexity(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
+
+
 def q_bigram_kn_ppl(spark, sf_dir):
     """Interpolated Kneser-Ney bigram perplexity of every non-reference
     sequence against the doc_id%5==0 reference slice — the smoothing
@@ -3394,6 +3407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": q_lsh_recall,
         "violation_examples": q_violation_examples,
         "component_purity": q_component_purity,
+        "trigram_kn_ppl": q_trigram_kn_ppl,
         # --- all entries below have a driver-green CORRECTNESS row ---
         "incremental_near_dup": q_incremental_near_dup,
         "tokenizer_fertility": q_tokenizer_fertility,
@@ -5981,6 +5995,54 @@ def oracle_sql() -> dict[str, str]:
             "  count(*) FILTER (WHERE nt > 0) AS n_hit3,"
             "  count(*) FILTER (WHERE nt = 0 AND n_bc > 0) AS n_hit2,"
             "  round(avg(-ln(sc)), 6) AS xent"
+            " FROM s GROUP BY 1"
+        ),
+        "trigram_kn_ppl": (
+            f"WITH t AS (SELECT * FROM read_parquet('{_token_corpus_path()}/*.parquet')),"
+            " ref AS (SELECT * FROM t WHERE doc_id % 5 = 0),"
+            " rt AS (SELECT unnest(tokens[1:len(tokens) - 2]) AS a,"
+            "   unnest(tokens[2:len(tokens) - 1]) AS b,"
+            "   unnest(tokens[3:len(tokens)]) AS c FROM ref),"
+            " tg AS (SELECT a, b, c, count(*) AS nt FROM rt GROUP BY 1, 2, 3),"
+            " h AS (SELECT a, b, CAST(sum(nt) AS BIGINT) AS n_ab,"
+            "   count(*) AS n1f_ab FROM tg GROUP BY 1, 2),"
+            " mc AS (SELECT b, c, count(*) AS m_bc FROM tg GROUP BY 1, 2),"
+            " mh AS (SELECT b, CAST(sum(m_bc) AS BIGINT) AS m_b,"
+            "   count(*) AS n1c_b FROM mc GROUP BY 1),"
+            " rp AS (SELECT unnest(tokens[1:len(tokens) - 1]) AS a,"
+            "   unnest(tokens[2:len(tokens)]) AS b FROM ref),"
+            " bgt AS (SELECT a, b FROM rp GROUP BY 1, 2),"
+            " cb AS (SELECT b AS c, count(*) AS n1b FROM bgt GROUP BY 1),"
+            " tot AS (SELECT count(*) AS n1all FROM bgt),"
+            " vt AS (SELECT count(DISTINCT tok) AS v FROM"
+            "  (SELECT unnest(tokens) AS tok FROM ref)),"
+            " sp AS (SELECT doc_id AS id,"
+            "   unnest(tokens[1:len(tokens) - 2]) AS a,"
+            "   unnest(tokens[2:len(tokens) - 1]) AS b,"
+            "   unnest(tokens[3:len(tokens)]) AS c"
+            "  FROM t WHERE doc_id % 5 <> 0),"
+            " j AS (SELECT id, h.n_ab, h.n1f_ab, mh.m_b, mh.n1c_b,"
+            "   coalesce(tg.nt, 0) AS nt, coalesce(mc.m_bc, 0) AS m_bc,"
+            "   (coalesce(cb.n1b, 0) + CAST(0.5 AS DOUBLE))"
+            "    / (tot.n1all + CAST(0.5 AS DOUBLE) * vt.v) AS p1"
+            "  FROM sp LEFT JOIN tg USING (a, b, c)"
+            "   LEFT JOIN h USING (a, b) LEFT JOIN mc USING (b, c)"
+            "   LEFT JOIN mh USING (b) LEFT JOIN cb ON sp.c = cb.c"
+            "   CROSS JOIN tot CROSS JOIN vt),"
+            " s2 AS (SELECT id, n_ab, n1f_ab, nt,"
+            "   CASE WHEN m_b IS NOT NULL THEN"
+            "    greatest(m_bc - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))"
+            "     / m_b + CAST(0.75 AS DOUBLE) * n1c_b / m_b * p1"
+            "   ELSE p1 END AS p2 FROM j),"
+            " s AS (SELECT id, n_ab IS NOT NULL AS seen,"
+            "   CASE WHEN n_ab IS NOT NULL THEN"
+            "    greatest(nt - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE))"
+            "     / n_ab + CAST(0.75 AS DOUBLE) * n1f_ab / n_ab * p2"
+            "   ELSE p2 END AS p FROM s2)"
+            " SELECT id, count(*) AS n_trigrams,"
+            "  CAST(count(*) FILTER (WHERE seen) AS BIGINT) AS n_seen_hist,"
+            "  round(avg(-ln(p)), 6) AS xent,"
+            "  round(exp(avg(-ln(p))), 6) AS ppl"
             " FROM s GROUP BY 1"
         ),
         "vocab_richness": (

@@ -507,6 +507,140 @@ def kn_bigram_perplexity(
     )
 
 
+def kn_trigram_perplexity(
+    df: DataFrame,
+    is_reference: Column,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    discount: float = 0.75,
+    smoothing: float = 0.5,
+    decimals: int = 6,
+) -> DataFrame:
+    """Interpolated Kneser-Ney TRIGRAM perplexity (Chen & Goodman 1999's
+    recommended formulation; what a KenLM order-3 model computes) — the
+    top of the engine's LM ladder (unigram → add-k bigram → KN bigram →
+    Stupid-Backoff trigram → this). Three levels::
+
+        P(c|ab)   = max(T(abc)−d, 0)/H(ab) + d·N1+(ab·)/H(ab) · P₂(c|b)
+        P₂(c|b)   = max(M(bc)−d, 0)/M(b·) + d·N1c(b)/M(b·) · P₁(c)
+        P₁(c)     = (N1+(·c) + k) / (N1+(··) + k·V)
+
+    where ``T`` = trigram counts, ``H(ab) = Σ_c T(abc)``, ``M(bc) =
+    |{a: T(abc)>0}|`` (continuation TYPES, the Kneser-Ney insight:
+    lower orders model how likely a gram is to appear in a NEW
+    context), ``M(b·) = Σ_c M(bc)``, ``N1c(b) = |{c: M(bc)>0}|``, and
+    ``P₁`` is the add-k-smoothed continuation unigram over actual
+    bigram types. Unseen histories fall through to the next level.
+    Returns ``(id, n_trigrams, n_seen_hist, xent, ppl)`` for
+    non-reference sequences with ≥1 trigram (``n_seen_hist`` counts
+    trigram positions whose (a, b) history was seen).
+
+    Scale shape: the trigram count table is ONE map-side-combined agg on
+    uniform (a,b,c) keys; every other model table is an aggregate OVER
+    it or over the bigram table (all gram-type-bounded, never a second
+    corpus pass). Scoring joins the two gram-keyed tables under AQE and
+    broadcasts the three ≤|vocab|-keyed tables; the final per-doc agg
+    moves ~1 row per document.
+    """
+    from ..functions.text import index_range
+
+    toks = F.col(tokens_col)
+    tri_arr = F.transform(
+        index_range(F.size(toks) - 2),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"),
+            F.element_at(toks, i + 1).alias("b"),
+            F.element_at(toks, i + 2).alias("c"),
+        ),
+    )
+    pair_arr = F.transform(
+        index_range(F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("a"),
+            F.element_at(toks, i + 1).alias("b"),
+        ),
+    )
+    ref = df.filter(is_reference)
+    tri = (
+        ref.select(F.explode(tri_arr).alias("t"))
+        .select("t.a", "t.b", "t.c")
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("nt"))
+    )
+    hist = tri.groupBy("a", "b").agg(
+        F.sum("nt").alias("n_ab"), F.count(F.lit(1)).alias("n1f_ab")
+    )
+    midc = tri.groupBy("b", "c").agg(F.count(F.lit(1)).alias("m_bc"))
+    midh = midc.groupBy("b").agg(
+        F.sum("m_bc").alias("m_b"), F.count(F.lit(1)).alias("n1c_b")
+    )
+    ref_pairs = ref.select(F.explode(pair_arr).alias("p")).select(
+        "p.a", "p.b"
+    )
+    cont = (
+        ref_pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n1b"))
+        .select(F.col("b").alias("c"), "n1b")
+    )
+    n1_all = ref_pairs.agg(F.count_distinct("a", "b")).collect()[0][0]
+    v = float(
+        ref.select(F.explode(toks).alias("t"))
+        .agg(F.count_distinct("t"))
+        .collect()[0][0]
+    )
+    d = float(discount)
+    k = float(smoothing)
+    scored = (
+        df.filter(~is_reference)
+        .select(F.col(id_col).alias("id"), F.explode(tri_arr).alias("t"))
+        .select("id", "t.a", "t.b", "t.c")
+    )
+    p1 = (F.coalesce(F.col("n1b"), F.lit(0)) + F.lit(k)) / F.lit(
+        float(n1_all) + k * v
+    )
+    seen_mid = F.col("m_b").isNotNull()
+    p2 = F.when(
+        seen_mid,
+        F.greatest(
+            F.coalesce(F.col("m_bc"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("m_b")
+        + F.lit(d) * F.col("n1c_b") / F.col("m_b") * p1,
+    ).otherwise(p1)
+    seen = F.col("n_ab").isNotNull()
+    p = F.when(
+        seen,
+        F.greatest(
+            F.coalesce(F.col("nt"), F.lit(0)) - F.lit(d), F.lit(0.0)
+        )
+        / F.col("n_ab")
+        + F.lit(d) * F.col("n1f_ab") / F.col("n_ab") * p2,
+    ).otherwise(p2)
+    return (
+        scored.join(tri, on=["a", "b", "c"], how="left")
+        .join(hist, on=["a", "b"], how="left")
+        .join(midc, on=["b", "c"], how="left")
+        .join(F.broadcast(midh), on="b", how="left")
+        .join(F.broadcast(cont), on="c", how="left")
+        .select("id", seen.cast("long").alias("_s"), (-F.ln(p)).alias("nll"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("_s").alias("n_seen_hist"),
+            F.avg("nll").alias("_x"),
+        )
+        .select(
+            "id",
+            "n_trigrams",
+            "n_seen_hist",
+            F.round(F.col("_x"), decimals).alias("xent"),
+            F.round(F.exp(F.col("_x")), decimals).alias("ppl"),
+        )
+    )
+
+
 def trigram_stupid_backoff(
     df: DataFrame,
     is_reference: Column,

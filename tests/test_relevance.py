@@ -363,3 +363,45 @@ def test_kn_bigram_perplexity_closed_forms(spark):
     assert rows[1]["xent"] < rows[2]["xent"] < rows[4]["xent"]
     # single-token doc has no conditional to price; ref doc not scored
     assert 3 not in rows and 0 not in rows
+
+
+def test_kn_trigram_perplexity_closed_forms(spark):
+    from pyspark.sql import functions as F
+
+    from jsonschema_spark.operators.relevance import kn_trigram_perplexity
+
+    # ref doc 0 = "1 2 1 2 1 2": T(121)=2, T(212)=2; H(1,2)=H(2,1)=2;
+    # M(2,1)=M(1,2)=1, M(b.)=1, N1c(b)=1; bigram types {(1,2),(2,1)} ->
+    # P1(1)=P1(2)=0.5, P1(unseen)=1/6
+    df = spark.createDataFrame(
+        [
+            (0, [1, 2, 1, 2, 1, 2]),
+            (1, [1, 2, 1]),
+            (2, [9, 9, 9]),
+            (3, [2, 1, 9]),
+            (4, [5, 7]),
+        ],
+        "doc_id: long, tokens: array<int>",
+    )
+    rows = {
+        r["id"]: r
+        for r in kn_trigram_perplexity(df, F.col("doc_id") == 0).collect()
+    }
+    p1_seen, p1_unseen = 0.5, 1 / 6
+    # seen trigram: discounted ML + backoff through both KN levels
+    p2_12 = (1 - 0.75) / 1 + 0.75 * 1 / 1 * p1_seen        # P2(1|2)
+    p121 = (2 - 0.75) / 2 + 0.75 * 1 / 2 * p2_12
+    assert rows[1]["ppl"] == pytest.approx(1 / p121, abs=1e-6)
+    assert rows[1]["n_seen_hist"] == 1
+    # everything unseen -> smoothed continuation unigram
+    assert rows[2]["ppl"] == pytest.approx(1 / p1_unseen, abs=1e-6)
+    assert rows[2]["n_seen_hist"] == 0
+    # seen history, unseen trigram AND unseen middle continuation
+    p2_91 = 0 + 0.75 * 1 / 1 * p1_unseen                    # P2(9|1)
+    p219 = 0 + 0.75 * 1 / 2 * p2_91
+    assert rows[3]["ppl"] == pytest.approx(1 / p219, abs=1e-6)
+    assert rows[3]["n_seen_hist"] == 1
+    # ordering: in-domain best, pure-OOV middle, deep-miss worst
+    assert rows[1]["xent"] < rows[2]["xent"] < rows[3]["xent"]
+    # a 2-token doc has no trigram to price; ref doc not scored
+    assert 4 not in rows and 0 not in rows
