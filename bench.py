@@ -274,6 +274,9 @@ def main() -> None:
         "watermark_audit",
         "event_rollup",
         "lsh_recall",
+        "violation_examples",
+        "component_purity",
+        "trigram_kn_ppl",
     ]
     qs = entry.queries()
     for name in headline:
