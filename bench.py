@@ -283,10 +283,11 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        # best-of-2: the first run pays python-worker spawn + JIT + page
-        # cache; the host is shared, so single-shot numbers are noise
+        # best-of-3: the first run pays python-worker spawn + JIT + page
+        # cache, and the shared host's CPU bursts can stretch one more
+        # (r4: a 0.32 s query measured 2.06 s inside best-of-2)
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             n = fn(spark, sf_dir).count()
             best = min(best, time.time() - t0)
