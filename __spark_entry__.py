@@ -3327,6 +3327,90 @@ def q_bigram_kn_ppl(spark, sf_dir):
     return kn_bigram_perplexity(df, F.pmod(F.col("doc_id"), F.lit(5)) == 0)
 
 
+def q_column_profile(spark, sf_dir):
+    """Deequ-style single-pass multi-column profile (Schelter et al.
+    VLDB 2018): completeness / distinctness / uniqueness / entropy /
+    mode for four documents columns from ONE stacked scan — the
+    discovery pass that seeds spec inference. doc_id profiles as a
+    perfect key (uniqueness 1.0, entropy ln N); lang/source as
+    low-cardinality categoricals."""
+    from jsonschema_spark.operators.quality import column_profile
+
+    df = _t(spark, sf_dir, "documents")
+    return column_profile(df, ["doc_id", "lang", "source", "n_chars"])
+
+
+def q_fd_audit(spark, sf_dir):
+    """Approximate functional-dependency audit (TANE g3 error): does
+    l_partkey determine l_suppkey in lineitem? The violation summary a
+    constraint-suggestion pass thresholds on before emitting a
+    dependency into an inferred spec."""
+    from jsonschema_spark.operators.quality import fd_audit
+
+    df = _t(spark, sf_dir, "lineitem")
+    return fd_audit(df, "l_partkey", "l_suppkey")
+
+
+def q_categorical_mi(spark, sf_dir):
+    """Mutual information between documents.source and documents.lang
+    (nats, plus geometric-mean NMI) — the association-strength check
+    behind "is source informative about lang?" and redundant-column
+    detection. Three keyless scalar aggregates over one joint-cell
+    table."""
+    from jsonschema_spark.operators.quality import categorical_mi
+
+    df = _t(spark, sf_dir, "documents")
+    return categorical_mi(df, "source", "lang")
+
+
+def q_benford_digits(spark, sf_dir):
+    """First-significant-digit distribution of l_extendedprice vs
+    Benford's law (Hill 1995) with per-digit χ² contributions — the
+    forensic plausibility test for amount-like columns. Digit
+    extraction goes through exact integer cents (floor(value·100)) so
+    it is engine-independent."""
+    from jsonschema_spark.operators.quality import benford_first_digit
+
+    df = _t(spark, sf_dir, "lineitem")
+    return benford_first_digit(df, "l_extendedprice", scale=100)
+
+
+def q_metric_anomaly(spark, sf_dir):
+    """Deequ-style metrics-repository anomaly detection over a
+    per-month metric history derived from orders (order_count +
+    avg_price per month): each point scored against the trailing 6
+    prior points of its own metric (z-score, plus the flat-history-jump
+    case). The history a resumable validation job persists is exactly
+    this (metric, ds, value) shape."""
+    from jsonschema_spark.operators.quality import metric_anomaly
+
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", F.col("o_orderdate")), "yyyy-MM").alias(
+            "ds"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("_cnt"),
+        F.round(F.avg("o_totalprice"), 6).alias("_ap"),
+    )
+    hist = monthly.select(
+        "ds",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("order_count").alias("metric"),
+                    F.col("_cnt").alias("value"),
+                ),
+                F.struct(
+                    F.lit("avg_price").alias("metric"),
+                    F.col("_ap").alias("value"),
+                ),
+            )
+        ).alias("_m"),
+    ).select(F.col("_m.metric").alias("metric"), "ds", F.col("_m.value").alias("value"))
+    return metric_anomaly(hist, window=6, min_periods=3, z_thresh=3.0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS: the driver correctness gate takes the FIRST 50
     # entries in insertion order. Round-4 rotation (VERDICT r3 "Next
@@ -3520,6 +3604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": q_token_entropy,
         "hash_sample": q_hash_sample,
         "source_cap": q_source_cap,
+        "column_profile": q_column_profile,
+        "fd_audit": q_fd_audit,
+        "categorical_mi": q_categorical_mi,
+        "benford_digits": q_benford_digits,
+        "metric_anomaly": q_metric_anomaly,
     }
 
 
@@ -6526,5 +6615,122 @@ def oracle_sql() -> dict[str, str]:
         "   AND pos_max = n_rows) AS is_permutation,"
         "  r.spearman_vs_prev"
         " FROM s LEFT JOIN r ON r.epoch = s.epoch"
+    )
+    _nn = "CAST(n_rows - n_null AS DOUBLE)"
+    out["column_profile"] = (
+        "WITH st AS ("
+        "  SELECT 'doc_id' AS col, CAST(doc_id AS VARCHAR) AS value"
+        "   FROM documents"
+        "  UNION ALL SELECT 'lang', lang FROM documents"
+        "  UNION ALL SELECT 'source', source FROM documents"
+        "  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)"
+        "   FROM documents),"
+        " c AS (SELECT col, value, count(*) AS c FROM st GROUP BY 1, 2),"
+        " a AS (SELECT col,"
+        "   CAST(sum(c) AS BIGINT) AS n_rows,"
+        "   CAST(coalesce(sum(c) FILTER (WHERE value IS NULL), 0)"
+        "    AS BIGINT) AS n_null,"
+        "   CAST(count(*) FILTER (WHERE value IS NOT NULL)"
+        "    AS BIGINT) AS n_distinct,"
+        "   CAST(count(*) FILTER (WHERE value IS NOT NULL AND c = 1)"
+        "    AS BIGINT) AS n_unique,"
+        "   coalesce(sum(c * ln(c)) FILTER (WHERE value IS NOT NULL),"
+        "    0.0) AS clnc"
+        "  FROM c GROUP BY 1),"
+        " m AS (SELECT col, value AS mode_value,"
+        "   CAST(c AS BIGINT) AS mode_count FROM ("
+        "   SELECT col, value, c, row_number() OVER"
+        "    (PARTITION BY col ORDER BY c DESC, value ASC) AS rn"
+        "   FROM c WHERE value IS NOT NULL) WHERE rn = 1)"
+        ' SELECT a.col AS "column", n_rows, n_null, n_distinct, n_unique,'
+        f"  round(CASE WHEN n_rows - n_null > 0 THEN n_distinct / {_nn}"
+        "   END, 6) AS distinctness,"
+        f"  round(CASE WHEN n_rows - n_null > 0 THEN n_unique / {_nn}"
+        "   END, 6) AS uniqueness,"
+        f"  round(CASE WHEN n_rows - n_null > 0 THEN ln({_nn})"
+        f"   - clnc / {_nn} END, 6) AS entropy,"
+        "  m.mode_value, m.mode_count"
+        " FROM a LEFT JOIN m ON m.col = a.col"
+    )
+    out["fd_audit"] = (
+        "WITH p AS (SELECT l_partkey AS l, l_suppkey AS r,"
+        "   count(*) AS c FROM lineitem"
+        "  WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL"
+        "  GROUP BY 1, 2),"
+        " g AS (SELECT l, sum(c) AS rows_, max(c) AS maxc,"
+        "   count(*) AS nr FROM p GROUP BY 1)"
+        " SELECT CAST(count(*) AS BIGINT) AS n_groups,"
+        "  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_violating_groups,"
+        "  CAST(sum(rows_) AS BIGINT) AS n_rows,"
+        "  CAST(coalesce(sum(rows_) FILTER (WHERE nr > 1), 0) AS BIGINT)"
+        "   AS n_violating_rows,"
+        "  CAST(sum(rows_ - maxc) AS BIGINT) AS g3_rows,"
+        "  round(1.0 - sum(rows_ - maxc) / CAST(sum(rows_) AS DOUBLE), 6)"
+        "   AS fd_strength"
+        " FROM g"
+    )
+    _min = "(ln(CAST(n AS DOUBLE)) - sa / n)"
+    _mib = "(ln(CAST(n AS DOUBLE)) - sb / n)"
+    _miab = "(ln(CAST(n AS DOUBLE)) - sab / n)"
+    _mival = f"({_min} + {_mib} - {_miab})"
+    out["categorical_mi"] = (
+        "WITH cells AS (SELECT source AS a, lang AS b, count(*) AS c"
+        "  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL"
+        "  GROUP BY 1, 2),"
+        " sab AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS n,"
+        "   coalesce(sum(c * ln(c)), 0.0) AS sab,"
+        "   CAST(count(*) AS BIGINT) AS n_cells FROM cells),"
+        " ma AS (SELECT a, sum(c) AS ca FROM cells GROUP BY 1),"
+        " sa AS (SELECT coalesce(sum(ca * ln(ca)), 0.0) AS sa,"
+        "   CAST(count(*) AS BIGINT) AS n_a FROM ma),"
+        " mb AS (SELECT b, sum(c) AS cb FROM cells GROUP BY 1),"
+        " sb AS (SELECT coalesce(sum(cb * ln(cb)), 0.0) AS sb,"
+        "   CAST(count(*) AS BIGINT) AS n_b FROM mb)"
+        " SELECT n AS n_rows, n_a, n_b, n_cells,"
+        f"  round(CASE WHEN n > 0 THEN {_min} END, 6) AS h_a,"
+        f"  round(CASE WHEN n > 0 THEN {_mib} END, 6) AS h_b,"
+        f"  round(CASE WHEN n > 0 THEN {_miab} END, 6) AS h_ab,"
+        f"  round(CASE WHEN n > 0 THEN {_mival} END, 6) AS mi,"
+        f"  round(CASE WHEN n > 0 AND {_min} > 0 AND {_mib} > 0"
+        f"   THEN {_mival} / sqrt({_min} * {_mib}) END, 6) AS nmi"
+        " FROM sab CROSS JOIN sa CROSS JOIN sb"
+    )
+    _bexp = "(ln(1.0 + 1.0 / digit) / ln(10.0))"
+    out["benford_digits"] = (
+        "WITH d AS (SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1)"
+        "   AS INTEGER) AS digit FROM ("
+        "   SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS u"
+        "   FROM lineitem) WHERE u > 0),"
+        " c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),"
+        " t AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM c)"
+        " SELECT digit, CAST(n AS BIGINT) AS n,"
+        "  round(n / nt, 6) AS rate,"
+        f"  round({_bexp}, 6) AS expected,"
+        f"  round((n - nt * {_bexp}) * (n - nt * {_bexp})"
+        f"   / (nt * {_bexp}), 6) AS chi2_term"
+        " FROM c CROSS JOIN t"
+    )
+    _maz = "((value - pm) / ps)"
+    out["metric_anomaly"] = (
+        "WITH m AS (SELECT strftime(date_trunc('month', o_orderdate),"
+        "   '%Y-%m') AS ds, CAST(count(*) AS DOUBLE) AS cnt,"
+        "   round(avg(o_totalprice), 6) AS ap FROM orders GROUP BY 1),"
+        " h AS (SELECT 'order_count' AS metric, ds, cnt AS value FROM m"
+        "  UNION ALL SELECT 'avg_price', ds, ap FROM m),"
+        " s AS (SELECT metric, ds, value,"
+        "   count(value) OVER w AS pn,"
+        "   avg(value) OVER w AS pm,"
+        "   stddev_samp(value) OVER w AS ps"
+        "  FROM h WINDOW w AS (PARTITION BY metric ORDER BY ds"
+        "   ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING))"
+        " SELECT metric, ds, round(value, 6) AS value,"
+        "  CAST(pn AS BIGINT) AS prior_n,"
+        "  round(pm, 6) AS prior_mean, round(ps, 6) AS prior_std,"
+        f"  round(CASE WHEN pn >= 3 AND ps > 0 THEN {_maz} END, 6) AS z,"
+        f"  (coalesce(CASE WHEN pn >= 3 AND ps > 0 THEN abs({_maz}) > 3.0"
+        "    END, FALSE)"
+        "   OR (pn >= 3 AND ps = 0 AND value <> pm)) AS is_anomaly"
+        " FROM s"
     )
     return out

@@ -1,0 +1,377 @@
+"""Data-quality profiling and constraint-discovery operators.
+
+The reference engine (/root/reference — a per-document Go draft-4
+validator, see SURVEY.md §1) validates AGAINST a spec; this module is
+the table-level discovery layer a validation engine runs BEFORE a spec
+exists and BETWEEN runs: profile every column in one pass, discover
+candidate functional dependencies, quantify column associations, test
+numeric columns against the significant-digit law, and watch the metric
+history a resumable job persists for regressions.
+
+Public-knowledge basis (all cited techniques are published):
+
+- Schelter et al., "Automating Large-Scale Data Quality Verification",
+  VLDB 2018 (the Deequ paper): per-column completeness / distinctness /
+  uniqueness / entropy profiles, the shareable-scan "stacked" profiling
+  pass, and metrics-repository anomaly detection over run history.
+- Huhtala et al., "TANE: An Efficient Algorithm for Discovering
+  Functional and Approximate Dependencies", Comput. J. 1999: the g3
+  error measure (min rows to delete for an FD to hold exactly).
+- Hill, "A Statistical Derivation of the Significant-Digit Law",
+  Statistical Science 1995: the Benford first-digit distribution used
+  as a forensic plausibility check on numeric columns.
+- Cover & Thomas, "Elements of Information Theory": entropy / mutual
+  information identities (H = ln N - (1/N)·Σ c·ln c) that reduce every
+  information measure here to ONE scalar aggregate per distribution.
+
+Scale shapes (each operator's docstring details its own):
+- one corpus pass each; everything downstream aggregates value-histogram
+  or group-count tables (rows = distinct values / groups, not corpus rows);
+- no forced broadcasts — the only crossJoins are 1-row scalar aggregates
+  (the pattern plans/audit.py proves bounded);
+- no Python on any path: every expression is a native Column, so the
+  whole family stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _entropy_from(sum_clnc: Column, n: Column) -> Column:
+    """Shannon entropy (nats) from Σ c·ln c and N: H = ln N - Σc·ln c / N.
+
+    The identity turns entropy into a single map-side-combinable SUM —
+    no second pass to normalize counts into probabilities. Guarded to
+    NULL when the distribution is empty."""
+    nd = n.cast("double")
+    return F.when(n > 0, F.log(nd) - sum_clnc / nd)
+
+
+def column_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """One row per profiled column: ``(column, n_rows, n_null,
+    n_distinct, n_unique, distinctness, uniqueness, entropy, mode_value,
+    mode_count)`` — the Deequ-style single-pass profile (completeness,
+    distinctness = |V|/N, uniqueness = |{v: count(v)=1}|/N over non-null
+    rows, Shannon entropy in nats, and the modal value with a
+    deterministic count-desc/value-asc tie-break).
+
+    Scale shape: values are stacked as (column, value) pairs with ONE
+    generate over the corpus (k columns → k·rows narrow rows, no
+    shuffle), then ONE map-side-combined groupBy(column, value). Every
+    statistic afterwards aggregates the value-histogram table (rows =
+    Σ distinct values per column, not corpus rows); the mode is a
+    per-column window over that same histogram and the final join is
+    k-row × k-row. For columns whose cardinality approaches corpus size
+    (ids) the histogram IS the cost — identical to any exact distinct
+    count; that is the profile's contract (swap in HLL sketches upstream
+    if an approximate profile suffices)."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_cv")
+    ).select("_cv.column", "_cv.value")
+    counts = stacked.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    nn = (F.col("n_rows") - F.col("n_null")).cast("long")
+    nnd = nn.cast("double")
+    agg = counts.groupBy("column").agg(
+        F.sum("_c").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("value").isNull(), F.col("_c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.count(F.when(F.col("value").isNotNull(), 1))
+        .cast("long")
+        .alias("n_distinct"),
+        F.count(F.when(F.col("value").isNotNull() & (F.col("_c") == 1), 1))
+        .cast("long")
+        .alias("n_unique"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("value").isNotNull(),
+                    F.col("_c").cast("double")
+                    * F.log(F.col("_c").cast("double")),
+                )
+            ),
+            F.lit(0.0),
+        ).alias("_clnc"),
+    )
+    mode_w = Window.partitionBy("column").orderBy(
+        F.col("_c").desc(), F.col("value").asc()
+    )
+    modes = (
+        counts.filter(F.col("value").isNotNull())
+        .withColumn("_rn", F.row_number().over(mode_w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "column",
+            F.col("value").alias("mode_value"),
+            F.col("_c").cast("long").alias("mode_count"),
+        )
+    )
+    return agg.join(modes, "column", "left").select(
+        "column",
+        "n_rows",
+        "n_null",
+        "n_distinct",
+        "n_unique",
+        F.round(F.when(nn > 0, F.col("n_distinct") / nnd), decimals).alias(
+            "distinctness"
+        ),
+        F.round(F.when(nn > 0, F.col("n_unique") / nnd), decimals).alias(
+            "uniqueness"
+        ),
+        F.round(_entropy_from(F.col("_clnc"), nn), decimals).alias("entropy"),
+        "mode_value",
+        "mode_count",
+    )
+
+
+def fd_audit(
+    df: DataFrame,
+    lhs_col: str,
+    rhs_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row ``(n_groups, n_violating_groups, n_rows,
+    n_violating_rows, g3_rows, fd_strength)``: does ``lhs_col``
+    functionally determine ``rhs_col``?  A group (one lhs value)
+    violates when it maps to >1 distinct rhs value; ``g3_rows`` is
+    TANE's g3 error — the minimum number of rows to delete for the FD
+    to hold exactly (Σ over groups of rows − max-agreeing-rows) — and
+    ``fd_strength = 1 − g3/n_rows`` is the approximate-FD confidence a
+    constraint-suggestion pass thresholds on before emitting a
+    dependency into an inferred spec.  Null lhs/rhs rows are excluded
+    (an FD says nothing about missing determinants).
+
+    Scale shape: ONE map-side-combined groupBy(lhs, rhs) over the
+    corpus; the per-group rollup and the final summary aggregate the
+    (lhs, rhs)-count table — rows = distinct pairs, not corpus rows.
+    Skewed determinants are just heavy reduce keys (AQE splits them);
+    nothing is collected."""
+    base = df.select(
+        F.col(lhs_col).alias("_l"), F.col(rhs_col).alias("_r")
+    ).filter(F.col("_l").isNotNull() & F.col("_r").isNotNull())
+    pairs = base.groupBy("_l", "_r").agg(F.count(F.lit(1)).alias("_c"))
+    per = pairs.groupBy("_l").agg(
+        F.sum("_c").alias("_rows"),
+        F.max("_c").alias("_maxc"),
+        F.count(F.lit(1)).alias("_nr"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("_nr") > 1).cast("long")).alias("n_violating_groups"),
+        F.sum("_rows").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_nr") > 1, F.col("_rows"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_violating_rows"),
+        F.sum(F.col("_rows") - F.col("_maxc")).cast("long").alias("g3_rows"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("_rows") - F.col("_maxc")).cast("double")
+            / F.sum("_rows").cast("double"),
+            decimals,
+        ).alias("fd_strength"),
+    )
+
+
+def categorical_mi(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row ``(n_rows, n_a, n_b, n_cells, h_a, h_b, h_ab, mi, nmi)``:
+    Shannon entropies (nats) of two categorical columns, their joint
+    entropy, mutual information MI = H(A)+H(B)−H(AB), and the
+    geometric-mean-normalized NMI = MI/√(H(A)·H(B)) — the
+    association-strength profile behind "is `source` informative about
+    `lang`?" checks and redundant-column detection.  Rows where either
+    side is null are excluded.
+
+    Scale shape: ONE map-side-combined groupBy(a, b) over the corpus;
+    both marginals derive from the joint-cell table (rows = distinct
+    pairs).  Via H = ln N − Σc·ln c / N each entropy is a single scalar
+    SUM, so the three distributions reduce to three keyless aggregates
+    combined with 1-row broadcast crossJoins (the bounded pattern
+    plans/audit.py proves) — corpus rows shuffle exactly once."""
+    base = df.select(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).filter(F.col("_a").isNotNull() & F.col("_b").isNotNull())
+    cells = base.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    clnc = F.col("_c").cast("double") * F.log(F.col("_c").cast("double"))
+    s_ab = cells.agg(
+        F.coalesce(F.sum("_c"), F.lit(0)).cast("long").alias("_n"),
+        F.coalesce(F.sum(clnc), F.lit(0.0)).alias("_sab"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    ma = cells.groupBy("_a").agg(F.sum("_c").alias("_ca"))
+    s_a = ma.agg(
+        F.coalesce(
+            F.sum(F.col("_ca").cast("double") * F.log(F.col("_ca").cast("double"))),
+            F.lit(0.0),
+        ).alias("_sa"),
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+    )
+    mb = cells.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    s_b = mb.agg(
+        F.coalesce(
+            F.sum(F.col("_cb").cast("double") * F.log(F.col("_cb").cast("double"))),
+            F.lit(0.0),
+        ).alias("_sb"),
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+    )
+    one = s_ab.crossJoin(F.broadcast(s_a)).crossJoin(F.broadcast(s_b))
+    h_a = _entropy_from(F.col("_sa"), F.col("_n"))
+    h_b = _entropy_from(F.col("_sb"), F.col("_n"))
+    h_ab = _entropy_from(F.col("_sab"), F.col("_n"))
+    mi = h_a + h_b - h_ab
+    return one.select(
+        F.col("_n").alias("n_rows"),
+        "n_a",
+        "n_b",
+        "n_cells",
+        F.round(h_a, decimals).alias("h_a"),
+        F.round(h_b, decimals).alias("h_b"),
+        F.round(h_ab, decimals).alias("h_ab"),
+        F.round(mi, decimals).alias("mi"),
+        F.round(
+            F.when((h_a > 0) & (h_b > 0), mi / F.sqrt(h_a * h_b)),
+            decimals,
+        ).alias("nmi"),
+    )
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_col: str,
+    scale: int = 100,
+    decimals: int = 6,
+) -> DataFrame:
+    """Nine rows ``(digit, n, rate, expected, chi2_term)``: observed
+    first-significant-digit distribution of a positive numeric column
+    vs Benford's law (P(d) = log10(1 + 1/d)), with the per-digit χ²
+    contribution — the forensic plausibility test for price/amount-like
+    columns (fabricated or clipped data bends the leading-digit curve).
+
+    ``scale`` shifts fixed-point values into integers first (100 =
+    cents) so digit extraction is exact integer string math, not
+    float-format-dependent: floor(value·scale) is the same IEEE double
+    op in any engine, and the leading digit of the resulting integer's
+    decimal rendering is engine-independent.  Non-positive values are
+    excluded (Benford is defined on positive magnitudes).
+
+    Scale shape: one corpus pass → map-side-combined groupBy on a
+    9-value key; the total is a 1-row broadcast crossJoin.  Nothing
+    downstream of the 9-row histogram touches corpus rows."""
+    units = F.floor(F.col(value_col) * F.lit(float(scale))).cast("long")
+    digits = df.select(units.alias("_u")).filter(F.col("_u") > 0).select(
+        F.substring(F.col("_u").cast("string"), 1, 1).cast("int").alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("_N"))
+    expected = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
+        F.lit(10.0)
+    )
+    exp_n = F.col("_N") * expected
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("_N"), decimals).alias("rate"),
+            F.round(expected, decimals).alias("expected"),
+            F.round(
+                (F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n, decimals
+            ).alias("chi2_term"),
+        )
+    )
+
+
+def metric_anomaly(
+    history: DataFrame,
+    metric_col: str = "metric",
+    ds_col: str = "ds",
+    value_col: str = "value",
+    window: int = 6,
+    min_periods: int = 3,
+    z_thresh: float = 3.0,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per history point: ``(metric, ds, value, prior_n, prior_mean,
+    prior_std, z, is_anomaly)`` — Deequ-style metrics-repository anomaly
+    detection.  ``history`` is the (metric, ds, value) table a resumable
+    validation job persists alongside its lineage (BASELINE.json north
+    rule: "metrics persisted to a results table"); each point is scored
+    against the trailing ``window`` PRIOR points of the same metric
+    (z-score vs their mean/sample-std).  A point is anomalous when it
+    has ≥ ``min_periods`` priors and either |z| > ``z_thresh`` or the
+    priors were constant (std = 0) and the value moved at all — the
+    "flat metric suddenly changed" case a pure z-test divides by zero
+    on.  Early points (fewer priors) are never flagged: a new metric
+    needs history before it can regress.
+
+    Scale shape: the metric history is runs × metrics — metadata-sized
+    by construction (thousands of rows per year of daily runs), so the
+    per-metric ordered window is cheap by design; the operator still
+    partitions by metric, so even a pathological million-metric
+    repository stays parallel with no single-partition sort."""
+    w = (
+        Window.partitionBy(metric_col)
+        .orderBy(ds_col)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    prior_n = F.count(v).over(w)
+    prior_mean = F.avg(v).over(w)
+    prior_std = F.stddev_samp(v).over(w)
+    scored = history.select(
+        F.col(metric_col).alias("metric"),
+        F.col(ds_col).alias("ds"),
+        v.alias("_v"),
+        prior_n.alias("_pn"),
+        prior_mean.alias("_pm"),
+        prior_std.alias("_ps"),
+    )
+    z = F.when(
+        (F.col("_pn") >= min_periods) & (F.col("_ps") > 0),
+        (F.col("_v") - F.col("_pm")) / F.col("_ps"),
+    )
+    flat_jump = (
+        (F.col("_pn") >= min_periods)
+        & (F.col("_ps") == 0)
+        & (F.col("_v") != F.col("_pm"))
+    )
+    return scored.select(
+        "metric",
+        "ds",
+        F.round(F.col("_v"), decimals).alias("value"),
+        F.col("_pn").cast("long").alias("prior_n"),
+        F.round(F.col("_pm"), decimals).alias("prior_mean"),
+        F.round(F.col("_ps"), decimals).alias("prior_std"),
+        F.round(z, decimals).alias("z"),
+        (F.coalesce(F.abs(z) > F.lit(float(z_thresh)), F.lit(False)) | flat_jump).alias(
+            "is_anomaly"
+        ),
+    )

@@ -1,0 +1,199 @@
+"""Unit tests for the Deequ-style profiling / constraint-discovery
+operators (operators/quality.py), pinned against closed-form references
+computed inline (Schelter et al. VLDB 2018 metric definitions; TANE g3;
+Benford/Hill digit law; Cover & Thomas entropy identities)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from jsonschema_spark.operators.quality import (
+    benford_first_digit,
+    categorical_mi,
+    column_profile,
+    fd_audit,
+    metric_anomaly,
+)
+from jsonschema_spark.plans.audit import assert_plan
+
+
+def _entropy(counts):
+    n = sum(counts)
+    return sum(-(c / n) * math.log(c / n) for c in counts if c > 0)
+
+
+class TestColumnProfile:
+    def test_matches_closed_form(self, spark):
+        rows = [
+            (1, "a", "x"),
+            (2, "a", "y"),
+            (3, "b", None),
+            (4, "b", "y"),
+            (5, "c", "y"),
+        ]
+        df = spark.createDataFrame(rows, "id bigint, cat string, opt string")
+        out = {
+            r["column"]: r
+            for r in column_profile(df, ["id", "cat", "opt"]).collect()
+        }
+        # id: all distinct, all unique, entropy ln(5)
+        assert out["id"]["n_rows"] == 5 and out["id"]["n_null"] == 0
+        assert out["id"]["n_distinct"] == 5 and out["id"]["n_unique"] == 5
+        assert out["id"]["distinctness"] == 1.0
+        assert out["id"]["uniqueness"] == 1.0
+        assert out["id"]["entropy"] == pytest.approx(math.log(5), abs=1e-6)
+        # cat: counts a=2 b=2 c=1; mode tie a/b broken by value asc -> a
+        assert out["cat"]["n_distinct"] == 3 and out["cat"]["n_unique"] == 1
+        assert out["cat"]["distinctness"] == pytest.approx(0.6)
+        assert out["cat"]["uniqueness"] == pytest.approx(0.2)
+        assert out["cat"]["entropy"] == pytest.approx(
+            _entropy([2, 2, 1]), abs=1e-6
+        )
+        assert out["cat"]["mode_value"] == "a" and out["cat"]["mode_count"] == 2
+        # opt: one null; non-null x=1 y=3
+        assert out["opt"]["n_null"] == 1
+        assert out["opt"]["n_distinct"] == 2 and out["opt"]["n_unique"] == 1
+        assert out["opt"]["distinctness"] == pytest.approx(0.5)
+        assert out["opt"]["entropy"] == pytest.approx(
+            _entropy([1, 3]), abs=1e-6
+        )
+        assert out["opt"]["mode_value"] == "y" and out["opt"]["mode_count"] == 3
+
+    def test_all_null_column(self, spark):
+        df = spark.createDataFrame(
+            [(None,), (None,)], "only string"
+        )
+        row = column_profile(df, ["only"]).collect()[0]
+        assert row["n_null"] == 2 and row["n_distinct"] == 0
+        assert row["distinctness"] is None and row["entropy"] is None
+        assert row["mode_value"] is None
+
+    def test_plan_is_guarded(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id bigint, cat string")
+        assert_plan(
+            column_profile(df, ["id", "cat"]),
+            no_cartesian=True,
+            no_row_python=True,
+        )
+
+
+class TestFdAudit:
+    def test_violations_and_g3(self, spark):
+        # l=1 -> {x,x,y}: violating, g3 contributes 1
+        # l=2 -> {z,z}:   holds
+        # l=3 -> {x}:     holds; null rows excluded
+        rows = [
+            (1, "x"), (1, "x"), (1, "y"),
+            (2, "z"), (2, "z"),
+            (3, "x"),
+            (None, "q"), (4, None),
+        ]
+        df = spark.createDataFrame(rows, "l int, r string")
+        row = fd_audit(df, "l", "r").collect()[0]
+        assert row["n_groups"] == 3
+        assert row["n_violating_groups"] == 1
+        assert row["n_rows"] == 6
+        assert row["n_violating_rows"] == 3
+        assert row["g3_rows"] == 1
+        assert row["fd_strength"] == pytest.approx(1 - 1 / 6, abs=1e-6)
+
+    def test_exact_fd(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b")], "l int, r string"
+        )
+        row = fd_audit(df, "l", "r").collect()[0]
+        assert row["n_violating_groups"] == 0 and row["g3_rows"] == 0
+        assert row["fd_strength"] == 1.0
+
+
+class TestCategoricalMi:
+    def test_independent_columns(self, spark):
+        # uniform 2x2 grid: H(A)=H(B)=ln2, MI=0
+        rows = [(a, b) for a in "pq" for b in "uv" for _ in range(3)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        row = categorical_mi(df, "a", "b").collect()[0]
+        assert row["n_rows"] == 12 and row["n_cells"] == 4
+        assert row["h_a"] == pytest.approx(math.log(2), abs=1e-6)
+        assert row["h_ab"] == pytest.approx(math.log(4), abs=1e-6)
+        assert row["mi"] == pytest.approx(0.0, abs=1e-6)
+        assert row["nmi"] == pytest.approx(0.0, abs=1e-6)
+
+    def test_perfectly_dependent(self, spark):
+        rows = [("p", "u")] * 4 + [("q", "v")] * 4
+        df = spark.createDataFrame(rows, "a string, b string")
+        row = categorical_mi(df, "a", "b").collect()[0]
+        # B = f(A): MI = H(A) = H(B) = ln2, NMI = 1
+        assert row["mi"] == pytest.approx(math.log(2), abs=1e-6)
+        assert row["nmi"] == pytest.approx(1.0, abs=1e-6)
+
+    def test_null_rows_excluded(self, spark):
+        rows = [("p", "u"), ("p", None), (None, "u"), ("q", "v")]
+        df = spark.createDataFrame(rows, "a string, b string")
+        row = categorical_mi(df, "a", "b").collect()[0]
+        assert row["n_rows"] == 2
+
+
+class TestBenford:
+    def test_digit_extraction_and_law(self, spark):
+        # values in cents-domain: 1.23 -> 123 -> digit 1; 0.05 -> 5
+        rows = [(1.23,), (0.05,), (912.0,), (19.99,), (-3.0,), (0.0,)]
+        df = spark.createDataFrame(rows, "v double")
+        out = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
+        assert set(out) == {1, 5, 9}
+        assert out[1]["n"] == 2  # 1.23 -> 123, 19.99 -> 1999
+        assert out[5]["n"] == 1 and out[9]["n"] == 1
+        assert out[1]["rate"] == pytest.approx(0.5)
+        assert out[1]["expected"] == pytest.approx(math.log10(2), abs=1e-6)
+        n, big_n, e = 2, 4, math.log10(2)
+        assert out[1]["chi2_term"] == pytest.approx(
+            (n - big_n * e) ** 2 / (big_n * e), abs=1e-6
+        )
+
+    def test_benford_like_sample_scores_low(self, spark):
+        # 10^k-spaced magnitudes drawn to follow the law loosely
+        vals = []
+        for d in range(1, 10):
+            reps = round(100 * math.log10(1 + 1 / d))
+            vals += [(d * 1.0 + 0.11,)] * reps
+        df = spark.createDataFrame(vals, "v double")
+        rows = benford_first_digit(df, "v").collect()
+        chi2 = sum(r["chi2_term"] for r in rows)
+        assert chi2 < 16.0  # chi2_{8, 0.95} ~ 15.5
+
+
+class TestMetricAnomaly:
+    def _hist(self, spark, values, metric="m"):
+        rows = [(metric, f"2026-01-{i+1:02d}", float(v)) for i, v in enumerate(values)]
+        return spark.createDataFrame(rows, "metric string, ds string, value double")
+
+    def test_spike_flagged_warmup_not(self, spark):
+        df = self._hist(spark, [10, 10, 10, 10, 11, 9, 100])
+        out = {r["ds"]: r for r in metric_anomaly(df, window=6).collect()}
+        # first three points: < min_periods priors -> never anomalous
+        for ds in ("2026-01-01", "2026-01-02", "2026-01-03"):
+            assert not out[ds]["is_anomaly"]
+        last = out["2026-01-07"]
+        prior = [10, 10, 10, 10, 11, 9]
+        mean = sum(prior) / 6
+        sd = math.sqrt(sum((x - mean) ** 2 for x in prior) / 5)
+        assert last["prior_n"] == 6
+        assert last["prior_mean"] == pytest.approx(mean, abs=1e-6)
+        assert last["prior_std"] == pytest.approx(sd, abs=1e-6)
+        assert last["z"] == pytest.approx((100 - mean) / sd, abs=1e-4)
+        assert last["is_anomaly"]
+
+    def test_flat_history_jump(self, spark):
+        df = self._hist(spark, [5, 5, 5, 5, 6])
+        out = {r["ds"]: r for r in metric_anomaly(df).collect()}
+        last = out["2026-01-05"]
+        assert last["prior_std"] == 0.0 and last["z"] is None
+        assert last["is_anomaly"]  # flat priors, value moved
+        assert not out["2026-01-04"]["is_anomaly"]
+
+    def test_metrics_are_independent(self, spark):
+        a = self._hist(spark, [10, 10, 10, 10], metric="a")
+        b = self._hist(spark, [1000, 1000, 1000, 1000], metric="b")
+        out = metric_anomaly(a.unionAll(b)).collect()
+        assert not any(r["is_anomaly"] for r in out)
