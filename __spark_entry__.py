@@ -3375,6 +3375,19 @@ def q_benford_digits(spark, sf_dir):
     return benford_first_digit(df, "l_extendedprice", scale=100)
 
 
+def q_join_cardinality(spark, sf_dir):
+    """Pre-join fan-out audit between orders and lineitem on orderkey:
+    exact inner-join output size, per-side max multiplicities, match
+    rates, and the 1:1/1:N/N:1/N:M classification — computed from the
+    two key histograms without running the join (the pre-flight check
+    that catches an accidental N:M explosion before a 100-TB join)."""
+    from jsonschema_spark.operators.quality import join_cardinality_profile
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return join_cardinality_profile(o, "o_orderkey", li, "l_orderkey")
+
+
 def q_metric_anomaly(spark, sf_dir):
     """Deequ-style metrics-repository anomaly detection over a
     per-month metric history derived from orders (order_count +
@@ -3609,6 +3622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "categorical_mi": q_categorical_mi,
         "benford_digits": q_benford_digits,
         "metric_anomaly": q_metric_anomaly,
+        "join_cardinality": q_join_cardinality,
     }
 
 
@@ -6640,7 +6654,7 @@ def oracle_sql() -> dict[str, str]:
         " m AS (SELECT col, value AS mode_value,"
         "   CAST(c AS BIGINT) AS mode_count FROM ("
         "   SELECT col, value, c, row_number() OVER"
-        "    (PARTITION BY col ORDER BY c DESC, value ASC) AS rn"
+        "    (PARTITION BY col ORDER BY c DESC, value DESC) AS rn"
         "   FROM c WHERE value IS NOT NULL) WHERE rn = 1)"
         ' SELECT a.col AS "column", n_rows, n_null, n_distinct, n_unique,'
         f"  round(CASE WHEN n_rows - n_null > 0 THEN n_distinct / {_nn}"
@@ -6710,6 +6724,47 @@ def oracle_sql() -> dict[str, str]:
         f"  round((n - nt * {_bexp}) * (n - nt * {_bexp})"
         f"   / (nt * {_bexp}), 6) AS chi2_term"
         " FROM c CROSS JOIN t"
+    )
+    _jcm = "(cl IS NOT NULL AND cr IS NOT NULL)"
+    out["join_cardinality"] = (
+        "WITH lc AS (SELECT o_orderkey AS k, count(*) AS cl FROM orders"
+        "  WHERE o_orderkey IS NOT NULL GROUP BY 1),"
+        " rc AS (SELECT l_orderkey AS k, count(*) AS cr FROM lineitem"
+        "  WHERE l_orderkey IS NOT NULL GROUP BY 1),"
+        " j AS (SELECT cl, cr FROM lc FULL OUTER JOIN rc ON lc.k = rc.k),"
+        " s AS (SELECT"
+        "   CAST(coalesce(sum(cl), 0) AS BIGINT) AS n_left_rows,"
+        "   CAST(coalesce(sum(cr), 0) AS BIGINT) AS n_right_rows,"
+        "   CAST(count(cl) AS BIGINT) AS n_left_keys,"
+        "   CAST(count(cr) AS BIGINT) AS n_right_keys,"
+        f"   CAST(sum(CASE WHEN {_jcm} THEN 1 ELSE 0 END) AS BIGINT)"
+        "    AS n_matched_keys,"
+        "   CAST(sum(CASE WHEN cr IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        "    AS n_left_only_keys,"
+        "   CAST(sum(CASE WHEN cl IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        "    AS n_right_only_keys,"
+        "   CAST(max(coalesce(cl, 0)) AS BIGINT) AS max_left_per_key,"
+        "   CAST(max(coalesce(cr, 0)) AS BIGINT) AS max_right_per_key,"
+        f"   CAST(coalesce(max(CASE WHEN {_jcm} THEN cl * cr END), 0)"
+        "    AS BIGINT) AS max_fanout,"
+        f"   CAST(coalesce(sum(CASE WHEN {_jcm} THEN cl * cr END), 0)"
+        "    AS BIGINT) AS join_rows,"
+        f"   coalesce(sum(CASE WHEN {_jcm} THEN cl END), 0) AS ml,"
+        f"   max(CASE WHEN {_jcm} THEN cl END) AS mml,"
+        f"   max(CASE WHEN {_jcm} THEN cr END) AS mmr"
+        "  FROM j)"
+        " SELECT n_left_rows, n_right_rows, n_left_keys, n_right_keys,"
+        "  n_matched_keys, n_left_only_keys, n_right_only_keys,"
+        "  max_left_per_key, max_right_per_key, max_fanout, join_rows,"
+        "  round(CASE WHEN n_left_rows > 0"
+        "   THEN ml / CAST(n_left_rows AS DOUBLE) END, 6)"
+        "   AS left_match_rate,"
+        "  CASE WHEN n_matched_keys = 0 THEN 'disjoint'"
+        "   WHEN mml <= 1 AND mmr <= 1 THEN '1:1'"
+        "   WHEN mml <= 1 THEN '1:N'"
+        "   WHEN mmr <= 1 THEN 'N:1'"
+        "   ELSE 'N:M' END AS relationship"
+        " FROM s"
     )
     _maz = "((value - pm) / ps)"
     out["metric_anomaly"] = (

@@ -277,6 +277,12 @@ def main() -> None:
         "violation_examples",
         "component_purity",
         "trigram_kn_ppl",
+        # quality / constraint-discovery family
+        "column_profile",
+        "fd_audit",
+        "categorical_mi",
+        "benford_digits",
+        "metric_anomaly",
     ]
     qs = entry.queries()
     for name in headline:

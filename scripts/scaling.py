@@ -40,6 +40,7 @@ JOB_SCRIPTS = {
     "survivors": "survivors_scaling_job.py",
     "asof": "asof_scaling_job.py",
     "sessions": "sessions_scaling_job.py",
+    "profile": "profile_scaling_job.py",
 }
 
 

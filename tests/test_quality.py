@@ -14,6 +14,7 @@ from jsonschema_spark.operators.quality import (
     categorical_mi,
     column_profile,
     fd_audit,
+    join_cardinality_profile,
     metric_anomaly,
 )
 from jsonschema_spark.plans.audit import assert_plan
@@ -44,14 +45,14 @@ class TestColumnProfile:
         assert out["id"]["distinctness"] == 1.0
         assert out["id"]["uniqueness"] == 1.0
         assert out["id"]["entropy"] == pytest.approx(math.log(5), abs=1e-6)
-        # cat: counts a=2 b=2 c=1; mode tie a/b broken by value asc -> a
+        # cat: counts a=2 b=2 c=1; mode tie a/b broken by value desc -> b
         assert out["cat"]["n_distinct"] == 3 and out["cat"]["n_unique"] == 1
         assert out["cat"]["distinctness"] == pytest.approx(0.6)
         assert out["cat"]["uniqueness"] == pytest.approx(0.2)
         assert out["cat"]["entropy"] == pytest.approx(
             _entropy([2, 2, 1]), abs=1e-6
         )
-        assert out["cat"]["mode_value"] == "a" and out["cat"]["mode_count"] == 2
+        assert out["cat"]["mode_value"] == "b" and out["cat"]["mode_count"] == 2
         # opt: one null; non-null x=1 y=3
         assert out["opt"]["n_null"] == 1
         assert out["opt"]["n_distinct"] == 2 and out["opt"]["n_unique"] == 1
@@ -161,6 +162,48 @@ class TestBenford:
         rows = benford_first_digit(df, "v").collect()
         chi2 = sum(r["chi2_term"] for r in rows)
         assert chi2 < 16.0  # chi2_{8, 0.95} ~ 15.5
+
+
+class TestJoinCardinalityProfile:
+    def test_one_to_many_with_orphans(self, spark):
+        left = spark.createDataFrame(
+            [(1,), (2,), (3,), (None,)], "k int"
+        )
+        right = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (9, "d"), (None, "e")],
+            "k int, v string",
+        )
+        row = join_cardinality_profile(left, "k", right, "k").collect()[0]
+        assert row["n_left_rows"] == 3 and row["n_right_rows"] == 4
+        assert row["n_left_keys"] == 3 and row["n_right_keys"] == 3
+        assert row["n_matched_keys"] == 2
+        assert row["n_left_only_keys"] == 1  # key 3
+        assert row["n_right_only_keys"] == 1  # key 9
+        assert row["max_left_per_key"] == 1
+        assert row["max_right_per_key"] == 2
+        assert row["max_fanout"] == 2
+        assert row["join_rows"] == 3  # key1: 1*2, key2: 1*1
+        assert row["left_match_rate"] == pytest.approx(2 / 3, abs=1e-6)
+        assert row["relationship"] == "1:N"
+
+    def test_many_to_many_explosion(self, spark):
+        left = spark.createDataFrame([(1,)] * 3 + [(2,)], "k int")
+        right = spark.createDataFrame([(1,)] * 4 + [(2,)], "k int")
+        row = join_cardinality_profile(left, "k", right, "k").collect()[0]
+        assert row["relationship"] == "N:M"
+        assert row["max_fanout"] == 12 and row["join_rows"] == 13
+
+    def test_disjoint(self, spark):
+        left = spark.createDataFrame([(1,)], "k int")
+        right = spark.createDataFrame([(2,)], "k int")
+        row = join_cardinality_profile(left, "k", right, "k").collect()[0]
+        assert row["relationship"] == "disjoint"
+        assert row["join_rows"] == 0 and row["left_match_rate"] == 0.0
+
+    def test_one_to_one(self, spark):
+        df = spark.createDataFrame([(1,), (2,)], "k int")
+        row = join_cardinality_profile(df, "k", df, "k").collect()[0]
+        assert row["relationship"] == "1:1" and row["join_rows"] == 2
 
 
 class TestMetricAnomaly:
