@@ -604,3 +604,75 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         assert g["value_sum"] == w["value_sum"]
         # native close time = last event + gap
         assert g["end_us"] - gap_us == w["end_us"]
+
+
+def test_streaming_metric_repository_monitor(spark, tmp_path):
+    """Metrics-repository anomaly gate over 8 sequential micro-batches:
+    batches 0-6 carry stable (n_rows, avg n_tok) metrics, batch 7 spikes
+    avg n_tok 5x. The spike batch must be flagged on avg_ntok (and only
+    it), warm-up batches (< min_periods priors) never flag, and a
+    manually replayed final batch reaches the identical verdict with the
+    repository unchanged (strictly-earlier history visibility)."""
+    import os as _os
+
+    from jsonschema_spark.streaming.metrics import (
+        metric_repository_monitor,
+        run_metric_monitor,
+    )
+
+    src = tmp_path / "in"
+    t = 1_700_000_000
+    for b in range(8):
+        ntok = 500 if b == 7 else 100 + (b % 3)  # stable then 5x spike
+        rows = [(b * 100 + i, ntok + (i % 5)) for i in range(50)]
+        path = str(src / f"b{b}")
+        spark.createDataFrame(rows, "id long, n_tok long").coalesce(
+            1
+        ).write.parquet(path)
+        # pin pickup order: the file source processes in mtime order
+        for root, _dirs, files in _os.walk(path):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (t + b, t + b))
+
+    def stream():
+        return (
+            spark.readStream.schema("id long, n_tok long")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+
+    exprs = {"n_rows": F.count(F.lit(1)), "avg_ntok": F.avg("n_tok")}
+    repo = str(tmp_path / "repo")
+    reports: list = []
+    run_metric_monitor(
+        stream(), exprs, repo, str(tmp_path / "ck"), reports, window=6
+    )
+    assert len(reports) == 8
+    by_batch = dict(reports)
+    flagged = {
+        (bid, r["metric"])
+        for bid, rep in reports
+        for r in rep
+        if r["is_anomaly"]
+    }
+    assert (7, "avg_ntok") in flagged
+    assert all(bid == 7 for bid, _m in flagged)
+    for bid in (0, 1, 2):  # < min_periods priors: never anomalous
+        assert all(not r["is_anomaly"] for r in by_batch[bid])
+    spike = [r for r in by_batch[7] if r["metric"] == "avg_ntok"][0]
+    assert spike["value"] == pytest.approx(502.0)
+    assert spike["prior_n"] == 6
+
+    # replay the final batch: same verdict, repository row count unchanged
+    n_repo = spark.read.parquet(repo).count()
+    batch7 = spark.read.parquet(str(src / "b7"))
+    replays: list = []
+    fb = metric_repository_monitor(
+        exprs, repo, window=6, on_report=lambda bid, rep: replays.append(rep)
+    )
+    fb(batch7, 7)
+    assert spark.read.parquet(repo).count() == n_repo
+    rep7 = {r["metric"]: r for r in replays[0]}
+    assert rep7["avg_ntok"]["is_anomaly"]
+    assert rep7["avg_ntok"]["z"] == spike["z"]
