@@ -3388,6 +3388,37 @@ def q_join_cardinality(spark, sf_dir):
     return join_cardinality_profile(o, "o_orderkey", li, "l_orderkey")
 
 
+def q_inclusion_dependency(spark, sf_dir):
+    """FK-candidate discovery: what fraction of distinct customer keys
+    appear in orders.o_custkey (the reverse of the enforced FK — a
+    containment below 1.0 measures customers with no orders, a
+    containment of exactly 1.0 would nominate the column pair for a
+    referential check)."""
+    from jsonschema_spark.operators.quality import inclusion_audit
+
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return inclusion_audit(c, "c_custkey", o, "o_custkey")
+
+
+def q_freshness_audit(spark, sf_dir):
+    """Per-event-type data-freshness profile of the events stream table:
+    staleness vs the global high-water mark and sustained arrival rate —
+    the stalled-feed detector (exact integer-microsecond time math)."""
+    from jsonschema_spark.operators.quality import freshness_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return freshness_audit(ev, "event_type", "ts").select(
+        "group",
+        "n_events",
+        F.unix_micros(F.col("first_ts").cast("timestamp")).alias("first_us"),
+        F.unix_micros(F.col("last_ts").cast("timestamp")).alias("last_us"),
+        "staleness_us",
+        "span_us",
+        "events_per_day",
+    )
+
+
 def q_metric_anomaly(spark, sf_dir):
     """Deequ-style metrics-repository anomaly detection over a
     per-month metric history derived from orders (order_count +
@@ -3623,6 +3654,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "benford_digits": q_benford_digits,
         "metric_anomaly": q_metric_anomaly,
         "join_cardinality": q_join_cardinality,
+        "inclusion_dependency": q_inclusion_dependency,
+        "freshness_audit": q_freshness_audit,
     }
 
 
@@ -6765,6 +6798,39 @@ def oracle_sql() -> dict[str, str]:
         "   WHEN mmr <= 1 THEN 'N:1'"
         "   ELSE 'N:M' END AS relationship"
         " FROM s"
+    )
+    out["inclusion_dependency"] = (
+        "WITH cv AS (SELECT DISTINCT c_custkey AS v FROM customer"
+        "  WHERE c_custkey IS NOT NULL),"
+        " pv AS (SELECT DISTINCT o_custkey AS v FROM orders"
+        "  WHERE o_custkey IS NOT NULL),"
+        " nc AS (SELECT CAST(count(*) AS BIGINT) AS n_child_values FROM cv),"
+        " np AS (SELECT CAST(count(*) AS BIGINT) AS n_parent_values FROM pv),"
+        " nm AS (SELECT CAST(count(*) AS BIGINT) AS n_missing_values"
+        "  FROM cv WHERE v NOT IN (SELECT v FROM pv))"
+        " SELECT n_child_values, n_parent_values, n_missing_values,"
+        "  round(CASE WHEN n_child_values > 0 THEN 1.0"
+        "   - n_missing_values / CAST(n_child_values AS DOUBLE) END, 6)"
+        "   AS containment"
+        " FROM nc CROSS JOIN np CROSS JOIN nm"
+    )
+    _fsp = "(epoch_us(last_ts) - epoch_us(first_ts))"
+    out["freshness_audit"] = (
+        "WITH per AS (SELECT event_type AS grp,"
+        "   CAST(count(*) AS BIGINT) AS n_events,"
+        "   min(ts) AS first_ts, max(ts) AS last_ts FROM events"
+        "  GROUP BY 1),"
+        " hw AS (SELECT max(ts) AS hw FROM events)"
+        ' SELECT grp AS "group", n_events,'
+        "  CAST(epoch_us(first_ts) AS BIGINT) AS first_us,"
+        "  CAST(epoch_us(last_ts) AS BIGINT) AS last_us,"
+        "  CAST(epoch_us(hw) - epoch_us(last_ts) AS BIGINT)"
+        "   AS staleness_us,"
+        f"  CAST({_fsp} AS BIGINT) AS span_us,"
+        f"  round(CASE WHEN {_fsp} > 0 THEN"
+        f"   n_events / ({_fsp} / 86400000000.0) END, 6)"
+        "   AS events_per_day"
+        " FROM per CROSS JOIN hw"
     )
     _maz = "((value - pm) / ps)"
     out["metric_anomaly"] = (

@@ -283,6 +283,9 @@ def main() -> None:
         "categorical_mi",
         "benford_digits",
         "metric_anomaly",
+        "join_cardinality",
+        "inclusion_dependency",
+        "freshness_audit",
     ]
     qs = entry.queries()
     for name in headline:

@@ -400,6 +400,109 @@ def join_cardinality_profile(
     )
 
 
+def inclusion_audit(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row ``(n_child_values, n_parent_values, n_missing_values,
+    containment)``: what fraction of the child column's distinct values
+    appear in the parent column — the inclusion-dependency measure
+    behind foreign-key DISCOVERY (containment 1.0 ⇒ child ⊆ parent, an
+    FK candidate worth promoting to a referential check; the discovery
+    companion to referential.orphan_rows, which ENFORCES a known FK and
+    counts rows, not values).  Null values are excluded on both sides.
+
+    Scale shape: each side collapses to its distinct-value set with one
+    map-side-combined aggregate; the left-anti join runs value-set vs
+    value-set on the uniform key (AQE picks the strategy — neither side
+    is force-broadcast since an id-like column's value set is
+    corpus-sized); the summary combines three keyless aggregates via
+    1-row broadcast crossJoins.  Corpus rows are never joined."""
+    cv = (
+        child.select(F.col(child_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+    )
+    pv = (
+        parent.select(F.col(parent_col).alias("_v"))
+        .filter(F.col("_v").isNotNull())
+        .distinct()
+    )
+    n_c = cv.agg(F.count(F.lit(1)).cast("long").alias("n_child_values"))
+    n_p = pv.agg(F.count(F.lit(1)).cast("long").alias("n_parent_values"))
+    n_m = cv.join(pv, "_v", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_missing_values")
+    )
+    return (
+        n_c.crossJoin(F.broadcast(n_p))
+        .crossJoin(F.broadcast(n_m))
+        .select(
+            "n_child_values",
+            "n_parent_values",
+            "n_missing_values",
+            F.round(
+                F.when(
+                    F.col("n_child_values") > 0,
+                    F.lit(1.0)
+                    - F.col("n_missing_values")
+                    / F.col("n_child_values").cast("double"),
+                ),
+                decimals,
+            ).alias("containment"),
+        )
+    )
+
+
+def freshness_audit(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per group: ``(group, n_events, first_ts, last_ts, staleness_us,
+    span_us, events_per_day)`` — data-freshness profile of an event/
+    ingest table (Deequ's freshness metric generalized per source): how
+    stale is each group relative to the table's global high-water mark,
+    and at what sustained rate does it arrive.  A source whose
+    ``staleness_us`` suddenly grows is a stalled feed — the
+    metric-history twin (``metric_anomaly`` over per-run staleness)
+    turns this into an alert.
+
+    Scale shape: one map-side-combined groupBy(group) over the corpus;
+    the global high-water mark is a 1-row broadcast crossJoin onto the
+    group-count table (rows = groups, not corpus rows).  All time math
+    is exact integer microseconds."""
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+    )
+    hw = df.agg(F.max(ts_col).alias("_hw"))
+    # exact integer µs; the cast accepts TIMESTAMP_NTZ columns too (the
+    # session is pinned to UTC, so NTZ reinterprets losslessly)
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    span = us(F.col("last_ts")) - us(F.col("first_ts"))
+    return per.crossJoin(F.broadcast(hw)).select(
+        "group",
+        "n_events",
+        "first_ts",
+        "last_ts",
+        (us(F.col("_hw")) - us(F.col("last_ts"))).alias("staleness_us"),
+        span.alias("span_us"),
+        F.round(
+            F.when(
+                span > 0,
+                F.col("n_events")
+                / (span.cast("double") / F.lit(86_400_000_000.0)),
+            ),
+            decimals,
+        ).alias("events_per_day"),
+    )
+
+
 def metric_anomaly(
     history: DataFrame,
     metric_col: str = "metric",

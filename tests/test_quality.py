@@ -14,6 +14,8 @@ from jsonschema_spark.operators.quality import (
     categorical_mi,
     column_profile,
     fd_audit,
+    freshness_audit,
+    inclusion_audit,
     join_cardinality_profile,
     metric_anomaly,
 )
@@ -204,6 +206,58 @@ class TestJoinCardinalityProfile:
         df = spark.createDataFrame([(1,), (2,)], "k int")
         row = join_cardinality_profile(df, "k", df, "k").collect()[0]
         assert row["relationship"] == "1:1" and row["join_rows"] == 2
+
+
+class TestInclusionAudit:
+    def test_partial_containment(self, spark):
+        child = spark.createDataFrame(
+            [(1,), (1,), (2,), (3,), (None,)], "k int"
+        )
+        parent = spark.createDataFrame([(1,), (2,), (9,), (None,)], "k int")
+        row = inclusion_audit(child, "k", parent, "k").collect()[0]
+        assert row["n_child_values"] == 3
+        assert row["n_parent_values"] == 3
+        assert row["n_missing_values"] == 1  # value 3
+        assert row["containment"] == pytest.approx(2 / 3, abs=1e-6)
+
+    def test_fk_candidate(self, spark):
+        child = spark.createDataFrame([(1,), (2,)], "k int")
+        parent = spark.createDataFrame([(1,), (2,), (3,)], "k int")
+        row = inclusion_audit(child, "k", parent, "k").collect()[0]
+        assert row["containment"] == 1.0 and row["n_missing_values"] == 0
+
+
+class TestFreshnessAudit:
+    def test_staleness_and_rate(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+        def ts(h):
+            return t0 + dt.timedelta(hours=h)
+
+        rows = (
+            [("a", ts(0)), ("a", ts(12)), ("a", ts(24))]  # spans 1 day
+            + [("b", ts(0)), ("b", ts(48))]  # last at the high-water mark
+        )
+        df = spark.createDataFrame(rows, "src string, ts timestamp")
+        out = {r["group"]: r for r in freshness_audit(df, "src", "ts").collect()}
+        day_us = 86_400_000_000
+        assert out["a"]["n_events"] == 3
+        assert out["a"]["staleness_us"] == day_us  # hw=48h, last=24h
+        assert out["a"]["span_us"] == day_us
+        assert out["a"]["events_per_day"] == pytest.approx(3.0)
+        assert out["b"]["staleness_us"] == 0
+        assert out["b"]["events_per_day"] == pytest.approx(1.0)
+
+    def test_single_event_group(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2026, 1, 1))], "src string, ts timestamp"
+        )
+        row = freshness_audit(df, "src", "ts").collect()[0]
+        assert row["span_us"] == 0 and row["events_per_day"] is None
 
 
 class TestMetricAnomaly:
