@@ -3340,6 +3340,18 @@ def q_column_profile(spark, sf_dir):
     return column_profile(df, ["doc_id", "lang", "source", "n_chars"])
 
 
+def q_numeric_profile(spark, sf_dir):
+    """Numeric sibling of column_profile: four lineitem measure columns
+    profiled (count/null/min/max/mean/std/exact quantiles) in ONE
+    stacked pass — the bounds-discovery input spec inference reads."""
+    from jsonschema_spark.operators.quality import numeric_profile
+
+    df = _t(spark, sf_dir, "lineitem")
+    return numeric_profile(
+        df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def q_fd_audit(spark, sf_dir):
     """Approximate functional-dependency audit (TANE g3 error): does
     l_partkey determine l_suppkey in lineitem? The violation summary a
@@ -3656,6 +3668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_cardinality": q_join_cardinality,
         "inclusion_dependency": q_inclusion_dependency,
         "freshness_audit": q_freshness_audit,
+        "numeric_profile": q_numeric_profile,
     }
 
 
@@ -6798,6 +6811,27 @@ def oracle_sql() -> dict[str, str]:
         "   WHEN mmr <= 1 THEN 'N:1'"
         "   ELSE 'N:M' END AS relationship"
         " FROM s"
+    )
+    _npq = (
+        "SELECT '{c}' AS \"column\", CAST({c} AS DOUBLE) AS v FROM lineitem"
+    )
+    out["numeric_profile"] = (
+        "WITH st AS ("
+        + " UNION ALL ".join(
+            _npq.format(c=c)
+            for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        )
+        + ")"
+        ' SELECT "column", CAST(count(*) AS BIGINT) AS n_rows,'
+        "  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_null,"
+        "  round(min(v), 6) AS min, round(max(v), 6) AS max,"
+        "  round(avg(v), 6) AS mean, round(stddev_samp(v), 6) AS std,"
+        "  round(quantile_cont(v, 0.25), 6) AS p25,"
+        "  round(quantile_cont(v, 0.5), 6) AS p50,"
+        "  round(quantile_cont(v, 0.75), 6) AS p75,"
+        "  round(quantile_cont(v, 0.95), 6) AS p95"
+        ' FROM st GROUP BY "column"'
     )
     out["inclusion_dependency"] = (
         "WITH cv AS (SELECT DISTINCT c_custkey AS v FROM customer"

@@ -286,6 +286,7 @@ def main() -> None:
         "join_cardinality",
         "inclusion_dependency",
         "freshness_audit",
+        "numeric_profile",
     ]
     qs = entry.queries()
     for name in headline:

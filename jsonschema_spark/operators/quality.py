@@ -144,6 +144,66 @@ def column_profile(
     )
 
 
+def numeric_profile(
+    df: DataFrame,
+    cols: Sequence[str],
+    decimals: int = 6,
+) -> DataFrame:
+    """One row per numeric column: ``(column, n_rows, n_null, min, max,
+    mean, std, p25, p50, p75, p95)`` — the numeric sibling of
+    ``column_profile`` (Deequ's min/max/mean/stddev/approxQuantile
+    metric set), all columns profiled in ONE pass.  ``std`` is the
+    sample standard deviation; quantiles are exact linear-interpolated
+    percentiles (swap ``F.percentile`` for ``approx_percentile`` past
+    memory-comfortable per-column cardinalities — same plan shape, the
+    contract every exact-percentile operator in this repo documents).
+
+    Scale shape: values are stacked as (column, value-as-double) pairs
+    with one generate (no shuffle), then ONE groupBy(column) computes
+    every statistic including the percentile set — a single exchange
+    whose reduce side holds k groups.  The percentile buffer is the only
+    corpus-proportional state (exactness requires it); everything else
+    is constant-size per group."""
+    stacked = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("double").alias("v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("_cv")
+    ).select("_cv.column", "_cv.v")
+    pct = F.percentile(
+        F.col("v"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95))
+    )
+    out = stacked.groupBy("column").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("v").isNull().cast("long")).alias("n_null"),
+        F.round(F.min("v"), decimals).alias("min"),
+        F.round(F.max("v"), decimals).alias("max"),
+        F.round(F.avg("v"), decimals).alias("mean"),
+        F.round(F.stddev_samp("v"), decimals).alias("std"),
+        pct.alias("_p"),
+    )
+    return out.select(
+        "column",
+        "n_rows",
+        "n_null",
+        "min",
+        "max",
+        "mean",
+        "std",
+        F.round(F.element_at("_p", 1), decimals).alias("p25"),
+        F.round(F.element_at("_p", 2), decimals).alias("p50"),
+        F.round(F.element_at("_p", 3), decimals).alias("p75"),
+        F.round(F.element_at("_p", 4), decimals).alias("p95"),
+    )
+
+
 def fd_audit(
     df: DataFrame,
     lhs_col: str,

@@ -82,6 +82,26 @@ class TestColumnProfile:
         )
 
 
+class TestNumericProfile:
+    def test_matches_closed_form(self, spark):
+        from jsonschema_spark.operators.quality import numeric_profile
+
+        rows = [(1.0, 10.0), (2.0, 20.0), (3.0, None), (4.0, 40.0)]
+        df = spark.createDataFrame(rows, "a double, b double")
+        out = {r["column"]: r for r in numeric_profile(df, ["a", "b"]).collect()}
+        a = out["a"]
+        assert a["n_rows"] == 4 and a["n_null"] == 0
+        assert a["min"] == 1.0 and a["max"] == 4.0 and a["mean"] == 2.5
+        assert a["std"] == pytest.approx(
+            math.sqrt(sum((x - 2.5) ** 2 for x in (1, 2, 3, 4)) / 3), abs=1e-6
+        )
+        assert a["p50"] == pytest.approx(2.5)
+        assert a["p25"] == pytest.approx(1.75)  # linear interpolation
+        assert a["p95"] == pytest.approx(3.85)
+        b = out["b"]
+        assert b["n_null"] == 1 and b["p50"] == pytest.approx(20.0)
+
+
 class TestFdAudit:
     def test_violations_and_g3(self, spark):
         # l=1 -> {x,x,y}: violating, g3 contributes 1
