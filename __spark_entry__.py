@@ -3363,6 +3363,16 @@ def q_fd_audit(spark, sf_dir):
     return fd_audit(df, "l_partkey", "l_suppkey")
 
 
+def q_fd_audit_by(spark, sf_dir):
+    """Conditional-FD discovery (Bohannon 2007): the l_partkey →
+    l_suppkey dependency audited per l_returnflag slice — the slice
+    whose fd_strength collapses is the one whose ingest broke."""
+    from jsonschema_spark.operators.quality import fd_audit_by
+
+    df = _t(spark, sf_dir, "lineitem")
+    return fd_audit_by(df, "l_returnflag", "l_partkey", "l_suppkey")
+
+
 def q_categorical_mi(spark, sf_dir):
     """Mutual information between documents.source and documents.lang
     (nats, plus geometric-mean NMI) — the association-strength check
@@ -3669,6 +3679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inclusion_dependency": q_inclusion_dependency,
         "freshness_audit": q_freshness_audit,
         "numeric_profile": q_numeric_profile,
+        "fd_audit_by": q_fd_audit_by,
     }
 
 
@@ -6729,6 +6740,25 @@ def oracle_sql() -> dict[str, str]:
         "  round(1.0 - sum(rows_ - maxc) / CAST(sum(rows_) AS DOUBLE), 6)"
         "   AS fd_strength"
         " FROM g"
+    )
+    out["fd_audit_by"] = (
+        "WITH p AS (SELECT l_returnflag AS cond, l_partkey AS l,"
+        "   l_suppkey AS r, count(*) AS c FROM lineitem"
+        "  WHERE l_returnflag IS NOT NULL AND l_partkey IS NOT NULL"
+        "   AND l_suppkey IS NOT NULL"
+        "  GROUP BY 1, 2, 3),"
+        " g AS (SELECT cond, l, sum(c) AS rows_, max(c) AS maxc,"
+        "   count(*) AS nr FROM p GROUP BY 1, 2)"
+        " SELECT cond, CAST(count(*) AS BIGINT) AS n_groups,"
+        "  CAST(sum(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_violating_groups,"
+        "  CAST(sum(rows_) AS BIGINT) AS n_rows,"
+        "  CAST(coalesce(sum(rows_) FILTER (WHERE nr > 1), 0) AS BIGINT)"
+        "   AS n_violating_rows,"
+        "  CAST(sum(rows_ - maxc) AS BIGINT) AS g3_rows,"
+        "  round(1.0 - sum(rows_ - maxc) / CAST(sum(rows_) AS DOUBLE), 6)"
+        "   AS fd_strength"
+        " FROM g GROUP BY 1"
     )
     _min = "(ln(CAST(n AS DOUBLE)) - sa / n)"
     _mib = "(ln(CAST(n AS DOUBLE)) - sb / n)"

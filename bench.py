@@ -287,6 +287,7 @@ def main() -> None:
         "inclusion_dependency",
         "freshness_audit",
         "numeric_profile",
+        "fd_audit_by",
     ]
     qs = entry.queries()
     for name in headline:

@@ -254,6 +254,63 @@ def fd_audit(
     )
 
 
+def fd_audit_by(
+    df: DataFrame,
+    cond_col: str,
+    lhs_col: str,
+    rhs_col: str,
+    decimals: int = 6,
+) -> DataFrame:
+    """Per condition value: the ``fd_audit`` summary — conditional
+    functional dependencies (Bohannon et al., "Conditional Functional
+    Dependencies for Data Cleaning", ICDE 2007): an FD that fails
+    globally often HOLDS within slices (per source, per format
+    version), and the slice where strength collapses is the one whose
+    ingest broke.  Output: ``(cond, n_groups, n_violating_groups,
+    n_rows, n_violating_rows, g3_rows, fd_strength)``, one row per
+    distinct value of ``cond_col``.  Null condition/lhs/rhs rows are
+    excluded, as in ``fd_audit``.
+
+    Scale shape: identical to ``fd_audit`` with the condition prepended
+    to every grouping key — one map-side-combined groupBy(cond, lhs,
+    rhs) over the corpus, then rollups over the pair-count table; the
+    output is condition-cardinality-sized."""
+    base = df.select(
+        F.col(cond_col).alias("_cond"),
+        F.col(lhs_col).alias("_l"),
+        F.col(rhs_col).alias("_r"),
+    ).filter(
+        F.col("_cond").isNotNull()
+        & F.col("_l").isNotNull()
+        & F.col("_r").isNotNull()
+    )
+    pairs = base.groupBy("_cond", "_l", "_r").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per = pairs.groupBy("_cond", "_l").agg(
+        F.sum("_c").alias("_rows"),
+        F.max("_c").alias("_maxc"),
+        F.count(F.lit(1)).alias("_nr"),
+    )
+    return per.groupBy(F.col("_cond").alias("cond")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("_nr") > 1).cast("long")).alias("n_violating_groups"),
+        F.sum("_rows").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("_nr") > 1, F.col("_rows"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_violating_rows"),
+        F.sum(F.col("_rows") - F.col("_maxc")).cast("long").alias("g3_rows"),
+        F.round(
+            F.lit(1.0)
+            - F.sum(F.col("_rows") - F.col("_maxc")).cast("double")
+            / F.sum("_rows").cast("double"),
+            decimals,
+        ).alias("fd_strength"),
+    )
+
+
 def categorical_mi(
     df: DataFrame,
     col_a: str,
