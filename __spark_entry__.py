@@ -3397,6 +3397,35 @@ def q_benford_digits(spark, sf_dir):
     return benford_first_digit(df, "l_extendedprice", scale=100)
 
 
+_EXPECTATIONS = [
+    {"name": "docs_nonempty", "metric": "n_rows", "column": None,
+     "op": ">=", "threshold": 100.0},
+    {"name": "lang_complete", "metric": "null_rate", "column": "lang",
+     "op": "<=", "threshold": 0.0},
+    {"name": "source_bounded", "metric": "n_distinct", "column": "source",
+     "op": "<=", "threshold": 25.0},
+    # intentionally failing: the corpus ships 5 langs
+    {"name": "lang_trilingual", "metric": "n_distinct", "column": "lang",
+     "op": "<=", "threshold": 3.0},
+    {"name": "chars_floor", "metric": "min", "column": "n_chars",
+     "op": ">=", "threshold": 1.0},
+    {"name": "chars_mean_sane", "metric": "mean", "column": "n_chars",
+     "op": "<=", "threshold": 100000.0},
+]
+
+
+def q_table_expectations(spark, sf_dir):
+    """Deequ VerificationSuite analog: six declared table-level metric
+    constraints on documents evaluated from ONE keyless aggregate pass —
+    the capstone tying the discovery family back to the engine's
+    verdict semantics (one expectation intentionally fails: the corpus
+    has 5 langs, the suite asserts <= 3)."""
+    from jsonschema_spark.operators.quality import evaluate_expectations
+
+    df = _t(spark, sf_dir, "documents")
+    return evaluate_expectations(df, _EXPECTATIONS)
+
+
 def q_join_cardinality(spark, sf_dir):
     """Pre-join fan-out audit between orders and lineitem on orderkey:
     exact inner-join output size, per-side max multiplicities, match
@@ -3680,6 +3709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "freshness_audit": q_freshness_audit,
         "numeric_profile": q_numeric_profile,
         "fd_audit_by": q_fd_audit_by,
+        "table_expectations": q_table_expectations,
     }
 
 
@@ -6740,6 +6770,36 @@ def oracle_sql() -> dict[str, str]:
         "  round(1.0 - sum(rows_ - maxc) / CAST(sum(rows_) AS DOUBLE), 6)"
         "   AS fd_strength"
         " FROM g"
+    )
+    def _exp_sql_expr(metric: str, column: str) -> str:
+        if metric == "n_rows":
+            return "CAST(count(*) AS DOUBLE)"
+        if metric == "null_rate":
+            return f"avg(CASE WHEN {column} IS NULL THEN 1 ELSE 0 END)"
+        if metric == "n_distinct":
+            return f"CAST(count(DISTINCT {column}) AS DOUBLE)"
+        if metric in ("min", "max"):
+            return f"CAST({metric}({column}) AS DOUBLE)"
+        return f"avg(CAST({column} AS DOUBLE))"  # mean
+
+    _exp_parts = []
+    for _i, _e in enumerate(_EXPECTATIONS):
+        _exp_parts.append(
+            f" SELECT '{_e['name']}' AS name, '{_e['metric']}' AS metric,"
+            f" '{_e.get('column') or ''}' AS \"column\","
+            f" round(m._x{_i}, 6) AS value, '{_e['op']}' AS op,"
+            f" CAST({_e['threshold']} AS DOUBLE) AS threshold,"
+            f" coalesce(round(m._x{_i}, 6) {_e['op']}"
+            f" CAST({_e['threshold']} AS DOUBLE), FALSE) AS passed FROM m"
+        )
+    out["table_expectations"] = (
+        "WITH m AS (SELECT "
+        + ", ".join(
+            f"{_exp_sql_expr(_e['metric'], _e.get('column'))} AS _x{_i}"
+            for _i, _e in enumerate(_EXPECTATIONS)
+        )
+        + " FROM documents)"
+        + " UNION ALL ".join(_exp_parts)
     )
     out["fd_audit_by"] = (
         "WITH p AS (SELECT l_returnflag AS cond, l_partkey AS l,"

@@ -288,6 +288,7 @@ def main() -> None:
         "freshness_audit",
         "numeric_profile",
         "fd_audit_by",
+        "table_expectations",
     ]
     qs = entry.queries()
     for name in headline:

@@ -228,6 +228,68 @@ class TestJoinCardinalityProfile:
         assert row["relationship"] == "1:1" and row["join_rows"] == 2
 
 
+class TestEvaluateExpectations:
+    def test_verdicts(self, spark):
+        from jsonschema_spark.operators.quality import evaluate_expectations
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+            "id bigint, cat string, x double",
+        )
+        exps = [
+            {"name": "rows_min", "metric": "n_rows", "column": None,
+             "op": ">=", "threshold": 3.0},
+            {"name": "cat_complete", "metric": "null_rate", "column": "cat",
+             "op": "<=", "threshold": 0.0},  # fails: 1/3 null
+            {"name": "cat_distinct", "metric": "n_distinct", "column": "cat",
+             "op": "<=", "threshold": 2.0},
+            {"name": "x_floor", "metric": "min", "column": "x",
+             "op": ">=", "threshold": 10.0},
+            {"name": "x_ceiling", "metric": "max", "column": "x",
+             "op": "<=", "threshold": 25.0},  # fails: max 30
+            {"name": "x_mean", "metric": "mean", "column": "x",
+             "op": ">=", "threshold": 20.0},
+        ]
+        out = {r["name"]: r for r in evaluate_expectations(df, exps).collect()}
+        assert len(out) == 6
+        assert out["rows_min"]["passed"] and out["rows_min"]["value"] == 3.0
+        assert not out["cat_complete"]["passed"]
+        assert out["cat_complete"]["value"] == pytest.approx(1 / 3, abs=1e-6)
+        assert out["cat_distinct"]["passed"]
+        assert out["x_floor"]["passed"]
+        assert not out["x_ceiling"]["passed"]
+        assert out["x_mean"]["passed"] and out["x_mean"]["value"] == 20.0
+
+    def test_empty_table_fails_closed(self, spark):
+        from jsonschema_spark.operators.quality import evaluate_expectations
+
+        df = spark.createDataFrame([], "x double")
+        exps = [
+            {"name": "floor", "metric": "min", "column": "x",
+             "op": ">=", "threshold": 0.0},
+            {"name": "nonempty", "metric": "n_rows", "column": None,
+             "op": ">=", "threshold": 1.0},
+        ]
+        out = {r["name"]: r for r in evaluate_expectations(df, exps).collect()}
+        assert not out["floor"]["passed"]  # null metric -> fail closed
+        assert out["floor"]["value"] is None
+        assert not out["nonempty"]["passed"]
+
+    def test_single_pass_plan(self, spark):
+        from jsonschema_spark.operators.quality import evaluate_expectations
+        from jsonschema_spark.plans.audit import assert_plan
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        exps = [
+            {"name": "a", "metric": "min", "column": "x", "op": ">=",
+             "threshold": 0.0},
+            {"name": "b", "metric": "mean", "column": "x", "op": "<=",
+             "threshold": 9.0},
+        ]
+        plan = evaluate_expectations(df, exps)
+        assert_plan(plan, no_cartesian=True, no_row_python=True)
+
+
 class TestInclusionAudit:
     def test_partial_containment(self, spark):
         child = spark.createDataFrame(
