@@ -3414,6 +3414,21 @@ _EXPECTATIONS = [
 ]
 
 
+def q_suggest_constraints(spark, sf_dir):
+    """Constraint suggestion over documents: profile four columns once
+    and nominate required/unique/enum/bounds expectations in exactly
+    the vocabulary table_expectations consumes — the discovery →
+    verification loop closed mechanically."""
+    from jsonschema_spark.operators.quality import suggest_constraints
+
+    df = _t(spark, sf_dir, "documents")
+    return suggest_constraints(
+        df,
+        ["doc_id", "lang", "source", "n_chars"],
+        numeric_cols=["doc_id", "n_chars"],
+    )
+
+
 def q_table_expectations(spark, sf_dir):
     """Deequ VerificationSuite analog: six declared table-level metric
     constraints on documents evaluated from ONE keyless aggregate pass —
@@ -3710,6 +3725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "numeric_profile": q_numeric_profile,
         "fd_audit_by": q_fd_audit_by,
         "table_expectations": q_table_expectations,
+        "suggest_constraints": q_suggest_constraints,
     }
 
 
@@ -6771,6 +6787,52 @@ def oracle_sql() -> dict[str, str]:
         "   AS fd_strength"
         " FROM g"
     )
+    _sc_cols = ["doc_id", "lang", "source", "n_chars"]
+    _sc_nums = ["doc_id", "n_chars"]
+    _sc_aggs = []
+    for _i, _c in enumerate(_sc_cols):
+        _sc_aggs += [
+            f"CAST(count({_c}) AS DOUBLE) AS nn{_i}",
+            f"avg(CASE WHEN {_c} IS NULL THEN 1 ELSE 0 END) AS nr{_i}",
+            f"CAST(count(DISTINCT {_c}) AS DOUBLE) AS nd{_i}",
+        ]
+    for _j, _c in enumerate(_sc_nums):
+        _sc_aggs += [
+            f"CAST(min({_c}) AS DOUBLE) AS mn{_j}",
+            f"CAST(max({_c}) AS DOUBLE) AS mx{_j}",
+        ]
+
+    def _sc_row(col, kind, metric, op, thr, obs, sugg):
+        return (
+            f" SELECT '{col}' AS \"column\", '{kind}' AS kind,"
+            f" '{metric}' AS metric, '{op}' AS op, {thr} AS threshold,"
+            f" {obs} AS observed, coalesce({sugg}, FALSE) AS suggested"
+            " FROM m"
+        )
+
+    _sc_rows = []
+    for _i, _c in enumerate(_sc_cols):
+        _sc_rows.append(_sc_row(
+            _c, "required", "null_rate", "<=", "CAST(0.0 AS DOUBLE)",
+            f"round(nr{_i}, 6)", f"nr{_i} = 0"))
+        _sc_rows.append(_sc_row(
+            _c, "unique", "n_distinct", ">=", f"round(nd{_i}, 6)",
+            f"round(nd{_i}, 6)", f"nd{_i} = nn{_i} AND nn{_i} > 0"))
+        _sc_rows.append(_sc_row(
+            _c, "enum_bounded", "n_distinct", "<=", f"round(nd{_i}, 6)",
+            f"round(nd{_i}, 6)", f"nd{_i} <= 16 AND nn{_i} > 0"))
+    for _j, _c in enumerate(_sc_nums):
+        _sc_rows.append(_sc_row(
+            _c, "min_bound", "min", ">=", f"round(mn{_j}, 6)",
+            f"round(mn{_j}, 6)", f"mn{_j} IS NOT NULL"))
+        _sc_rows.append(_sc_row(
+            _c, "max_bound", "max", "<=", f"round(mx{_j}, 6)",
+            f"round(mx{_j}, 6)", f"mx{_j} IS NOT NULL"))
+    out["suggest_constraints"] = (
+        "WITH m AS (SELECT " + ", ".join(_sc_aggs) + " FROM documents)"
+        + " UNION ALL ".join(_sc_rows)
+    )
+
     def _exp_sql_expr(metric: str, column: str) -> str:
         if metric == "n_rows":
             return "CAST(count(*) AS DOUBLE)"

@@ -289,6 +289,7 @@ def main() -> None:
         "numeric_profile",
         "fd_audit_by",
         "table_expectations",
+        "suggest_constraints",
     ]
     qs = entry.queries()
     for name in headline:

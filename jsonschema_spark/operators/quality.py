@@ -495,6 +495,90 @@ def evaluate_expectations(
     return agg.select(F.explode(F.array(*rows)).alias("_e")).select("_e.*")
 
 
+def suggest_constraints(
+    df: DataFrame,
+    cols: Sequence[str],
+    numeric_cols: Sequence[str] = (),
+    enum_max: int = 16,
+    decimals: int = 6,
+) -> DataFrame:
+    """One row per candidate constraint: ``(column, kind, metric, op,
+    threshold, observed, suggested)`` — Deequ-style constraint
+    SUGGESTION (Schelter et al. VLDB 2018): profile the columns once
+    and nominate the expectations the data currently satisfies, in
+    exactly the metric/op/threshold vocabulary ``evaluate_expectations``
+    consumes, so the discovery→verification loop closes mechanically:
+
+    - ``required``  — null_rate <= 0, suggested when no nulls observed
+    - ``unique``    — n_distinct >= observed, suggested when every
+      non-null value is distinct (key candidate)
+    - ``enum_bounded`` — n_distinct <= observed, suggested when the
+      domain is small (≤ ``enum_max``)
+    - ``min_bound``/``max_bound`` (numeric columns) — observed bounds
+
+    Every candidate is emitted with its observed value; ``suggested``
+    says whether the data supports it.  Thresholds are the ROUNDED
+    observed values — a suggestion must re-verify green by construction.
+
+    Scale shape: identical to ``evaluate_expectations`` — every
+    referenced statistic lowers into ONE combined keyless aggregate
+    over a single corpus scan (count-distincts expand map-side), and
+    the candidate rows are a literal explode over the 1-row aggregate."""
+    aggs = []
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.count(col).cast("double").alias(f"_nn{i}"),
+            F.avg(col.isNull().cast("double")).alias(f"_nr{i}"),
+            F.countDistinct(col).cast("double").alias(f"_nd{i}"),
+        ]
+    for j, c in enumerate(numeric_cols):
+        aggs += [
+            F.min(F.col(c)).cast("double").alias(f"_mn{j}"),
+            F.max(F.col(c)).cast("double").alias(f"_mx{j}"),
+        ]
+    one = df.agg(*aggs)
+
+    def _row(column, kind, metric, op, threshold, observed, suggested):
+        return F.struct(
+            F.lit(column).alias("column"),
+            F.lit(kind).alias("kind"),
+            F.lit(metric).alias("metric"),
+            F.lit(op).alias("op"),
+            threshold.alias("threshold"),
+            observed.alias("observed"),
+            F.coalesce(suggested, F.lit(False)).alias("suggested"),
+        )
+
+    rows = []
+    for i, c in enumerate(cols):
+        nn, nr, nd = F.col(f"_nn{i}"), F.col(f"_nr{i}"), F.col(f"_nd{i}")
+        rows.append(
+            _row(c, "required", "null_rate", "<=", F.lit(0.0),
+                 F.round(nr, decimals), nr == 0)
+        )
+        rows.append(
+            _row(c, "unique", "n_distinct", ">=", F.round(nd, decimals),
+                 F.round(nd, decimals), (nd == nn) & (nn > 0))
+        )
+        rows.append(
+            _row(c, "enum_bounded", "n_distinct", "<=",
+                 F.round(nd, decimals), F.round(nd, decimals),
+                 (nd <= enum_max) & (nn > 0))
+        )
+    for j, c in enumerate(numeric_cols):
+        mn, mx = F.col(f"_mn{j}"), F.col(f"_mx{j}")
+        rows.append(
+            _row(c, "min_bound", "min", ">=", F.round(mn, decimals),
+                 F.round(mn, decimals), mn.isNotNull())
+        )
+        rows.append(
+            _row(c, "max_bound", "max", "<=", F.round(mx, decimals),
+                 F.round(mx, decimals), mx.isNotNull())
+        )
+    return one.select(F.explode(F.array(*rows)).alias("_s")).select("_s.*")
+
+
 def join_cardinality_profile(
     left: DataFrame,
     left_key: str,

@@ -290,6 +290,41 @@ class TestEvaluateExpectations:
         assert_plan(plan, no_cartesian=True, no_row_python=True)
 
 
+class TestSuggestConstraints:
+    def test_suggestions_close_the_loop(self, spark):
+        from jsonschema_spark.operators.quality import (
+            evaluate_expectations,
+            suggest_constraints,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 5.0), (2, "a", 7.0), (3, None, 9.0)],
+            "id bigint, cat string, x double",
+        )
+        out = suggest_constraints(
+            df, ["id", "cat"], numeric_cols=["x"]
+        ).collect()
+        by = {(r["column"], r["kind"]): r for r in out}
+        assert len(out) == 8  # 3 per profiled col + 2 per numeric col
+        assert by[("id", "required")]["suggested"]
+        assert by[("id", "unique")]["suggested"]
+        assert not by[("cat", "required")]["suggested"]  # has a null
+        assert not by[("cat", "unique")]["suggested"]  # 'a' repeats
+        assert by[("cat", "enum_bounded")]["suggested"]
+        assert by[("cat", "enum_bounded")]["threshold"] == 1.0
+        assert by[("x", "min_bound")]["threshold"] == 5.0
+        assert by[("x", "max_bound")]["threshold"] == 9.0
+        # the loop: every suggested constraint re-verifies green
+        exps = [
+            {"name": f"{r['column']}_{r['kind']}", "metric": r["metric"],
+             "column": r["column"] if r["metric"] != "n_rows" else None,
+             "op": r["op"], "threshold": r["threshold"]}
+            for r in out if r["suggested"] and r["metric"] != "n_distinct"
+        ]
+        verdicts = evaluate_expectations(df, exps).collect()
+        assert verdicts and all(v["passed"] for v in verdicts)
+
+
 class TestInclusionAudit:
     def test_partial_containment(self, spark):
         child = spark.createDataFrame(
