@@ -1630,12 +1630,23 @@ def q_dup_loss_mask(spark, sf_dir):
     the keep-first dup spans — mask[i] = 1 iff token i is repeated text
     whose canonical copy lives elsewhere (zero its loss instead of
     dropping the doc). Every document reports; no-span docs are all
-    zeros."""
+    zeros. The raw ARRAY<int> mask is the library artifact
+    (span_token_mask); the gate row carries its md5 fingerprint instead —
+    list cells are unsortable by the driver's pandas canonicalizer
+    (CORRECTNESS_r04 err)."""
     from jsonschema_spark.operators.dedup import dup_spans, span_token_mask
 
     df = _t(spark, sf_dir, "documents")
     spans = dup_spans(df, "doc_id", "text", n=13, keep_first=True)
-    return span_token_mask(df, "doc_id", spans, text_col="text")
+    out = span_token_mask(df, "doc_id", spans, text_col="text")
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_masked",
+        F.md5(F.array_join(F.col("mask").cast("array<string>"), ",")).alias(
+            "mask_fp"
+        ),
+    )
 
 
 def q_dup_span_stats(spark, sf_dir):
@@ -2777,7 +2788,12 @@ def q_positional_entropy(spark, sf_dir):
     token corpus with an injected 3-token template header — the frozen-
     prefix detector (cross-document signal at a fixed position that
     within-document repetition metrics cannot see): positions 1-3 read
-    entropy 0, the organic tail reads ~ln(vocab-coverage)."""
+    entropy 0, the organic tail reads ~ln(vocab-coverage).
+
+    decimals=4, not the repo-default 6: entropy sums up to vocab-sized
+    count sets per position, and Spark's vs DuckDB's FP summation order
+    disagrees in the 6th decimal at the driver's sf0.01
+    (CORRECTNESS_r04 hash mismatch)."""
     from jsonschema_spark.operators.stats import positional_entropy
 
     df = _token_corpus(spark).select(
@@ -2788,7 +2804,7 @@ def q_positional_entropy(spark, sf_dir):
             F.col("tokens"),
         ).alias("tokens"),
     )
-    return positional_entropy(df, max_pos=32)
+    return positional_entropy(df, max_pos=32, decimals=4)
 
 
 def q_bigram_pmi(spark, sf_dir):
@@ -3246,17 +3262,21 @@ def q_violation_examples(spark, sf_dir):
 
 def q_lsh_recall(spark, sf_dir):
     """Measured MinHash-LSH recall (16 bands x 2 rows at j>=0.5) vs
-    exact-Jaccard ground truth on a deterministic ~50% document sample,
-    with the Wilson lower bound — the pre-flight gate that says whether
-    the banding config leaves duplicates behind on THIS corpus's
-    similarity distribution. Sample is constant-size by construction, so
-    the all-pairs truth is a bounded probe, not a dedup path."""
+    exact-Jaccard ground truth on a deterministic CONSTANT-SIZE sample
+    — the 256 documents with the smallest portable_hash60('lshqa:'+id),
+    via TakeOrderedAndProject — with the Wilson lower bound: the
+    pre-flight gate that says whether the banding config leaves
+    duplicates behind on THIS corpus's similarity distribution. The
+    k-smallest-hash sample replaces r4's sample_mod=2 rate filter
+    (a 50%% sample whose truth join was quadratic in the corpus —
+    VERDICT r4 item 3); the all-pairs truth is now a bounded O(k²)
+    probe at any corpus size."""
     from jsonschema_spark.operators.dedup import lsh_recall_probe
 
     df = _t(spark, sf_dir, "documents")
     return lsh_recall_probe(
         df, "doc_id", "text", threshold=0.5, n=3,
-        num_perms=32, rows_per_band=2, sample_mod=2,
+        num_perms=32, rows_per_band=2, sample_k=256,
     )
 
 
@@ -3522,67 +3542,16 @@ def q_metric_anomaly(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS: the driver correctness gate takes the FIRST 50
-    # entries in insertion order. Round-4 rotation (VERDICT r3 "Next
-    # round" #1): the 51 queries with no driver-green row in any
-    # CORRECTNESS_r01/r02/r03 come first — 50 gate in r4; emd_drift
-    # (slot 51, sweep-PASS at sf0.01 + pytest) plus spot re-gates wait
-    # for r5. The 111 already-gated entries follow and stay covered by
-    # pytest + scripts/oracle_sweep.py every round.
+        # ORDER MATTERS: the driver correctness gate takes the FIRST 50
+        # entries in insertion order. Round-5 rotation (VERDICT r4 "Next
+        # round" #3): the 32 queries with no driver-green row in any
+        # CORRECTNESS_r01-r04 go first (the r4-addition queue incl. the
+        # temporal + Deequ families), then the two r4 driver-reds fixed
+        # this round (dup_loss_mask, positional_entropy), then 16 spot
+        # re-gates. After r5 every one of the 193 queries has been
+        # driver-gated at least once.
     return {
-        "chunk_sequences": q_chunk_sequences,
-        "dup_gram_scale": q_dup_gram_scale,
-        "repair_sequences": q_repair_sequences,
-        "temperature_mix": q_temperature_mix,
-        "positional_entropy": q_positional_entropy,
-        "bigram_ppl": q_bigram_ppl,
-        "vocab_coverage": q_vocab_coverage,
-        "embedding_norm_qa": q_embedding_norm_qa,
-        "structure_scorecard": q_structure_scorecard,
-        "winnow_dups": q_winnow_dups,
-        "token_ngram_diversity": q_token_ngram_diversity,
-        "bigram_pmi": q_bigram_pmi,
-        "source_violation_rates": q_source_violation_rates,
-        "ntok_iqr_outliers": q_ntok_iqr_outliers,
-        "monotonic_check": q_monotonic_check,
-        "embedding_drift": q_embedding_drift,
-        "sequence_packing": q_sequence_packing,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "source_divergence": q_source_divergence,
-        "dsir_select": q_dsir_select,
-        "source_mix": q_source_mix,
-        "shared_ngram_pairs": q_shared_ngram_pairs,
-        "longest_shared_run": q_longest_shared_run,
-        "dup_spans": q_dup_spans,
-        "dup_span_stats": q_dup_span_stats,
-        "token_dup_spans": q_token_dup_spans,
-        "decontam_spans": q_decontam_spans,
-        "dup_loss_mask": q_dup_loss_mask,
-        "effective_tokens": q_effective_tokens,
-        "ingest_dedup_trend": q_ingest_dedup_trend,
-        "periodic_sequences": q_periodic_sequences,
-        "diverse_sample": q_diverse_sample,
-        "ngram_novelty": q_ngram_novelty,
-        "infer_spec": q_infer_spec,
-        "weighted_sample": q_weighted_sample,
-        "global_shuffle": q_global_shuffle,
-        "windowed_drift": q_windowed_drift,
-        "script_mojibake": q_script_mojibake,
-        "classifier_score": q_classifier_score,
-        "corpus_overlap": q_corpus_overlap,
-        "trigram_sbo": q_trigram_sbo,
-        "semdedup": q_semdedup,
-        "padding_waste": q_padding_waste,
-        "stratified_split": q_stratified_split,
-        "unimax_alloc": q_unimax_alloc,
-        "split_leakage_audit": q_split_leakage_audit,
-        "embedding_quant_qa": q_embedding_quant_qa,
-        "vocab_richness": q_vocab_richness,
-        "vocab_diversity": q_vocab_diversity,
-        "quality_survivors": q_quality_survivors,
         "emd_drift": q_emd_drift,
-        # r4 additions (sweep-covered; queue just behind emd_drift for the
-        # r5 gate rotation)
         "component_size_hist": q_component_size_hist,
         "containment_dups": q_containment_dups,
         "token_burstiness": q_token_burstiness,
@@ -3602,8 +3571,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "violation_examples": q_violation_examples,
         "component_purity": q_component_purity,
         "trigram_kn_ppl": q_trigram_kn_ppl,
-        # --- all entries below have a driver-green CORRECTNESS row ---
+        # Deequ-analog family (r4 additions, sweep-only until now)
+        "column_profile": q_column_profile,
+        "numeric_profile": q_numeric_profile,
+        "fd_audit": q_fd_audit,
+        "fd_audit_by": q_fd_audit_by,
+        "table_expectations": q_table_expectations,
+        "suggest_constraints": q_suggest_constraints,
+        "categorical_mi": q_categorical_mi,
+        "benford_digits": q_benford_digits,
+        "metric_anomaly": q_metric_anomaly,
+        "join_cardinality": q_join_cardinality,
+        "inclusion_dependency": q_inclusion_dependency,
+        "freshness_audit": q_freshness_audit,
+        # re-gates: the two r4 driver-reds, fixed this round
+        "dup_loss_mask": q_dup_loss_mask,
+        "positional_entropy": q_positional_entropy,
+        # slots 35-50: spot re-gates of ever-green queries
+        "corpus_validate": q_corpus_validate,
+        "exact_stats": q_exact_stats,
+        "dup_keys": q_dup_keys,
+        "orphans": q_orphans,
+        "minhash_near_dup": q_minhash_near_dup,
+        "simhash_near_dup": q_simhash_near_dup,
+        "dup_components": q_dup_components,
         "incremental_near_dup": q_incremental_near_dup,
+        "semdedup": q_semdedup,
+        "global_shuffle": q_global_shuffle,
+        "token_sketch_drift": q_token_sketch_drift,
+        "ks_drift": q_ks_drift,
+        "unigram_ppl": q_unigram_ppl,
+        "sequence_packing": q_sequence_packing,
+        "image_decode": q_image_decode,
+        "tpch_q1": q_tpch_q1,
+        # --- below slot 50: all have a driver-green CORRECTNESS row
+        # (plus local sweep + pytest coverage every round) ---
+        "chunk_sequences": q_chunk_sequences,
+        "dup_gram_scale": q_dup_gram_scale,
+        "repair_sequences": q_repair_sequences,
+        "temperature_mix": q_temperature_mix,
+        "bigram_ppl": q_bigram_ppl,
+        "vocab_coverage": q_vocab_coverage,
+        "embedding_norm_qa": q_embedding_norm_qa,
+        "structure_scorecard": q_structure_scorecard,
+        "winnow_dups": q_winnow_dups,
+        "token_ngram_diversity": q_token_ngram_diversity,
+        "bigram_pmi": q_bigram_pmi,
+        "source_violation_rates": q_source_violation_rates,
+        "ntok_iqr_outliers": q_ntok_iqr_outliers,
+        "monotonic_check": q_monotonic_check,
+        "embedding_drift": q_embedding_drift,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "source_divergence": q_source_divergence,
+        "dsir_select": q_dsir_select,
+        "source_mix": q_source_mix,
+        "shared_ngram_pairs": q_shared_ngram_pairs,
+        "longest_shared_run": q_longest_shared_run,
+        "dup_spans": q_dup_spans,
+        "dup_span_stats": q_dup_span_stats,
+        "token_dup_spans": q_token_dup_spans,
+        "decontam_spans": q_decontam_spans,
+        "effective_tokens": q_effective_tokens,
+        "ingest_dedup_trend": q_ingest_dedup_trend,
+        "periodic_sequences": q_periodic_sequences,
+        "diverse_sample": q_diverse_sample,
+        "ngram_novelty": q_ngram_novelty,
+        "infer_spec": q_infer_spec,
+        "weighted_sample": q_weighted_sample,
+        "windowed_drift": q_windowed_drift,
+        "script_mojibake": q_script_mojibake,
+        "classifier_score": q_classifier_score,
+        "corpus_overlap": q_corpus_overlap,
+        "trigram_sbo": q_trigram_sbo,
+        "padding_waste": q_padding_waste,
+        "stratified_split": q_stratified_split,
+        "unimax_alloc": q_unimax_alloc,
+        "split_leakage_audit": q_split_leakage_audit,
+        "embedding_quant_qa": q_embedding_quant_qa,
+        "vocab_richness": q_vocab_richness,
+        "vocab_diversity": q_vocab_diversity,
+        "quality_survivors": q_quality_survivors,
         "tokenizer_fertility": q_tokenizer_fertility,
         "incremental_embedding_dedup": q_incremental_embedding_dedup,
         "token_winnow_dups": q_token_winnow_dups,
@@ -3628,11 +3675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mismatch": q_lang_mismatch,
         "embedding_parity": q_embedding_parity,
         "token_parity": q_token_parity,
-        "token_sketch_drift": q_token_sketch_drift,
         "ntok_chi2_drift": q_ntok_chi2_drift,
-        "image_decode": q_image_decode,
         "audio_decode": q_audio_decode,
-        "unigram_ppl": q_unigram_ppl,
         "spec_diff": q_spec_diff,
         "gopher_quality": q_gopher_quality,
         "c4_clean": q_c4_clean,
@@ -3682,16 +3726,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "properties_struct": q_properties_struct,
         "json_wellformed": q_json_wellformed,
         "json_schema_kernel": q_json_schema_kernel,
-        "dup_keys": q_dup_keys,
-        "orphans": q_orphans,
-        "exact_stats": q_exact_stats,
         "histogram": q_histogram,
         "word_freq": q_word_freq,
         "psi_terms": q_psi_terms,
-        "tpch_q1": q_tpch_q1,
         "topk_per_group": q_topk_per_group,
         "join_agg": q_join_agg,
-        "corpus_validate": q_corpus_validate,
         "tuple_items": q_tuple_items,
         "map_object": q_map_object,
         "pattern_properties": q_pattern_properties,
@@ -3699,33 +3738,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_groups": q_exact_dedup_groups,
         "dedup_count": q_dedup_count,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "minhash_near_dup": q_minhash_near_dup,
-        "simhash_near_dup": q_simhash_near_dup,
         "token_dedup_groups": q_token_dedup_groups,
         "token_minhash_near_dup": q_token_minhash_near_dup,
         "decontaminate": q_decontaminate,
         "token_decontaminate": q_token_decontaminate,
         "incremental_dedup": q_incremental_dedup,
-        "dup_components": q_dup_components,
         "leakage_safe_split": q_leakage_safe_split,
         "near_dedup_count": q_near_dedup_count,
-        "ks_drift": q_ks_drift,
         "chi2_drift": q_chi2_drift,
         "token_entropy": q_token_entropy,
         "hash_sample": q_hash_sample,
         "source_cap": q_source_cap,
-        "column_profile": q_column_profile,
-        "fd_audit": q_fd_audit,
-        "categorical_mi": q_categorical_mi,
-        "benford_digits": q_benford_digits,
-        "metric_anomaly": q_metric_anomaly,
-        "join_cardinality": q_join_cardinality,
-        "inclusion_dependency": q_inclusion_dependency,
-        "freshness_audit": q_freshness_audit,
-        "numeric_profile": q_numeric_profile,
-        "fd_audit_by": q_fd_audit_by,
-        "table_expectations": q_table_expectations,
-        "suggest_constraints": q_suggest_constraints,
     }
 
 
@@ -5740,9 +5763,11 @@ def oracle_sql() -> dict[str, str]:
             " SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,"
             "  CAST(coalesce(list_sum(list_transform(spl.sps,"
             "    x -> x.e - x.s + 1)), 0) AS BIGINT) AS n_masked,"
-            "  list_transform(generate_series(1, len(d.ws)), i ->"
+            "  md5(array_to_string(list_transform("
+            "   generate_series(1, len(d.ws)), i ->"
             "   CASE WHEN spl.sps IS NOT NULL AND len(list_filter(spl.sps,"
-            "    x -> i >= x.s AND i <= x.e)) > 0 THEN 1 ELSE 0 END) AS mask"
+            "    x -> i >= x.s AND i <= x.e)) > 0 THEN 1 ELSE 0 END), ','))"
+            "   AS mask_fp"
             " FROM d LEFT JOIN spl USING (doc_id)"
         ),
         "dup_span_stats": (
@@ -6400,7 +6425,7 @@ def oracle_sql() -> dict[str, str]:
             "    AS pos FROM t),"
             " c AS (SELECT pos, tok, count(*) AS cnt FROM e GROUP BY 1, 2)"
             " SELECT pos, sum(cnt) AS n_seqs, count(*) AS n_distinct,"
-            "  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 6)"
+            "  round(ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt), 4)"
             "   AS entropy"
             " FROM c GROUP BY 1"
         ),
@@ -6654,9 +6679,12 @@ def oracle_sql() -> dict[str, str]:
     _lz2 = f"({_lz} * {_lz})"
     _lp = "(n_det / CAST(n_true AS DOUBLE))"
     out["lsh_recall"] = (
+        # k-smallest-hash constant-size sample (k=256): ORDER BY the
+        # portable priority + id LIMIT k = DuckDB twin of Spark's
+        # TakeOrderedAndProject sample in lsh_recall_probe
         "WITH d AS (SELECT doc_id, " + _WS + " AS ws FROM documents"
-        "   WHERE " + _hex60("concat('lshqa:', CAST(doc_id AS VARCHAR))")
-        + " % 2 = 0),"
+        "   ORDER BY " + _hex60("concat('lshqa:', CAST(doc_id AS VARCHAR))")
+        + ", doc_id LIMIT 256),"
         " sh AS (SELECT doc_id, list_distinct(list_transform("
         "   generate_series(1, greatest(len(ws) - 2, 0)),"
         "   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g FROM d),"
@@ -6910,11 +6938,16 @@ def oracle_sql() -> dict[str, str]:
     )
     _bexp = "(ln(1.0 + 1.0 / digit) / ln(10.0))"
     out["benford_digits"] = (
+        # all nine rows always emitted: counts left-join the 1..9 digit
+        # spine, absent digits coalesce to 0 (ADVICE r4 / operator twin)
         "WITH d AS (SELECT CAST(substr(CAST(u AS VARCHAR), 1, 1)"
         "   AS INTEGER) AS digit FROM ("
         "   SELECT CAST(floor(l_extendedprice * 100.0) AS BIGINT) AS u"
         "   FROM lineitem) WHERE u > 0),"
-        " c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),"
+        " c0 AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),"
+        " c AS (SELECT sp.digit, coalesce(c0.n, 0) AS n"
+        "   FROM (SELECT unnest(generate_series(1, 9)) AS digit) sp"
+        "   LEFT JOIN c0 USING (digit)),"
         " t AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM c)"
         " SELECT digit, CAST(n AS BIGINT) AS n,"
         "  round(n / nt, 6) AS rate,"

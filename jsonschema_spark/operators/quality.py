@@ -393,18 +393,33 @@ def benford_first_digit(
     ``scale`` shifts fixed-point values into integers first (100 =
     cents) so digit extraction is exact integer string math, not
     float-format-dependent: floor(value·scale) is the same IEEE double
-    op in any engine, and the leading digit of the resulting integer's
+    op in any engine — PRECONDITION: ``value_col`` must be a DOUBLE (a
+    DECIMAL column would hit decimal-literal math that differs across
+    engines; CAST first).  The leading digit of the resulting integer's
     decimal rendering is engine-independent.  Non-positive values are
     excluded (Benford is defined on positive magnitudes).
 
+    All nine rows are ALWAYS emitted (counts left-join a literal 1..9
+    digit spine, absent digits coalesce to n=0): a summed χ² must
+    include the (N·P(d))²/(N·P(d)) = N·P(d) contribution of a digit
+    with zero observations — exactly the most-skewed case the test
+    exists to flag (ADVICE r4).
+
     Scale shape: one corpus pass → map-side-combined groupBy on a
-    9-value key; the total is a 1-row broadcast crossJoin.  Nothing
-    downstream of the 9-row histogram touches corpus rows."""
+    9-value key; the spine join and the 1-row total broadcast touch
+    only the 9-row histogram, never corpus rows."""
     units = F.floor(F.col(value_col) * F.lit(float(scale))).cast("long")
     digits = df.select(units.alias("_u")).filter(F.col("_u") > 0).select(
         F.substring(F.col("_u").cast("string"), 1, 1).cast("int").alias("digit")
     )
-    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    spine = df.sparkSession.range(1, 10).select(
+        F.col("id").cast("int").alias("digit")
+    )
+    counts = spine.join(
+        digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n")),
+        "digit",
+        "left",
+    ).select("digit", F.coalesce(F.col("n"), F.lit(0)).alias("n"))
     tot = counts.agg(F.sum("n").cast("double").alias("_N"))
     expected = F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double")) / F.log(
         F.lit(10.0)
@@ -467,6 +482,10 @@ def evaluate_expectations(
         raise ValueError(f"unknown expectation metric: {metric}")
 
     for e in expectations:
+        if e["op"] not in ("<=", ">="):
+            # mirror the unknown-metric ValueError: a malformed op must
+            # fail loudly, not silently evaluate as '>=' (ADVICE r4)
+            raise ValueError(f"unknown expectation op: {e['op']!r}")
         key = f"{e['metric']}::{e.get('column') or ''}"
         if key not in metric_cols:
             metric_cols[key] = _metric_expr(e["metric"], e.get("column"))
@@ -743,16 +762,18 @@ def freshness_audit(
     metric-history twin (``metric_anomaly`` over per-run staleness)
     turns this into an alert.
 
-    Scale shape: one map-side-combined groupBy(group) over the corpus;
-    the global high-water mark is a 1-row broadcast crossJoin onto the
-    group-count table (rows = groups, not corpus rows).  All time math
-    is exact integer microseconds."""
+    Scale shape: one map-side-combined groupBy(group) over the corpus
+    — the ONLY corpus pass; the global high-water mark is derived from
+    the already-built group table (max of per-group last_ts == global
+    max, ADVICE r4 closed the second scan) and broadcast back as a
+    1-row crossJoin onto the group-count table (rows = groups, not
+    corpus rows).  All time math is exact integer microseconds."""
     per = df.groupBy(F.col(group_col).alias("group")).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.min(ts_col).alias("first_ts"),
         F.max(ts_col).alias("last_ts"),
     )
-    hw = df.agg(F.max(ts_col).alias("_hw"))
+    hw = per.agg(F.max("last_ts").alias("_hw"))
     # exact integer µs; the cast accepts TIMESTAMP_NTZ columns too (the
     # session is pinned to UTC, so NTZ reinterprets losslessly)
     us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731

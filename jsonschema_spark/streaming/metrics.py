@@ -27,6 +27,7 @@ from typing import Callable, Dict, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from jsonschema_spark.operators.quality import metric_anomaly
 
@@ -41,7 +42,12 @@ def _read_history(spark, repo_dir: str, batch_id: int) -> Optional[DataFrame]:
         return None
     try:
         df = spark.read.parquet(repo_dir)
-    except Exception:  # noqa: BLE001 — empty/just-created dir
+    except AnalysisException:
+        # just-created/empty dir: no parquet footers yet, schema
+        # inference fails — legitimately "no history". Any OTHER read
+        # error (corrupt files, permissions) must propagate: a
+        # monitoring gate that silently scores against empty history
+        # fails open with no signal (ADVICE r4).
         return None
     return df.select(
         "metric", F.col("batch_id").cast("long").alias("batch_id"), "value"

@@ -164,7 +164,9 @@ class TestBenford:
         rows = [(1.23,), (0.05,), (912.0,), (19.99,), (-3.0,), (0.0,)]
         df = spark.createDataFrame(rows, "v double")
         out = {r["digit"]: r for r in benford_first_digit(df, "v").collect()}
-        assert set(out) == {1, 5, 9}
+        # ALL nine rows emit — zero-observation digits included, so a
+        # summed chi2 keeps their N*P(d) contribution (ADVICE r4)
+        assert set(out) == set(range(1, 10))
         assert out[1]["n"] == 2  # 1.23 -> 123, 19.99 -> 1999
         assert out[5]["n"] == 1 and out[9]["n"] == 1
         assert out[1]["rate"] == pytest.approx(0.5)
@@ -173,6 +175,9 @@ class TestBenford:
         assert out[1]["chi2_term"] == pytest.approx(
             (n - big_n * e) ** 2 / (big_n * e), abs=1e-6
         )
+        e2 = math.log10(1 + 1 / 2)
+        assert out[2]["n"] == 0 and out[2]["rate"] == 0.0
+        assert out[2]["chi2_term"] == pytest.approx(big_n * e2, abs=1e-6)
 
     def test_benford_like_sample_scores_low(self, spark):
         # 10^k-spaced magnitudes drawn to follow the law loosely
@@ -274,6 +279,19 @@ class TestEvaluateExpectations:
         assert not out["floor"]["passed"]  # null metric -> fail closed
         assert out["floor"]["value"] is None
         assert not out["nonempty"]["passed"]
+
+    def test_malformed_op_raises(self, spark):
+        """A malformed op must raise like an unknown metric does — not
+        silently evaluate as '>=' (ADVICE r4)."""
+        from jsonschema_spark.operators.quality import evaluate_expectations
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        for bad in ("<", "==", ">", "!="):
+            with pytest.raises(ValueError, match="unknown expectation op"):
+                evaluate_expectations(df, [
+                    {"name": "a", "metric": "min", "column": "x",
+                     "op": bad, "threshold": 0.0},
+                ])
 
     def test_single_pass_plan(self, spark):
         from jsonschema_spark.operators.quality import evaluate_expectations

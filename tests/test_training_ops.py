@@ -1805,7 +1805,9 @@ def test_lsh_recall_probe_measures_banding(spark):
     """Strong banding (16x2) catches the planted near-dups -> recall 1.0
     with a meaningful Wilson bound; a deliberately starved banding (1 band
     of 32 rows) still catches exact copies but misses moderate-similarity
-    pairs -> measured recall drops below 1. sample_mod=1 keeps every doc."""
+    pairs -> measured recall drops below 1. sample_k=1000 keeps every doc;
+    a small sample_k pins the sample CONSTANT-SIZE in corpus rows (the
+    VERDICT-r4 fix: k-smallest-hash, not a %-rate filter)."""
     import pytest as _pytest
 
     from jsonschema_spark.operators.dedup import lsh_recall_probe
@@ -1825,7 +1827,7 @@ def test_lsh_recall_probe_measures_banding(spark):
 
     strong = lsh_recall_probe(
         df, "doc_id", "text", threshold=0.5, num_perms=32,
-        rows_per_band=2, sample_mod=1,
+        rows_per_band=2, sample_k=1000,
     ).collect()[0]
     assert strong["n_docs"] == 30
     assert strong["n_true_pairs"] == 10
@@ -1835,7 +1837,7 @@ def test_lsh_recall_probe_measures_banding(spark):
 
     starved = lsh_recall_probe(
         df, "doc_id", "text", threshold=0.5, num_perms=32,
-        rows_per_band=32, sample_mod=1,
+        rows_per_band=32, sample_k=1000,
     ).collect()[0]
     assert starved["n_true_pairs"] == 10
     assert starved["n_detected"] < 10  # the gate catches the bad config
@@ -1843,3 +1845,39 @@ def test_lsh_recall_probe_measures_banding(spark):
 
     with _pytest.raises(ValueError):
         lsh_recall_probe(df, "doc_id", "text", num_perms=32, rows_per_band=5)
+
+
+def test_lsh_recall_probe_sample_constant_size(spark):
+    """The probe's sample is k docs REGARDLESS of corpus rows (the
+    VERDICT-r4 scale fix): doubling the corpus leaves n_docs pinned at
+    sample_k, so the all-pairs truth join is O(k²) at any scale; and the
+    physical sample plan is TakeOrderedAndProject (distributed top-k),
+    not a global sort."""
+    from jsonschema_spark.operators.dedup import lsh_recall_probe
+
+    def corpus(n):
+        return spark.createDataFrame(
+            [(i, " ".join(f"d{i}w{j}" for j in range(20))) for i in range(n)],
+            ["doc_id", "text"],
+        )
+
+    small = lsh_recall_probe(
+        corpus(100), "doc_id", "text", sample_k=16
+    ).collect()[0]
+    big = lsh_recall_probe(
+        corpus(200), "doc_id", "text", sample_k=16
+    ).collect()[0]
+    assert small["n_docs"] == 16
+    assert big["n_docs"] == 16
+
+    df = corpus(100)
+    picked = (
+        df.select(
+            "doc_id",
+            F.col("text"),
+        )
+        .orderBy("doc_id")
+        .limit(16)
+    )
+    plan = picked._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
