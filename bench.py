@@ -292,7 +292,15 @@ def main() -> None:
         "suggest_constraints",
     ]
     qs = entry.queries()
-    for name in headline:
+    # VERDICT r4 #5: bench EVERY queries() entry, not just the curated
+    # headline — the curated list sets the order (expensive / load-bearing
+    # first); the remainder (keyword micro-queries etc.) append after it
+    # so BENCH/bench_full_latest.json covers all 193 and a new query can
+    # never be silently unbenched.
+    bench_order = [n for n in headline if n in qs] + [
+        n for n in qs if n not in set(headline)
+    ]
+    for name in bench_order:
         fn = qs.get(name)
         if fn is None:
             continue

@@ -2195,6 +2195,11 @@ def lsh_recall_probe(
         )
         .orderBy("_prio", "id")
         .limit(int(sample_k))
+        # limit(k) lands in ONE partition; the per-doc signature
+        # expressions below are the probe's fixed-cost bulk (num_perms
+        # portable hashes per gram), so spread the k rows first — a
+        # k-row shuffle buys num-core-parallel signature computation
+        .repartition(32, F.col("id"))
     )
     grams = word_shingles(F.col("_txt"), n)
 

@@ -41,6 +41,7 @@ JOB_SCRIPTS = {
     "asof": "asof_scaling_job.py",
     "sessions": "sessions_scaling_job.py",
     "profile": "profile_scaling_job.py",
+    "lshrecall": "lshrecall_scaling_job.py",
 }
 
 
