@@ -422,6 +422,54 @@ def q_corpus_validate(spark, sf_dir):
     )
 
 
+def q_sampled_gate(spark, sf_dir):
+    """Constant-size PRE-FLIGHT validation gate (round 5): the Wilson
+    upper bound on the corpus violation rate measured from the 500
+    documents with the smallest portable_hash60('vgate:'+id) — the
+    cheap "is this snapshot roughly sane?" answer you compute BEFORE
+    paying for the full 10^12-row validation pass. Runs the exact same
+    compiled plan as corpus_validate over the sample; verdict compares
+    the ROUNDED bound to a 3%% budget (the corpus injects ~1%%
+    violations, so the gate passes with the bound doing real work)."""
+    import os
+
+    from jsonschema_spark.operators.checks import sampled_validation_gate
+    from jsonschema_spark.plans.job import ValidationJob
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+    from jsonschema_spark.sources.corpus import (
+        MAX_TOKENS,
+        VOCAB_SIZE,
+        corpus,
+        dim_source,
+    )
+
+    path = _corpus_oracle_path()
+    if not os.path.isdir(path):
+        corpus(spark, 50_000, seed=42).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    spec = TableSpec.from_dict(
+        {
+            "columns": {
+                "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+                "tokens": {
+                    "type": "array",
+                    "minItems": 1,
+                    "items": {"type": "integer", "minimum": 0, "maximum": VOCAB_SIZE - 1},
+                },
+                "n_tok": {"type": "integer", "minimum": 1, "maximum": MAX_TOKENS},
+            },
+            "required": ["doc_id", "tokens", "n_tok", "source"],
+            "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+            "references": {"source": {"dim": "dim_source", "key": "source_id"}},
+        }
+    )
+    plan = compile_table_spec(spec, df.schema)
+    job = ValidationJob(plan, dims={"dim_source": dim_source(spark)})
+    return sampled_validation_gate(
+        df, "doc_id", job.annotate, sample_k=500, budget=0.03
+    )
+
+
 def q_tuple_items(spark, sf_dir):
     """SURVEY §2.1 #16: tuple-form items + additionalItems schema — element
     1 checked positionally, the tail checked by the additionalItems
@@ -3603,9 +3651,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_ppl": q_unigram_ppl,
         "sequence_packing": q_sequence_packing,
         "image_decode": q_image_decode,
-        "tpch_q1": q_tpch_q1,
+        # slot 50: round-5 NEW query — gate it immediately rather than
+        # queueing another never-gated entry (tpch_q1, the displaced spot
+        # re-gate, is ever-green and moves below the window)
+        "sampled_gate": q_sampled_gate,
         # --- below slot 50: all have a driver-green CORRECTNESS row
         # (plus local sweep + pytest coverage every round) ---
+        "tpch_q1": q_tpch_q1,
         "chunk_sequences": q_chunk_sequences,
         "dup_gram_scale": q_dup_gram_scale,
         "repair_sequences": q_repair_sequences,
@@ -4010,14 +4062,13 @@ def _semdedup_oracle_sql(
     return "".join(parts)
 
 
-def _corpus_validate_oracle_sql() -> str:
-    """DuckDB recomputation of every corpus check over the SAME materialized
-    parquet the Spark query validates (see _corpus_oracle_path)."""
+def _corpus_check_exprs() -> dict:
+    """DuckDB twins of every corpus check (shared by the corpus_validate
+    and sampled_gate oracles)."""
     from jsonschema_spark.sources.corpus import MAX_TOKENS, SOURCES, VOCAB_SIZE
 
-    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
     srcs = ", ".join(f"'{s}'" for s in SOURCES)
-    ok = {
+    return {
         "col_doc_id": "(doc_id IS NULL OR regexp_matches(doc_id, '^doc-[0-9]{12}$'))",
         "col_tokens": (
             "(tokens IS NULL OR (len(tokens) >= 1 AND len(list_filter(tokens,"
@@ -4031,6 +4082,13 @@ def _corpus_validate_oracle_sql() -> str:
         "row_len_consistent": "(n_tok = len(tokens))",
         "ref_source": f"(source IS NULL OR source IN ({srcs}))",
     }
+
+
+def _corpus_validate_oracle_sql() -> str:
+    """DuckDB recomputation of every corpus check over the SAME materialized
+    parquet the Spark query validates (see _corpus_oracle_path)."""
+    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
+    ok = _corpus_check_exprs()
     valid = " AND ".join(ok.values())
     fails = ", ".join(
         f"count(*) FILTER (WHERE NOT {expr}) AS fail_{name}"
@@ -4039,6 +4097,36 @@ def _corpus_validate_oracle_sql() -> str:
     return (
         f"SELECT count(*) AS n_rows, count(*) FILTER (WHERE {valid}) AS n_valid,"
         f" {fails} FROM {tbl}"
+    )
+
+
+def _sampled_gate_oracle_sql() -> str:
+    """DuckDB twin of q_sampled_gate: the same k-smallest-hash sample
+    (ORDER BY portable hash + id LIMIT k = TakeOrderedAndProject), the
+    same per-row checks, the same Wilson upper bound, verdict on the
+    rounded bound vs the 3% budget."""
+    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
+    valid = " AND ".join(_corpus_check_exprs().values())
+    h = _hex60("concat('vgate:', doc_id)")
+    z = "CAST(1.96 AS DOUBLE)"
+    z2 = f"({z} * {z})"
+    p = "(n_fail / CAST(n_sampled AS DOUBLE))"
+    n = "CAST(n_sampled AS DOUBLE)"
+    hi = (
+        f"(({p} + {z2} / (CAST(2.0 AS DOUBLE) * {n}))"
+        f" + {z} * sqrt({p} * (CAST(1.0 AS DOUBLE) - {p}) / {n}"
+        f"  + {z2} / (CAST(4.0 AS DOUBLE) * {n} * {n})))"
+        f" / (CAST(1.0 AS DOUBLE) + {z2} / {n})"
+    )
+    return (
+        f"WITH s AS (SELECT * FROM {tbl} ORDER BY {h}, doc_id LIMIT 500),"
+        f" a AS (SELECT count(*) AS n_sampled,"
+        f"  count(*) FILTER (WHERE NOT ({valid})) AS n_fail FROM s)"
+        f" SELECT n_sampled, n_fail,"
+        f"  round({p}, 6) AS fail_rate,"
+        f"  round({hi}, 6) AS wilson_hi,"
+        f"  round({hi}, 6) <= CAST(0.03 AS DOUBLE) AS within_budget"
+        f" FROM a"
     )
 
 
@@ -4758,6 +4846,7 @@ def oracle_sql() -> dict[str, str]:
             " GROUP BY c_mktsegment"
         ),
         "corpus_validate": _corpus_validate_oracle_sql(),
+        "sampled_gate": _sampled_gate_oracle_sql(),
         "packed_stats_validate": _packed_stats_oracle_sql(),
         "decontaminate": (
             "WITH cg AS (SELECT doc_id, list_distinct(list_transform("

@@ -734,3 +734,85 @@ def embedding_parity(
     return out.filter(
         (F.col("status") != "vector_mismatch") | (F.col("first_diff_dim") > 0)
     )
+
+
+def sampled_validation_gate(
+    df: DataFrame,
+    id_col: str,
+    annotate,
+    sample_k: int = 1024,
+    budget: float = 0.01,
+    z: float = 1.96,
+    decimals: int = 6,
+) -> DataFrame:
+    """One-row PRE-FLIGHT validation gate: estimate the corpus's row-level
+    violation rate from a deterministic CONSTANT-SIZE sample before
+    paying for the full pass — ``(n_sampled, n_fail, fail_rate,
+    wilson_hi, within_budget)`` where ``wilson_hi`` is the Wilson upper
+    bound on the true rate at confidence ``z`` and ``within_budget``
+    compares it to ``budget``. At 10^12 rows the full validation pass is
+    the expensive step; this gate answers "is this snapshot roughly
+    sane?" from ``sample_k`` documents at any corpus size — run it
+    first, ship the full pass (``ValidationJob``) only when the gate
+    passes, and keep the full pass's exact counts as the artifact of
+    record. Fails closed: wilson_hi is an UPPER bound, so a small sample
+    cannot fake a pass (k=0 or an all-fail sample always exceeds any
+    sane budget).
+
+    ``annotate`` is any ``df -> df`` adding ``_valid`` (e.g.
+    ``CompiledPlan.annotate`` / ``ValidationJob.annotate``), so the gate
+    composes with every check the engine can compile.
+
+    Scale shape: the same constant-size idiom as ``lsh_recall_probe`` —
+    the corpus contributes one (id, prio, payload-cols) projection to a
+    TakeOrderedAndProject top-k (per-partition heads + driver merge of
+    ≤ partitions·k rows; no global sort, no single-partition window);
+    the k survivors repartition (a k-row shuffle) so the check
+    expressions evaluate core-parallel; everything downstream touches k
+    rows. Content-addressed (``portable_hash60('vgate:'+id)``), so the
+    sample — and therefore the gate verdict — is a pure function of the
+    corpus on any partitioning, engine, or cluster size.
+    """
+    from jsonschema_spark.functions.text import portable_hash60
+    from jsonschema_spark.operators.dedup import ensure_parallelism
+
+    prio = portable_hash60(
+        F.concat(F.lit("vgate:"), F.col(id_col).cast("string"))
+    )
+    sample = (
+        ensure_parallelism(df)
+        .withColumn("_prio", prio)
+        .orderBy("_prio", id_col)
+        .limit(int(sample_k))
+        .repartition(32, F.col(id_col))
+        .drop("_prio")
+    )
+    ann = annotate(sample)
+    agg = ann.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.sum((~F.col("_valid")).cast("long")).alias("n_fail"),
+    )
+    n = F.col("n_sampled").cast("double")
+    p = F.col("n_fail") / n
+    z2 = F.lit(float(z) * float(z))
+    wilson_hi = (
+        (p + z2 / (F.lit(2.0) * n))
+        + F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n + z2 / (F.lit(4.0) * n * n))
+    ) / (F.lit(1.0) + z2 / n)
+    return agg.select(
+        "n_sampled",
+        "n_fail",
+        F.round(F.when(F.col("n_sampled") > 0, p), decimals).alias(
+            "fail_rate"
+        ),
+        F.round(F.when(F.col("n_sampled") > 0, wilson_hi), decimals).alias(
+            "wilson_hi"
+        ),
+        # verdict on the ROUNDED bound (CLAUDE.md invariant: verdicts that
+        # hinge on digits beyond `decimals` are engine-underspecified)
+        F.when(
+            F.col("n_sampled") > 0,
+            F.round(wilson_hi, decimals) <= F.lit(float(budget)),
+        ).otherwise(F.lit(False)).alias("within_budget"),
+    )

@@ -82,34 +82,39 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"check", "n_fail", "n_rows"}
 
 
-def test_r4_gate_window_order_pinned():
+def test_r5_gate_window_order_pinned():
     """The driver's correctness gate takes the FIRST 50 queries() entries.
-    Round 4 rotated the 50 never-previously-gated queries into that
-    window (VERDICT r3 'Next round' #1); this pin fails if a later edit
-    inserts or reorders entries ahead of them, which would silently
-    un-gate queries the rotation plan promised to cover."""
+    Round 5 rotated the 32 never-previously-gated queries into that
+    window (VERDICT r4 'Next round' #3), followed by the two r4
+    driver-reds fixed this round, 15 spot re-gates, and the round-5
+    sampled_gate addition; this pin fails if a later edit inserts or
+    reorders entries ahead of them, which would silently un-gate queries
+    the rotation plan promised to cover."""
     import __spark_entry__ as entry_mod
 
-    want_first_51 = [
-        "chunk_sequences", "dup_gram_scale", "repair_sequences",
-        "temperature_mix", "positional_entropy", "bigram_ppl",
-        "vocab_coverage", "embedding_norm_qa", "structure_scorecard",
-        "winnow_dups", "token_ngram_diversity", "bigram_pmi",
-        "source_violation_rates", "ntok_iqr_outliers", "monotonic_check",
-        "embedding_drift", "sequence_packing", "tfidf_top_terms",
-        "source_divergence", "dsir_select", "source_mix",
-        "shared_ngram_pairs", "longest_shared_run", "dup_spans",
-        "dup_span_stats", "token_dup_spans", "decontam_spans",
-        "dup_loss_mask", "effective_tokens", "ingest_dedup_trend",
-        "periodic_sequences", "diverse_sample", "ngram_novelty",
-        "infer_spec", "weighted_sample", "global_shuffle",
-        "windowed_drift", "script_mojibake", "classifier_score",
-        "corpus_overlap", "trigram_sbo", "semdedup", "padding_waste",
-        "stratified_split", "unimax_alloc", "split_leakage_audit",
-        "embedding_quant_qa", "vocab_richness", "vocab_diversity",
-        "quality_survivors", "emd_drift",
+    want_first_50 = [
+        # 32 never gated in r1-r4 (r4-addition queue + Deequ family)
+        "emd_drift", "component_size_hist", "containment_dups",
+        "token_burstiness", "doremi_weights", "spec_rollout",
+        "violation_cooccur", "check_activation", "bigram_kn_ppl",
+        "repeat_value", "epoch_order_audit", "asof_thresholds",
+        "maintenance_overlap", "event_sessions", "watermark_audit",
+        "event_rollup", "lsh_recall", "violation_examples",
+        "component_purity", "trigram_kn_ppl",
+        "column_profile", "numeric_profile", "fd_audit", "fd_audit_by",
+        "table_expectations", "suggest_constraints", "categorical_mi",
+        "benford_digits", "metric_anomaly", "join_cardinality",
+        "inclusion_dependency", "freshness_audit",
+        # the two r4 driver-reds, fixed this round
+        "dup_loss_mask", "positional_entropy",
+        # spot re-gates + the round-5 addition in slot 50
+        "corpus_validate", "exact_stats", "dup_keys", "orphans",
+        "minhash_near_dup", "simhash_near_dup", "dup_components",
+        "incremental_near_dup", "semdedup", "global_shuffle",
+        "token_sketch_drift", "ks_drift", "unigram_ppl",
+        "sequence_packing", "image_decode", "sampled_gate",
     ]
-    assert list(entry_mod.queries())[:51] == want_first_51
+    assert list(entry_mod.queries())[:50] == want_first_50
 
 
 def test_every_query_has_oracle_twin_or_is_known_rows_only():
