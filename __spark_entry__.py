@@ -470,6 +470,50 @@ def q_sampled_gate(spark, sf_dir):
     )
 
 
+def q_quarantine_rows(spark, sf_dir):
+    """Verdict routing (round 5): the QUARANTINED side of the
+    accepted/quarantined split over the 50k corpus — every failing row
+    with its sorted, comma-joined failed-check label (the triage
+    artifact an ingest-repair queue consumes; the reference's fail-fast
+    reject lifted to a table-scale router). Both halves are filters over
+    one annotated scan — no shuffle, no second pass."""
+    import os
+
+    from jsonschema_spark.plans.job import ValidationJob
+    from jsonschema_spark.plans.plan import TableSpec, compile_table_spec
+    from jsonschema_spark.sources.corpus import (
+        MAX_TOKENS,
+        VOCAB_SIZE,
+        corpus,
+        dim_source,
+    )
+
+    path = _corpus_oracle_path()
+    if not os.path.isdir(path):
+        corpus(spark, 50_000, seed=42).write.mode("overwrite").parquet(path)
+    df = spark.read.parquet(path)
+    spec = TableSpec.from_dict(
+        {
+            "columns": {
+                "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$"},
+                "tokens": {
+                    "type": "array",
+                    "minItems": 1,
+                    "items": {"type": "integer", "minimum": 0, "maximum": VOCAB_SIZE - 1},
+                },
+                "n_tok": {"type": "integer", "minimum": 1, "maximum": MAX_TOKENS},
+            },
+            "required": ["doc_id", "tokens", "n_tok", "source"],
+            "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+            "references": {"source": {"dim": "dim_source", "key": "source_id"}},
+        }
+    )
+    plan = compile_table_spec(spec, df.schema)
+    job = ValidationJob(plan, dims={"dim_source": dim_source(spark)})
+    _, quarantined = job.quarantine(job.annotate(df))
+    return quarantined.select("doc_id", "source", "n_failed", "failed_checks")
+
+
 def q_tuple_items(spark, sf_dir):
     """SURVEY §2.1 #16: tuple-form items + additionalItems schema — element
     1 checked positionally, the tail checked by the additionalItems
@@ -3650,14 +3694,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_drift": q_ks_drift,
         "unigram_ppl": q_unigram_ppl,
         "sequence_packing": q_sequence_packing,
-        "image_decode": q_image_decode,
-        # slot 50: round-5 NEW query — gate it immediately rather than
-        # queueing another never-gated entry (tpch_q1, the displaced spot
-        # re-gate, is ever-green and moves below the window)
+        # slots 49-50: round-5 NEW queries — gated immediately rather than
+        # queueing more never-gated entries (tpch_q1 and image_decode, the
+        # displaced spot re-gates, are ever-green and move below the window)
+        "quarantine_rows": q_quarantine_rows,
         "sampled_gate": q_sampled_gate,
         # --- below slot 50: all have a driver-green CORRECTNESS row
         # (plus local sweep + pytest coverage every round) ---
         "tpch_q1": q_tpch_q1,
+        "image_decode": q_image_decode,
         "chunk_sequences": q_chunk_sequences,
         "dup_gram_scale": q_dup_gram_scale,
         "repair_sequences": q_repair_sequences,
@@ -4097,6 +4142,24 @@ def _corpus_validate_oracle_sql() -> str:
     return (
         f"SELECT count(*) AS n_rows, count(*) FILTER (WHERE {valid}) AS n_valid,"
         f" {fails} FROM {tbl}"
+    )
+
+
+def _quarantine_rows_oracle_sql() -> str:
+    """DuckDB twin of q_quarantine_rows: per-row failed-check names
+    (same sorted comma-joined label), failing rows only."""
+    tbl = f"read_parquet('{_corpus_oracle_path()}/*.parquet')"
+    cases = ", ".join(
+        f"CASE WHEN NOT {expr} THEN '{name}' END"
+        for name, expr in _corpus_check_exprs().items()
+    )
+    return (
+        f"WITH f AS (SELECT doc_id, source,"
+        f"  list_sort(list_filter([{cases}], x -> x IS NOT NULL)) AS fl"
+        f"  FROM {tbl})"
+        f" SELECT doc_id, source, CAST(len(fl) AS INT) AS n_failed,"
+        f"  array_to_string(fl, ',') AS failed_checks"
+        f" FROM f WHERE len(fl) > 0"
     )
 
 
@@ -4847,6 +4910,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "corpus_validate": _corpus_validate_oracle_sql(),
         "sampled_gate": _sampled_gate_oracle_sql(),
+        "quarantine_rows": _quarantine_rows_oracle_sql(),
         "packed_stats_validate": _packed_stats_oracle_sql(),
         "decontaminate": (
             "WITH cg AS (SELECT doc_id, list_distinct(list_transform("

@@ -199,6 +199,51 @@ class ValidationJob:
             )
         )
 
+    def quarantine(
+        self, annotated: DataFrame
+    ) -> tuple[DataFrame, DataFrame]:
+        """Route rows by verdict: ``(accepted, quarantined)`` — the
+        serving split a validation stage hands downstream (accepted rows
+        flow on with the check/_valid columns dropped; quarantined rows
+        carry ``n_failed`` and the sorted comma-joined ``failed_checks``
+        label next to their original payload, the triage artifact an
+        ingest-repair queue consumes). The reference's fail-fast
+        accept/reject (validate.go:15) lifted to a table-scale router.
+
+        Scale shape: both halves are filters over the SAME annotated
+        scan-stage projection — no shuffle, no second pass; the
+        failed-check array is the in-stage filter(array(when...)) idiom
+        violations() uses, bounded by |checks|."""
+        checks = self.check_columns(annotated)
+        drop = checks + ["_valid"] + [
+            c for c in annotated.columns if c.startswith("_verdict_")
+        ]
+        accepted = annotated.filter(F.col("_valid")).drop(*drop)
+        failed = F.filter(
+            F.array(
+                *[
+                    F.when(
+                        ~F.coalesce(F.col(c), F.lit(False)),
+                        F.lit(c.removeprefix("chk_")),
+                    )
+                    for c in checks
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        payload = [c for c in annotated.columns if c not in set(drop)]
+        quarantined = (
+            annotated.filter(~F.col("_valid"))
+            .select(
+                *payload,
+                F.size(failed).alias("n_failed"),
+                F.array_join(F.array_sort(failed), ",").alias(
+                    "failed_checks"
+                ),
+            )
+        )
+        return accepted, quarantined
+
     def partition_lineage(self, annotated: DataFrame, unit: str = "auto") -> DataFrame:
         """Per-unit pass/fail + per-check fail counts. Unit = input file name
         when present (stable across reruns → resumable), else partition id."""

@@ -120,6 +120,32 @@ def test_row_verdicts_match_injection(job, corpus_df):
     assert agg.invalid == len(exp_ntok | exp_len | exp_src)
 
 
+def test_quarantine_split(job, corpus_df):
+    """accepted/quarantined partition the corpus exactly; accepted drops
+    every check/_valid column (clean payload schema for downstream);
+    quarantined carries the sorted failed-check label matching the
+    injection closed form."""
+    annotated = job.annotate(corpus_df)
+    accepted, quarantined = job.quarantine(annotated)
+    n_acc, n_quar = accepted.count(), quarantined.count()
+    invalid = _expected("ntok") | _expected("len") | _expected("src")
+    assert n_quar == len(invalid)
+    assert n_acc + n_quar == N
+    assert [f.name for f in accepted.schema.fields] == [
+        "doc_id", "tokens", "n_tok", "source",
+    ]
+    # an injected ntok row fails both the bound and the length check
+    labels = {
+        r.doc_id: r.failed_checks
+        for r in quarantined.select("doc_id", "failed_checks").collect()
+        if r.doc_id is not None
+    }
+    ntok_id = f"doc-{min(_expected('ntok')):012d}"
+    assert labels[ntok_id] == "col_n_tok,row_len_consistent"
+    src_id = f"doc-{min(_expected('src')):012d}"
+    assert labels[src_id] == "ref_source"
+
+
 def test_violation_rows(job, corpus_df):
     v = job.violations(job.annotate(corpus_df))
     counts = {r.check: r.cnt for r in v.groupBy("check").agg(F.count("*").alias("cnt")).collect()}

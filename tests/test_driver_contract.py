@@ -112,7 +112,7 @@ def test_r5_gate_window_order_pinned():
         "minhash_near_dup", "simhash_near_dup", "dup_components",
         "incremental_near_dup", "semdedup", "global_shuffle",
         "token_sketch_drift", "ks_drift", "unigram_ppl",
-        "sequence_packing", "image_decode", "sampled_gate",
+        "sequence_packing", "quarantine_rows", "sampled_gate",
     ]
     assert list(entry_mod.queries())[:50] == want_first_50
 
