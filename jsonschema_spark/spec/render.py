@@ -77,11 +77,14 @@ def _compact_json(value: Any) -> str:
 
 
 def _first_quoted(message: str) -> str:
-    """Extract the first Python-repr-quoted token from our message."""
-    m = re.search(r"'((?:[^'\\]|\\.)*)'", message)
+    """Extract the first Python-repr-quoted token from our message.
+    repr() picks double quotes when the key itself contains a single
+    quote (found by the suite-wide render property test), so match
+    either literal form and literal_eval to unescape."""
+    m = re.search(r"('(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\")", message)
     if m is None:
         raise ValueError(f"no quoted token in {message!r}")
-    return m.group(1)
+    return ast.literal_eval(m.group(1))
 
 
 def _leaf(v: Violation, value: Any) -> tuple[str, bool]:

@@ -108,3 +108,43 @@ def test_combinator_keyword_frame_replaces_type_frame():
     assert out == "oneOf: must match exactly once"
     out = _render_first('{"anyOf": [{"type": "string"}]}', "5")
     assert out == "anyOf: must match at least once"
+
+
+def test_render_never_raises_on_suite_corpus():
+    """No-crash property over the official draft-4 suite: every failing
+    case's every violation renders to a non-empty string whose first
+    frame is either the document's type name or a combinator keyword.
+    (Exact-text parity is pinned per-keyword above; this pins total
+    coverage of the rendering dispatch over real schema diversity.)"""
+    import os
+
+    from jsonschema_spark.spec.compile import compile_spec, file_map_resolver
+
+    suite_dir = "/root/reference/_testdata/suite/draft4"
+    remotes = "/root/reference/_testdata/remotes"
+    if not os.path.isdir(suite_dir):
+        return
+    resolver = file_map_resolver({"http://localhost:1234/": remotes})
+    n_rendered = 0
+    for fname in sorted(os.listdir(suite_dir)):
+        if not fname.endswith(".json") or fname == "format.json":
+            continue
+        with open(os.path.join(suite_dir, fname), "rb") as fh:
+            groups = parse_json(fh.read())
+        for group in groups:
+            compiled = compile_spec(group["schema"], resolver=resolver)
+            for case in group["tests"]:
+                if case["valid"]:
+                    continue
+                doc = case["data"]
+                for v in validate_value(compiled, doc):
+                    out = render_reference_error(doc, v)
+                    assert out and isinstance(out, str)
+                    first = out.split(":", 1)[0]
+                    assert first in {
+                        "object", "array", "string", "number", "bool",
+                        "null", "enum", "anyOf", "oneOf", "not",
+                        "invalid json",
+                    }, f"{fname}: unexpected first frame {first!r} in {out!r}"
+                    n_rendered += 1
+    assert n_rendered > 250, n_rendered
