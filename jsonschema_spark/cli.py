@@ -81,7 +81,38 @@ def cmd_validate(args) -> int:
 
     job = ValidationJob(plan, dims=dims)
     t0 = time.time()
+
+    if args.preflight_k:
+        # constant-size sampled gate BEFORE the full pass: if the Wilson
+        # upper bound on the violation rate exceeds the budget, exit
+        # nonzero without scanning the corpus (the 10^12-row-scale
+        # "don't run the expensive job on a broken snapshot" guard)
+        from jsonschema_spark.operators.checks import sampled_validation_gate
+
+        gate = sampled_validation_gate(
+            df,
+            args.id_col,
+            job.annotate,
+            sample_k=args.preflight_k,
+            budget=args.preflight_budget,
+        ).collect()[0]
+        print(json.dumps({"preflight": gate.asDict()}))
+        if not gate["within_budget"]:
+            spark.stop()
+            return 3
+
     summary = job.run(df, args.results, resume=args.resume)
+    if args.quarantine:
+        # verdict routing next to the results tree: accepted rows with a
+        # clean payload schema, quarantined rows with failed-check labels
+        ann = job.annotate(df)
+        accepted, quarantined = job.quarantine(ann)
+        base = Path(args.quarantine)
+        accepted.write.mode("overwrite").parquet(str(base / "accepted"))
+        quarantined.write.mode("overwrite").parquet(
+            str(base / "quarantined")
+        )
+        summary["quarantine_dir"] = str(base)
     if args.diagnostics:
         # one extra pass over the corpus, shared by all three diagnostic
         # artifacts via persist (they are check-keyed and metadata-sized
@@ -257,6 +288,16 @@ def main(argv=None) -> int:
         " tree (one extra corpus pass)",
     )
     pv.add_argument("--id-col", default="doc_id")
+    pv.add_argument(
+        "--preflight-k", type=int, default=0,
+        help="run the constant-size sampled gate first (k docs); exit 3 "
+        "when the Wilson bound exceeds --preflight-budget",
+    )
+    pv.add_argument("--preflight-budget", type=float, default=0.05)
+    pv.add_argument(
+        "--quarantine", default=None,
+        help="also write accepted/ + quarantined/ parquet under this dir",
+    )
     pv.set_defaults(fn=cmd_validate)
 
     pr = sub.add_parser("repair")

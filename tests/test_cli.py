@@ -142,3 +142,48 @@ def test_validate_cli_diagnostics(tmp_path, spark):
     ex = spark.read.parquet(str(results / "examples")).collect()
     assert all(1 <= r["n_examples"] <= 5 for r in ex)
     assert (results / "cooccurrence").is_dir()
+
+
+def test_validate_cli_preflight_and_quarantine(tmp_path, spark):
+    """--preflight-k gates before the full pass; --quarantine writes the
+    accepted/quarantined split whose row counts partition the corpus.
+    A hopeless budget makes the gate exit 3 without writing results."""
+    import json as _json
+
+    spec = {
+        "columns": {
+            "n_tok": {"type": "integer", "minimum": 1, "maximum": 2048},
+        },
+        "required": ["doc_id", "tokens", "n_tok", "source"],
+        "row_checks": {"len_consistent": "n_tok = size(tokens)"},
+        "references": {"source": {"dim": "dim_source", "key": "source_id"}},
+    }
+    spec_file = tmp_path / "spec.json"
+    spec_file.write_text(_json.dumps(spec))
+    results = tmp_path / "results"
+    quar = tmp_path / "routed"
+
+    from jsonschema_spark.cli import main
+
+    rc = main([
+        "validate", "--input", "synthetic", "--rows", "5000",
+        "--spec", str(spec_file), "--results", str(results),
+        "--cores", "8", "--preflight-k", "400",
+        "--preflight-budget", "0.25", "--quarantine", str(quar),
+    ])
+    assert rc == 0
+    acc = spark.read.parquet(str(quar / "accepted"))
+    q = spark.read.parquet(str(quar / "quarantined"))
+    assert acc.count() + q.count() == 5000
+    assert "failed_checks" in q.columns and "_valid" not in acc.columns
+
+    # impossible budget -> gate refuses before the full pass
+    results2 = tmp_path / "results2"
+    rc = main([
+        "validate", "--input", "synthetic", "--rows", "5000",
+        "--spec", str(spec_file), "--results", str(results2),
+        "--cores", "8", "--preflight-k", "400",
+        "--preflight-budget", "0.000001",
+    ])
+    assert rc == 3
+    assert not (results2 / "summary.json").exists()
