@@ -98,7 +98,10 @@ def cmd_validate(args) -> int:
         ).collect()[0]
         print(json.dumps({"preflight": gate.asDict()}))
         if not gate["within_budget"]:
-            spark.stop()
+            # no spark.stop(): the CLI convention leaves the session to
+            # the process exit (and an in-process caller — tests, a
+            # notebook — may own a live session via getOrCreate; stopping
+            # it here killed every later in-process Spark user)
             return 3
 
     summary = job.run(df, args.results, resume=args.resume)
