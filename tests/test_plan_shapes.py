@@ -566,3 +566,24 @@ def test_guarded_broadcast_decision_boundary(spark):
     stats = {}
     guarded_broadcast(small, max_rows=9, stats=stats)
     assert stats == {"rows": 10, "broadcast": False}
+
+
+def test_sampled_gate_topk_sample_no_row_python(spark):
+    """The pre-flight gate's corpus-sized stage must be a
+    TakeOrderedAndProject (distributed top-k, no global Sort of the
+    corpus) and the whole plan must stay free of row-at-a-time Python —
+    the properties that keep it a constant-cost gate at 10^12 rows."""
+    plan = _plan(entry_mod.queries()["sampled_gate"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quarantine_rows_zero_exchange_scan_stage(spark):
+    """Verdict routing is a filter over ONE annotated scan projection:
+    no exchange, no join, no row Python anywhere in the quarantined
+    side's plan — the split must cost nothing beyond the scan."""
+    plan = _plan(entry_mod.queries()["quarantine_rows"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan
